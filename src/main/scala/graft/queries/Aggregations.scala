@@ -1,0 +1,179 @@
+package graft.queries
+
+import graft.{Determinism, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** SURVEY §2.4 — aggregations.
+  *
+  * All double measures follow the Determinism discipline: per-row IEEE
+  * arithmetic, DECIMAL(38,6) before SUM (exact, order-independent — the
+  * property that makes partial/map-side aggregation safe at 100 TB),
+  * DOUBLE on the way out. Hash aggregation gets map-side partials for
+  * free; the high-cardinality row exercises the spill path.
+  */
+object Aggregations {
+  import Determinism._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Global aggregate, no keys — single row.
+    "q_agg_global" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d).agg(
+        sumd($"l_quantity").as("sum_qty"),
+        min($"l_quantity").as("min_qty"),
+        max($"l_quantity").as("max_qty"),
+        sumd($"l_extendedprice").as("sum_price"),
+        count(lit(1)).as("n_rows"))
+    }),
+
+    // TPC-H Q1 shape: low-cardinality hash aggregate.
+    "q_agg_hash" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sumd($"l_quantity").as("sum_qty"),
+          sumd($"l_extendedprice").as("sum_base_price"),
+          sumd($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+          sumd($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+          (sumd($"l_quantity") / count(lit(1))).as("avg_qty"),
+          (sumd($"l_discount") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // High-cardinality (one group per order) — partial+final, spill path.
+    "q_agg_highcard" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_orderkey")
+        .agg(
+          sumd($"l_quantity").as("sum_qty"),
+          sumd($"l_extendedprice").as("sum_price"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"l_orderkey")
+    }),
+
+    // Exact COUNT(DISTINCT) — expand + two-phase.
+    "q_agg_count_distinct" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          countDistinct($"l_partkey").as("nd_part"),
+          countDistinct($"l_suppkey").as("nd_supp"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // ROLLUP over two keys; grouping() flags disambiguate NULL-as-total
+    // from NULL-in-data portably (grouping_id bit order differs by engine).
+    "q_agg_rollup" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(
+          sumd($"l_quantity").as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          grouping($"l_returnflag").cast("long").as("g_rf"),
+          grouping($"l_linestatus").cast("long").as("g_ls"))
+        .orderBy($"g_rf", $"g_ls",
+          $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    }),
+
+    "q_agg_cube" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(
+          sumd($"l_quantity").as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          grouping($"l_returnflag").cast("long").as("g_rf"),
+          grouping($"l_linestatus").cast("long").as("g_ls"))
+        .orderBy($"g_rf", $"g_ls",
+          $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    }),
+
+    // GROUPING SETS via the SQL surface.
+    "q_agg_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_li_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+          |  COUNT(*) AS n_rows,
+          |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf, CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+          |FROM graft_li_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+          |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+          |""".stripMargin)
+    }),
+
+    // HAVING — post-aggregation filter.
+    "q_agg_having" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_orderkey")
+        .agg(sumd($"l_quantity").as("sum_qty"), count(lit(1)).as("n_lines"))
+        .filter($"sum_qty" > 150.0)
+        .orderBy($"l_orderkey")
+    }),
+
+    // collect_list / collect_set, deterministically sorted.
+    "q_agg_collect" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_orderkey")
+        .agg(
+          sort_array(collect_list($"l_linenumber")).as("line_numbers"),
+          sort_array(collect_set($"l_returnflag")).as("flags"))
+        .orderBy($"l_orderkey")
+    })
+  )
+
+  private def gsSql(extra: String): String =
+    "SELECT l_returnflag, l_linestatus, " +
+    sqlSumd("l_quantity") + " AS sum_qty, COUNT(*) AS n_rows, " +
+    "CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf, CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls " +
+    s"FROM lineitem GROUP BY $extra " +
+    "ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_global" ->
+      ("SELECT " + sqlSumd("l_quantity") + " AS sum_qty, MIN(l_quantity) AS min_qty, " +
+       "MAX(l_quantity) AS max_qty, " + sqlSumd("l_extendedprice") + " AS sum_price, " +
+       "COUNT(*) AS n_rows FROM lineitem"),
+    "q_agg_hash" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+       sqlSumd("l_quantity") + " AS sum_qty, " +
+       sqlSumd("l_extendedprice") + " AS sum_base_price, " +
+       sqlSumd("l_extendedprice * (1.0 - l_discount)") + " AS sum_disc_price, " +
+       sqlSumd("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)") + " AS sum_charge, " +
+       sqlSumd("l_quantity") + " / COUNT(*) AS avg_qty, " +
+       sqlSumd("l_discount") + " / COUNT(*) AS avg_disc, " +
+       "COUNT(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus " +
+       "ORDER BY l_returnflag, l_linestatus"),
+    "q_agg_highcard" ->
+      ("SELECT l_orderkey, " + sqlSumd("l_quantity") + " AS sum_qty, " +
+       sqlSumd("l_extendedprice") + " AS sum_price, COUNT(*) AS n_lines " +
+       "FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"),
+    "q_agg_count_distinct" ->
+      ("SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part, " +
+       "COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS n_rows " +
+       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_agg_rollup" -> gsSql("ROLLUP (l_returnflag, l_linestatus)"),
+    "q_agg_cube" -> gsSql("CUBE (l_returnflag, l_linestatus)"),
+    "q_agg_grouping_sets" ->
+      gsSql("GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))"),
+    "q_agg_having" ->
+      ("SELECT l_orderkey, " + sqlSumd("l_quantity") + " AS sum_qty, COUNT(*) AS n_lines " +
+       "FROM lineitem GROUP BY l_orderkey HAVING " + sqlSumd("l_quantity") + " > 150.0 " +
+       "ORDER BY l_orderkey"),
+    "q_agg_collect" ->
+      ("SELECT l_orderkey, list_sort(list(l_linenumber)) AS line_numbers, " +
+       "list_sort(list_distinct(list(l_returnflag))) AS flags " +
+       "FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey")
+  )
+}

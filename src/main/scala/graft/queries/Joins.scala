@@ -1,0 +1,202 @@
+package graft.queries
+
+import graft.{Determinism, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.3 — the full join algebra.
+  *
+  * Reference analog: the `location_instances.gps_id → raw.id` enrichment
+  * correlation (main.go:213,219). Scale posture: the large×large joins
+  * shuffle on their keys (sort-merge); small dimensions are explicitly
+  * `broadcast()` so the 100 TB plan never shuffles the big fact side for
+  * them; the as-of join is the window-function composition (Spark has no
+  * native ASOF) which keeps a single shuffle by user key.
+  */
+object Joins {
+  import Determinism._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Large×large equi-join → sort-merge above the broadcast threshold.
+    "q_join_inner_smj" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice",
+          $"o_custkey", $"o_totalprice", $"o_orderstatus")
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+    }),
+
+    // Large×small → broadcast hash join, fact side never shuffles.
+    "q_join_inner_bhj" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey", $"o_totalprice", $"c_name", $"c_mktsegment")
+        .orderBy($"o_orderkey")
+    }),
+
+    // Left outer: right side filtered so some orders have no match.
+    "q_join_left" -> ((s, d) => {
+      import s.implicits._
+      val rich = Tables.customer(s, d).filter($"c_acctbal" > 5000.0)
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+      Tables.orders(s, d)
+        .join(rich, $"o_custkey" === $"c_custkey", "left")
+        .select($"o_orderkey", $"o_custkey", $"c_name", $"c_acctbal")
+        .orderBy($"o_orderkey")
+    }),
+
+    // Right outer: some customers have no qualifying order.
+    "q_join_right" -> ((s, d) => {
+      import s.implicits._
+      val bigOrders = Tables.orders(s, d).filter($"o_totalprice" > 150000.0)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      bigOrders
+        .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey", "right")
+        .select($"c_custkey", $"c_name", $"o_orderkey", $"o_totalprice")
+        .orderBy($"c_custkey".asc, $"o_orderkey".asc_nulls_first)
+    }),
+
+    // Full outer over deliberately partial key domains.
+    "q_join_full" -> ((s, d) => {
+      import s.implicits._
+      val cn = Tables.customer(s, d).filter($"c_custkey" % 3 === 0)
+        .groupBy($"c_nationkey").agg(count(lit(1)).as("n_cust"))
+      val sn = Tables.supplier(s, d).filter($"s_suppkey" % 2 === 0)
+        .groupBy($"s_nationkey").agg(count(lit(1)).as("n_supp"))
+      cn.join(sn, $"c_nationkey" === $"s_nationkey", "full")
+        .select($"c_nationkey", $"n_cust", $"s_nationkey", $"n_supp")
+        .orderBy($"c_nationkey".asc_nulls_first, $"s_nationkey".asc_nulls_first)
+    }),
+
+    // Left semi — EXISTS.
+    "q_join_semi" -> ((s, d) => {
+      import s.implicits._
+      val urgent = Tables.orders(s, d).filter($"o_orderpriority" === "1-URGENT")
+      Tables.customer(s, d)
+        .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+        .orderBy($"c_custkey")
+    }),
+
+    // Left anti — NOT EXISTS.
+    "q_join_anti" -> ((s, d) => {
+      import s.implicits._
+      val urgent = Tables.orders(s, d).filter($"o_orderpriority" === "1-URGENT")
+      Tables.customer(s, d)
+        .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+        .orderBy($"c_custkey")
+    }),
+
+    // Cross join, small×small only (5 × 25 rows).
+    "q_join_cross" -> ((s, d) => {
+      import s.implicits._
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select($"r_regionkey", $"r_name", $"n_nationkey", $"n_name")
+        .orderBy($"r_regionkey", $"n_nationkey")
+    }),
+
+    // Non-equi range join against a tiny broadcast band table.
+    "q_join_theta_range" -> ((s, d) => {
+      import s.implicits._
+      val bands = Seq(
+        (0.0, 10.0, "XS"), (10.0, 20.0, "S"), (20.0, 30.0, "M"),
+        (30.0, 40.0, "L"), (40.0, 60.0, "XL")).toDF("lo", "hi", "band")
+      Tables.lineitem(s, d)
+        .join(broadcast(bands), $"l_quantity" >= $"lo" && $"l_quantity" < $"hi")
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"band")
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity")
+    }),
+
+    // As-of join: for each click, the latest view by the same user at or
+    // before the click (CDC-motivated: latest fix per device). Spark has
+    // no native ASOF → range-condition left join + row_number, one
+    // shuffle by user_id.
+    "q_join_asof" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d).withColumn("ts_ms", tsMs($"ts"))
+      val trades = e.filter($"event_type" === "click")
+        .select($"event_id".as("t_event_id"), $"user_id", $"ts_ms".as("t_ts"))
+      val quotes = e.filter($"event_type" === "view")
+        .select($"event_id".as("q_event_id"), $"user_id".as("q_user_id"),
+          $"ts_ms".as("q_ts"), $"value".as("q_value"))
+      val w = Window.partitionBy($"t_event_id")
+        .orderBy($"q_ts".desc, $"q_event_id".desc)
+      trades
+        .join(quotes, $"user_id" === $"q_user_id" && $"q_ts" <= $"t_ts", "left")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"t_event_id", $"user_id", $"t_ts", $"q_event_id", $"q_ts", $"q_value")
+        .orderBy($"t_event_id")
+    }),
+
+    // 4-table chain — exercises join reorder; dims broadcast.
+    "q_join_multiway" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .select($"o_orderkey", $"c_name", $"n_name", $"r_name", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_inner_smj" ->
+      ("SELECT l_orderkey, l_linenumber, l_extendedprice, o_custkey, o_totalprice, o_orderstatus " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey ORDER BY l_orderkey, l_linenumber, l_extendedprice"),
+    "q_join_inner_bhj" ->
+      ("SELECT o_orderkey, o_totalprice, c_name, c_mktsegment " +
+       "FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"),
+    "q_join_left" ->
+      ("SELECT o_orderkey, o_custkey, c_name, c_acctbal FROM orders " +
+       "LEFT JOIN (SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal > 5000.0) r " +
+       "ON o_custkey = c_custkey ORDER BY o_orderkey"),
+    "q_join_right" ->
+      ("SELECT c_custkey, c_name, o_orderkey, o_totalprice FROM " +
+       "(SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 150000.0) b " +
+       "RIGHT JOIN customer ON o_custkey = c_custkey " +
+       "ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST"),
+    "q_join_full" ->
+      ("SELECT c_nationkey, n_cust, s_nationkey, n_supp FROM " +
+       "(SELECT c_nationkey, COUNT(*) AS n_cust FROM customer WHERE c_custkey % 3 = 0 GROUP BY c_nationkey) cn " +
+       "FULL JOIN " +
+       "(SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier WHERE s_suppkey % 2 = 0 GROUP BY s_nationkey) sn " +
+       "ON c_nationkey = s_nationkey " +
+       "ORDER BY c_nationkey ASC NULLS FIRST, s_nationkey ASC NULLS FIRST"),
+    "q_join_semi" ->
+      ("SELECT c_custkey, c_name, c_acctbal FROM customer WHERE EXISTS " +
+       "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') " +
+       "ORDER BY c_custkey"),
+    "q_join_anti" ->
+      ("SELECT c_custkey, c_name, c_acctbal FROM customer WHERE NOT EXISTS " +
+       "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') " +
+       "ORDER BY c_custkey"),
+    "q_join_cross" ->
+      ("SELECT r_regionkey, r_name, n_nationkey, n_name FROM region CROSS JOIN nation " +
+       "ORDER BY r_regionkey, n_nationkey"),
+    "q_join_theta_range" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, band FROM lineitem " +
+       "JOIN (VALUES (0.0,10.0,'XS'),(10.0,20.0,'S'),(20.0,30.0,'M'),(30.0,40.0,'L'),(40.0,60.0,'XL')) " +
+       "AS b(lo, hi, band) ON l_quantity >= lo AND l_quantity < hi " +
+       "ORDER BY l_orderkey, l_linenumber, l_quantity"),
+    "q_join_asof" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, value, date_trunc('milliseconds', ts) AS ts_ms FROM events), " +
+       "t AS (SELECT event_id AS t_event_id, user_id, ts_ms AS t_ts FROM e WHERE event_type = 'click'), " +
+       "q AS (SELECT event_id AS q_event_id, user_id AS q_user_id, ts_ms AS q_ts, value AS q_value FROM e WHERE event_type = 'view'), " +
+       "j AS (SELECT t.*, q.q_event_id, q.q_ts, q.q_value, " +
+       "ROW_NUMBER() OVER (PARTITION BY t_event_id ORDER BY q_ts DESC, q_event_id DESC) AS rn " +
+       "FROM t LEFT JOIN q ON t.user_id = q.q_user_id AND q.q_ts <= t.t_ts) " +
+       "SELECT t_event_id, user_id, t_ts, q_event_id, q_ts, q_value FROM j WHERE rn = 1 ORDER BY t_event_id"),
+    "q_join_multiway" ->
+      ("SELECT o_orderkey, c_name, n_name, r_name, o_totalprice FROM orders " +
+       "JOIN customer ON o_custkey = c_custkey " +
+       "JOIN nation ON c_nationkey = n_nationkey " +
+       "JOIN region ON n_regionkey = r_regionkey ORDER BY o_orderkey")
+  )
+}

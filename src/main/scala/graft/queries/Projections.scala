@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.{Determinism, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY §2.2 — projection / filter / codecs.
+  *
+  * The codec rows re-express the reference pipeline's three wire
+  * formats (FIXTURES.md §B) on the driver testdata:
+  *  - flatten: the producer's nested-JSON → 8 flat fields (main.go:97-110);
+  *  - json encode: the Kafka-Connect `{schema,payload}` envelope build
+  *    (main.go:111-125);
+  *  - cdc after-image: the Debezium envelope decode taking only
+  *    `payload.after.*` (main.go:203-208, 233-240);
+  *  - wkt point: `POINT(lon lat)` lon-first `%f` formatting (main.go:210).
+  */
+object Projections {
+  import Determinism._
+
+  /** Schema of `events.props` — `{"k": <int>}`. */
+  private val propsSchema = StructType(Seq(StructField("k", IntegerType)))
+
+  /** Debezium-shaped envelope schema: tolerate/ignore extra fields,
+    * model only `payload.after` (reference main.go:233-240). */
+  private val dbzSchema = StructType(Seq(
+    StructField("payload", StructType(Seq(
+      StructField("after", StructType(Seq(
+        StructField("id", StringType),
+        StructField("latitude", DoubleType),
+        StructField("longitude", DoubleType)))))))))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Nested-struct flatten with renames (timestamp→id, device_id→deviceId
+    // in the reference; here events.props JSON → flat columns).
+    "q_proj_flatten" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select(
+          $"event_id".as("id"),
+          $"user_id".as("device_id"),
+          tsMs($"ts").as("ts_ms"),
+          from_json($"props", propsSchema).getField("k").as("k"),
+          $"value".as("speed"))
+        .orderBy($"id")
+    }),
+
+    "q_proj_rename" -> ((s, d) => {
+      import s.implicits._
+      Tables.customer(s, d)
+        .select(
+          $"c_custkey".as("cust_id"),
+          $"c_name".as("cust_name"),
+          $"c_mktsegment".as("segment"))
+        .orderBy($"cust_id")
+    }),
+
+    "q_filter_basic" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_quantity" > 30.0 && $"l_discount" < 0.05)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_discount")
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_discount")
+    }),
+
+    "q_filter_in_between" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .filter(
+          $"o_orderstatus".isin("O", "F") &&
+          $"o_totalprice".between(1000.0, 200000.0) &&
+          $"o_orderpriority".like("%URGENT%") &&
+          $"o_custkey".isNotNull)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice", $"o_orderpriority")
+        .orderBy($"o_orderkey")
+    }),
+
+    // JSON decode to typed struct; PERMISSIVE → corrupt rows yield null
+    // (mirrors the reference's skip-on-error, main.go:205-208).
+    "q_codec_json_decode" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select(
+          $"event_id",
+          from_json($"props", propsSchema).getField("k").as("k_int"),
+          get_json_object($"props", "$.k").as("k_str"))
+        .orderBy($"event_id")
+    }),
+
+    // Struct → JSON envelope build (Kafka-Connect shape, main.go:111-125).
+    "q_codec_json_encode" -> ((s, d) => {
+      import s.implicits._
+      val schemaLit =
+        """{"schema":{"type":"struct","fields":[{"type":"string","field":"id"},{"type":"string","field":"device_id"}]},"payload":"""
+      Tables.events(s, d)
+        .select(
+          $"event_id",
+          concat(
+            lit(schemaLit),
+            to_json(struct(
+              $"event_id".cast(StringType).as("id"),
+              $"event_type".as("device_id"))),
+            lit("}")).as("envelope"))
+        .orderBy($"event_id")
+    }),
+
+    // CDC after-image extraction: build a Debezium-shaped envelope from
+    // events, decode it, take payload.after.* only.
+    "q_cdc_after_image" -> ((s, d) => {
+      import s.implicits._
+      val dbz = concat(
+        lit("""{"payload":{"before":null,"after":{"id":""""),
+        $"event_id".cast(StringType),
+        lit("""","latitude":"""),
+        format_string("%.6f", $"value"),
+        lit(""","longitude":"""),
+        format_string("%.6f", $"value" * lit(2.0)),
+        lit("""},"op":"c","ts_ms":"""),
+        msEpoch($"ts").cast(StringType),
+        lit("}}"))
+      Tables.events(s, d)
+        .select($"event_id", from_json(dbz, dbzSchema).as("e"))
+        .select(
+          $"event_id",
+          $"e.payload.after.id".as("id"),
+          $"e.payload.after.latitude".as("latitude"),
+          $"e.payload.after.longitude".as("longitude"))
+        .orderBy($"event_id")
+    }),
+
+    // WKT point construction — lon first, C-style %f six-decimal
+    // formatting, exactly the reference's fmt.Sprintf (main.go:210).
+    "q_geo_wkt_point" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select(
+          $"event_id",
+          format_string("POINT(%f %f)", $"value" * lit(2.0), $"value").as("geo_point"))
+        .orderBy($"event_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_proj_flatten" ->
+      ("SELECT event_id AS id, user_id AS device_id, date_trunc('milliseconds', ts) AS ts_ms, " +
+       "CAST(json_extract(props, '$.k') AS INTEGER) AS k, value AS speed FROM events ORDER BY id"),
+    "q_proj_rename" ->
+      "SELECT c_custkey AS cust_id, c_name AS cust_name, c_mktsegment AS segment FROM customer ORDER BY cust_id",
+    "q_filter_basic" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem " +
+       "WHERE l_quantity > 30.0 AND l_discount < 0.05 ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount"),
+    "q_filter_in_between" ->
+      ("SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders " +
+       "WHERE o_orderstatus IN ('O','F') AND o_totalprice BETWEEN 1000.0 AND 200000.0 " +
+       "AND o_orderpriority LIKE '%URGENT%' AND o_custkey IS NOT NULL ORDER BY o_orderkey"),
+    "q_codec_json_decode" ->
+      ("SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k_int, " +
+       "json_extract_string(props, '$.k') AS k_str FROM events ORDER BY event_id"),
+    "q_codec_json_encode" ->
+      ("SELECT event_id, '{\"schema\":{\"type\":\"struct\",\"fields\":[{\"type\":\"string\",\"field\":\"id\"},{\"type\":\"string\",\"field\":\"device_id\"}]},\"payload\":' " +
+       "|| CAST(to_json({'id': CAST(event_id AS VARCHAR), 'device_id': event_type}) AS VARCHAR) || '}' AS envelope " +
+       "FROM events ORDER BY event_id"),
+    "q_cdc_after_image" ->
+      ("SELECT event_id, CAST(event_id AS VARCHAR) AS id, " +
+       "CAST(printf('%.6f', value) AS DOUBLE) AS latitude, " +
+       "CAST(printf('%.6f', value * 2.0) AS DOUBLE) AS longitude " +
+       "FROM events ORDER BY event_id"),
+    "q_geo_wkt_point" ->
+      ("SELECT event_id, printf('POINT(%f %f)', value * 2.0, value) AS geo_point " +
+       "FROM events ORDER BY event_id")
+  )
+}

@@ -1,0 +1,169 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY §2.9 (text analysis slice) — token statistics, tf-idf,
+  * language profiling/ID, quality scoring, fingerprinting, token
+  * counting. All pure built-in compositions (explode + groupBy for the
+  * term-level ops — at 100 TB the explode is a flatMap before a single
+  * shuffle on the term key, with map-side partial aggregation).
+  */
+object TextAnalysis {
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Term frequencies across the corpus, top-20 terms.
+    "q_llm_token_stats" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(explode(toks(lower($"text"))).as("term"))
+        .groupBy($"term")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"term".asc)
+        .limit(20)
+    }),
+
+    // tf-idf per (term, doc): tf × ln(N/df).
+    "q_llm_tfidf" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val n = docs.count() // tiny scalar; at scale: a broadcast 1-row agg
+      val terms = docs.select($"doc_id", explode(toks(lower($"text"))).as("term"))
+      val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df = terms.select($"doc_id", $"term").distinct()
+        .groupBy($"term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), "term")
+        .select($"doc_id", $"term", $"tf",
+          round($"tf" * log(lit(n.toDouble) / $"df"), 6).as("tfidf"))
+        .orderBy($"doc_id", $"term")
+    }),
+
+    // Per-language corpus profile.
+    "q_llm_lang_profile" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          (sum($"n_chars").cast(DoubleType) / count(lit(1))).as("avg_chars"),
+          countDistinct($"source").as("nd_sources"),
+          min($"n_chars").as("min_chars"),
+          max($"n_chars").as("max_chars"))
+        .orderBy($"lang")
+    }),
+
+    // Language-ID heuristic: stopword-list overlap vote with a fixed
+    // priority tiebreak (n-gram heuristic per the mandate; the corpus
+    // vocabulary is synthetic so the English list dominates by design).
+    "q_llm_lang_id" -> ((s, d) => {
+      import s.implicits._
+      val t = array_distinct(toks(lower($"text")))
+      def hits(words: Seq[String]): Column =
+        size(array_intersect(t, array(words.map(lit): _*)))
+      val en = hits(Seq("the", "a", "of", "and"))
+      val es = hits(Seq("el", "la", "de", "y"))
+      val de = hits(Seq("der", "die", "das", "und"))
+      Tables.documents(s, d)
+        .select($"doc_id", $"lang",
+          en.cast("long").as("en_hits"), es.cast("long").as("es_hits"), de.cast("long").as("de_hits"),
+          when(en >= es && en >= de && en > 0, "en")
+            .when(es >= de && es > 0, "es")
+            .when(de > 0, "de")
+            .otherwise("unknown").as("guessed"))
+        .orderBy($"doc_id")
+    }),
+
+    // Quality scoring: length/uniqueness/stopword ratios → score.
+    "q_llm_quality_score" -> ((s, d) => {
+      import s.implicits._
+      val tk = toks($"text")
+      val nTok = size(tk).cast(DoubleType)
+      val nUniq = size(array_distinct(tk)).cast(DoubleType)
+      val stop = size(array_intersect(tk, array(lit("the"), lit("a")))).cast(DoubleType)
+      val avgTokLen = aggregate(tk, lit(0), (acc, t) => acc + length(t)).cast(DoubleType) / nTok
+      Tables.documents(s, d)
+        .select($"doc_id",
+          size(tk).cast("long").as("n_tokens"),
+          (nUniq / nTok).as("uniq_ratio"),
+          avgTokLen.as("avg_tok_len"),
+          (stop / lit(2.0)).as("stop_cov"),
+          (($"n_chars" / lit(553.0)) * 0.3 + (nUniq / nTok) * 0.5 +
+            (stop / lit(2.0)) * 0.2).as("quality"))
+        .orderBy($"doc_id")
+    }),
+
+    // Token counting: whitespace count + regex-token count (BPE-ish).
+    "q_llm_token_count" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id",
+          size(toks($"text")).cast("long").as("n_ws"),
+          size(regexp_extract_all($"text", lit("[a-z]+"), lit(0))).cast("long").as("n_alpha"),
+          length($"text").cast("long").as("n_chars_m"))
+        .orderBy($"doc_id")
+    }),
+
+    // Document fingerprint: md5 over the sorted distinct token set
+    // (order-insensitive content identity).
+    "q_llm_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id",
+          md5(concat_ws(" ", sort_array(array_distinct(toks($"text"))))).as("fingerprint"),
+          size(array_distinct(toks($"text"))).cast("long").as("n_uniq"))
+        .orderBy($"doc_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_llm_token_stats" ->
+      ("WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents) " +
+       "SELECT term, COUNT(*) AS cnt FROM t GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20"),
+    "q_llm_tfidf" ->
+      ("WITH terms AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents), " +
+       "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term), " +
+       "df AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term), " +
+       "n AS (SELECT COUNT(*) AS n FROM documents) " +
+       "SELECT doc_id, tf.term AS term, tf, " +
+       "round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf " +
+       "FROM tf JOIN df ON tf.term = df.term CROSS JOIN n ORDER BY doc_id, term"),
+    "q_llm_lang_profile" ->
+      ("SELECT lang, COUNT(*) AS n_docs, " +
+       "CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars, " +
+       "COUNT(DISTINCT source) AS nd_sources, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars " +
+       "FROM documents GROUP BY lang ORDER BY lang"),
+    "q_llm_lang_id" ->
+      ("WITH t AS (SELECT doc_id, lang, list_distinct(string_split(lower(text), ' ')) AS tk FROM documents), " +
+       "h AS (SELECT doc_id, lang, " +
+       "len(list_intersect(tk, ['the','a','of','and'])) AS en_hits, " +
+       "len(list_intersect(tk, ['el','la','de','y'])) AS es_hits, " +
+       "len(list_intersect(tk, ['der','die','das','und'])) AS de_hits FROM t) " +
+       "SELECT doc_id, lang, en_hits, es_hits, de_hits, " +
+       "CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en' " +
+       "WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es' " +
+       "WHEN de_hits > 0 THEN 'de' ELSE 'unknown' END AS guessed " +
+       "FROM h ORDER BY doc_id"),
+    "q_llm_quality_score" ->
+      ("WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tk FROM documents), " +
+       "m AS (SELECT doc_id, n_chars, len(tk) AS n_tokens, " +
+       "CAST(len(list_distinct(tk)) AS DOUBLE) AS n_uniq, CAST(len(tk) AS DOUBLE) AS n_tok, " +
+       "CAST(len(list_intersect(tk, ['the','a'])) AS DOUBLE) AS stop, " +
+       "CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk) AS avg_tok_len FROM t) " +
+       "SELECT doc_id, n_tokens, n_uniq / n_tok AS uniq_ratio, avg_tok_len, " +
+       "stop / 2.0 AS stop_cov, " +
+       "(n_chars / 553.0) * 0.3 + (n_uniq / n_tok) * 0.5 + (stop / 2.0) * 0.2 AS quality " +
+       "FROM m ORDER BY doc_id"),
+    "q_llm_token_count" ->
+      ("SELECT doc_id, len(string_split(text, ' ')) AS n_ws, " +
+       "len(regexp_extract_all(text, '[a-z]+')) AS n_alpha, " +
+       "length(text) AS n_chars_m FROM documents ORDER BY doc_id"),
+    "q_llm_fingerprint" ->
+      ("SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint, " +
+       "len(list_distinct(string_split(text, ' '))) AS n_uniq FROM documents ORDER BY doc_id")
+  )
+}

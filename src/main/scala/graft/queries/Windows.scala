@@ -1,0 +1,170 @@
+package graft.queries
+
+import graft.{Determinism, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** SURVEY §2.5 — window functions.
+  *
+  * GPS-motivated: consecutive-fix deltas over speed/heading/time are the
+  * natural computation over the fields the reference carries
+  * (main.go:105-106) but never computes on. Every window ORDER BY ends
+  * in a unique tiebreaker (event_id / orderkey) so frame contents are
+  * deterministic across engines; moving sums go through DECIMAL so
+  * sliding-frame summation order can't produce float drift.
+  */
+object Windows {
+  import Determinism._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_win_rownum" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+      Tables.events(s, d)
+        .withColumn("ts_ms", tsMs($"ts"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .select($"user_id", $"event_id", $"ts_ms", $"rn")
+        .orderBy($"user_id", $"event_id")
+    }),
+
+    // rank/dense_rank over a tieful ordering (deterministic ranks);
+    // ntile over a tie-broken unique ordering (bucket assignment is
+    // order-sensitive, so the spec must be total).
+    "q_win_rank" -> ((s, d) => {
+      import s.implicits._
+      val wTies = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice".desc)
+      val wUniq = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      Tables.orders(s, d)
+        .select(
+          $"o_orderkey", $"o_orderpriority", $"o_totalprice",
+          rank().over(wTies).cast("long").as("rnk"),
+          dense_rank().over(wTies).cast("long").as("drnk"),
+          ntile(4).over(wUniq).cast("long").as("quartile"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // Per-device delta between consecutive fixes: Δvalue and Δt-ms.
+    "q_win_lag_delta" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+      Tables.events(s, d)
+        .withColumn("ts_ms", tsMs($"ts"))
+        .select(
+          $"user_id", $"event_id", $"ts_ms", $"value",
+          lag($"value", 1).over(w).as("prev_value"),
+          ($"value" - lag($"value", 1).over(w)).as("delta_value"),
+          (msEpoch($"ts") - lag(msEpoch($"ts"), 1).over(w)).as("delta_ms"),
+          lead($"event_id", 1).over(w).as("next_event_id"))
+        .orderBy($"user_id", $"event_id")
+    }),
+
+    // Moving aggregate, ROWS BETWEEN 3 PRECEDING AND CURRENT ROW.
+    // Sum in decimal (order-safe); avg derived as sum/cnt outside.
+    "q_win_moving_rows" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+        .rowsBetween(-3, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("ts_ms", tsMs($"ts"))
+        .select(
+          $"user_id", $"event_id", $"ts_ms", $"value",
+          sum(dec($"value")).over(w).cast(DoubleType).as("mov_sum"),
+          count(lit(1)).over(w).as("mov_n"))
+        .withColumn("mov_avg", $"mov_sum" / $"mov_n")
+        .orderBy($"user_id", $"event_id")
+    }),
+
+    // RANGE frame: running sum up to and including the current ts
+    // (peers share the frame → value is a set-sum, decimal-exact).
+    "q_win_range_frame" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_ms")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("ts_ms", tsMs($"ts"))
+        .select(
+          $"user_id", $"event_id", $"ts_ms",
+          sum(dec($"value")).over(w).cast(DoubleType).as("running_sum"))
+        .orderBy($"user_id", $"event_id")
+    }),
+
+    // first/last over an explicit frame.
+    "q_win_firstlast" -> ((s, d) => {
+      import s.implicits._
+      val wAll = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .withColumn("ts_ms", tsMs($"ts"))
+        .select(
+          $"user_id", $"event_id", $"ts_ms",
+          first($"value").over(wAll).as("first_value_all"),
+          last($"value").over(wAll).as("last_value_all"))
+        .orderBy($"user_id", $"event_id")
+    }),
+
+    // Top-k per group (k=3 orders by price per priority).
+    "q_topk_pergroup" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= 3)
+        .select($"o_orderpriority", $"rn", $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_orderpriority", $"rn")
+    })
+  )
+
+  private val eCte =
+    "WITH e AS (SELECT event_id, user_id, value, date_trunc('milliseconds', ts) AS ts_ms, " +
+    "epoch_ms(date_trunc('milliseconds', ts)) AS ms FROM events) "
+
+  val oracle: Map[String, String] = Map(
+    "q_win_rownum" ->
+      (eCte + "SELECT user_id, event_id, ts_ms, " +
+       "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS rn " +
+       "FROM e ORDER BY user_id, event_id"),
+    "q_win_rank" ->
+      ("SELECT o_orderkey, o_orderpriority, o_totalprice, " +
+       "RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk, " +
+       "DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS drnk, " +
+       "NTILE(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS quartile " +
+       "FROM orders ORDER BY o_orderkey"),
+    "q_win_lag_delta" ->
+      (eCte + "SELECT user_id, event_id, ts_ms, value, " +
+       "LAG(value, 1) OVER w AS prev_value, " +
+       "value - LAG(value, 1) OVER w AS delta_value, " +
+       "ms - LAG(ms, 1) OVER w AS delta_ms, " +
+       "LEAD(event_id, 1) OVER w AS next_event_id " +
+       "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id) " +
+       "ORDER BY user_id, event_id"),
+    "q_win_moving_rows" ->
+      (eCte + "SELECT user_id, event_id, ts_ms, value, mov_sum, mov_n, mov_sum / mov_n AS mov_avg FROM (" +
+       "SELECT user_id, event_id, ts_ms, value, " +
+       "CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS mov_sum, " +
+       "COUNT(*) OVER w AS mov_n " +
+       "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) " +
+       "ORDER BY user_id, event_id"),
+    "q_win_range_frame" ->
+      (eCte + "SELECT user_id, event_id, ts_ms, " +
+       "CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER " +
+       "(PARTITION BY user_id ORDER BY ts_ms RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum " +
+       "FROM e ORDER BY user_id, event_id"),
+    "q_win_firstlast" ->
+      (eCte + "SELECT user_id, event_id, ts_ms, " +
+       "FIRST_VALUE(value) OVER w AS first_value_all, " +
+       "LAST_VALUE(value) OVER w AS last_value_all " +
+       "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+       "ORDER BY user_id, event_id"),
+    "q_topk_pergroup" ->
+      ("SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (" +
+       "SELECT o_orderpriority, o_orderkey, o_totalprice, " +
+       "ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn " +
+       "FROM orders) WHERE rn <= 3 ORDER BY o_orderpriority, rn")
+  )
+}
