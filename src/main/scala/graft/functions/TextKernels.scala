@@ -1,0 +1,114 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused text kernels for the dedup pipeline (SURVEY §7.3 ladder,
+  * promoted on BENCH evidence: the interpreted HOF composition
+  * `array_distinct(transform(sequence(...), element_at(...)))` cost
+  * ~5 s per evaluation over 5k docs at sf0.1, and the 16-way
+  * `array_min(transform(shingles, md5...))` signature stack another
+  * ~7 s; one pass of flat Java per row replaces both).
+  *
+  * Semantics stay oracle-reproducible: shingles are the distinct word
+  * trigrams of the single-space tokenization (set semantics — no
+  * downstream op observes order), and minhash values are unsigned
+  * 32-bit big-endian slices of md5(shingle + "#" + j), j = slot/4,
+  * slice = slot%4 — spelled identically in the DuckDB twin via
+  * `('0x' || substr(md5(sh || '#j'), 1+8k, 8))::BIGINT`.
+  */
+case class TriShingles(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "tri_shingles"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (toks.length < 3) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= toks.length - 3) {
+      seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TriShingles =
+    copy(child = newChild)
+}
+
+/** 16 MinHash values of a shingle set: slot s = min over shingles of
+  * the (s%4)-th unsigned 32-bit big-endian word of md5(sh + "#" + s/4). */
+case class MinHashSig(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill[Long](16)(Long.MaxValue)
+    val md = MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      val sh = arr.getUTF8String(i).toString
+      var j = 0
+      while (j < 4) {
+        md.reset()
+        val digest = md.digest((sh + "#" + j).getBytes("UTF-8"))
+        var k = 0
+        while (k < 4) {
+          val v = ((digest(4 * k) & 0xffL) << 24) |
+            ((digest(4 * k + 1) & 0xffL) << 16) |
+            ((digest(4 * k + 2) & 0xffL) << 8) |
+            (digest(4 * k + 3) & 0xffL)
+          val slot = 4 * j + k
+          if (v < mins(slot)) mins(slot) = v
+          k += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object TextKernels {
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "tri_shingles", exprs => TriShingles(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSig(exprs.head), "built-in")
+  }
+
+  def triShingles(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("tri_shingles", text)
+  }
+
+  def minhashSig(spark: SparkSession, shingles: Column): Column = {
+    register(spark)
+    call_function("minhash_sig", shingles)
+  }
+}

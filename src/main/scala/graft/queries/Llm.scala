@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.{TextKernels, VecOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -47,10 +48,15 @@ object Llm {
   }
 
   /** doc_id, shingles for docs with at least one shingle. */
+  def shingledPub(s: SparkSession, d: String): DataFrame = shingled(s, d)
+
   private def shingled(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // Fused kernel (graft.functions.TriShingles): one Java pass per doc
+    // vs the interpreted HOF composition in shingles3 (kept above as
+    // the reference spelling; ShingleSpec asserts they agree).
     Tables.documents(s, d)
-      .select($"doc_id", shingles3($"text").as("shingles"))
+      .select($"doc_id", TextKernels.triShingles(s, $"text").as("shingles"))
       .filter(size($"shingles") > 0)
   }
 
@@ -93,9 +99,10 @@ object Llm {
     "q_llm_minhash_neardup" -> ((s, d) => {
       import s.implicits._
       val sh = shingled(s, d).cache()
-      val sigs = sh.select(
-        ($"doc_id" +: (0 until 16).map(i =>
-          array_min(transform($"shingles", x => h32(x, i))).as(s"s$i"))): _*)
+      val sigs = sh
+        .select($"doc_id", TextKernels.minhashSig(s, $"shingles").as("sig"))
+        .select(
+          ($"doc_id" +: (0 until 16).map(i => element_at($"sig", i + 1).as(s"s$i"))): _*)
       val bands = sigs.select($"doc_id", explode(array((0 until 4).map(b =>
         concat_ws("_", lit(b.toString),
           col(s"s${4 * b}").cast(StringType), col(s"s${4 * b + 1}").cast(StringType),
@@ -115,19 +122,20 @@ object Llm {
         .orderBy($"doc_a", $"doc_b")
     }),
 
-    // n-gram Jaccard near-dup: candidates = pairs sharing any shingle.
+    // n-gram Jaccard near-dup: the shingle-share join already yields
+    // the intersection size (shingle lists are distinct), so |A∩B| is a
+    // count in the same shuffle — no second array_intersect pass.
     "q_llm_ngram_jaccard" -> ((s, d) => {
       import s.implicits._
-      val sh = shingled(s, d).cache()
+      val sh = shingled(s, d)
+      val sizes = sh.select($"doc_id", size($"shingles").as("n_sh"))
       val ex = sh.select($"doc_id", explode($"shingles").as("sh"))
-      val cand = ex.as("a").join(ex.as("b"),
-          $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
-      cand
-        .join(sh.select($"doc_id".as("doc_a"), $"shingles".as("sh_a")), "doc_a")
-        .join(sh.select($"doc_id".as("doc_b"), $"shingles".as("sh_b")), "doc_b")
-        .withColumn("n_int", size(array_intersect($"sh_a", $"sh_b")).cast(DoubleType))
-        .withColumn("jaccard", $"n_int" / (size($"sh_a") + size($"sh_b") - $"n_int"))
+      ex.as("a").join(ex.as("b"), $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .agg(count(lit(1)).as("n_int"))
+        .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("na")), "doc_a")
+        .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("nb")), "doc_b")
+        .withColumn("jaccard", $"n_int".cast(DoubleType) / ($"na" + $"nb" - $"n_int"))
         .filter($"jaccard" >= 0.2)
         .select($"doc_a", $"doc_b", round($"jaccard", 6).as("jaccard"))
         .orderBy($"doc_a", $"doc_b")
@@ -149,24 +157,31 @@ object Llm {
     }),
 
     // Brute-force cosine top-k of a fixed query vector (vec_id 0).
+    // Fused codegen dot kernel + per-vector norm precompute — same
+    // left-fold double arithmetic as the aggregate/zip_with composition.
     "q_llm_knn_cosine" -> ((s, d) => {
       import s.implicits._
-      val e = Tables.embeddings(s, d)
-      val q = e.filter($"vec_id" === 0L).select($"embedding".as("qv"))
+      val e = Tables.embeddings(s, d).select($"vec_id", $"label", $"embedding",
+        VecOps.norm(s, $"embedding").as("nrm"))
+      val q = e.filter($"vec_id" === 0L).select($"embedding".as("qv"), $"nrm".as("qn"))
       e.filter($"vec_id" =!= 0L)
         .crossJoin(broadcast(q))
-        .select($"vec_id", $"label", round(cosine($"embedding", $"qv"), 6).as("cs"))
+        .select($"vec_id", $"label",
+          round(VecOps.dot(s, $"embedding", $"qv") / ($"nrm" * $"qn"), 6).as("cs"))
         .orderBy($"cs".desc, $"vec_id".asc)
         .limit(10)
     }),
 
-    // Embedding-cosine near-dup pairs above threshold.
+    // Embedding-cosine near-dup pairs above threshold. Norms are
+    // computed once per vector (2k rows), not per pair (2M pairs); the
+    // pair loop is one fused codegen dot per pair.
     "q_llm_embed_neardup" -> ((s, d) => {
       import s.implicits._
-      val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+      val e = Tables.embeddings(s, d).select($"vec_id", $"embedding",
+        VecOps.norm(s, $"embedding").as("nrm"))
       e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
         .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
-          round(cosine($"a.embedding", $"b.embedding"), 6).as("cs"))
+          round(VecOps.dot(s, $"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm"), 6).as("cs"))
         .filter($"cs" >= 0.35)
         .orderBy($"vec_a", $"vec_b")
     }),
@@ -174,10 +189,11 @@ object Llm {
     // Embedding-quality check: avg intra-label vs inter-label cosine.
     "q_llm_pairwise_label_sim" -> ((s, d) => {
       import s.implicits._
-      val e = Tables.embeddings(s, d).select($"vec_id", $"label", $"embedding")
+      val e = Tables.embeddings(s, d).select($"vec_id", $"label", $"embedding",
+        VecOps.norm(s, $"embedding").as("nrm"))
       e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
         .select(($"a.label" === $"b.label").as("same_label"),
-          cosine($"a.embedding", $"b.embedding").as("cs"))
+          (VecOps.dot(s, $"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm")).as("cs"))
         .groupBy($"same_label")
         .agg(
           count(lit(1)).as("n_pairs"),
@@ -189,12 +205,9 @@ object Llm {
     // vector-derived predicate.
     "q_llm_multimodal_join" -> ((s, d) => {
       import s.implicits._
-      def dots(c: Column) = aggregate(
-        zip_with(c, c, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
-        lit(0.0), (acc, v) => acc + v)
       Tables.documents(s, d).filter($"lang" === "en")
         .join(Tables.embeddings(s, d), $"doc_id" === $"vec_id")
-        .withColumn("norm", round(sqrt(dots($"embedding")), 6))
+        .withColumn("norm", round(VecOps.norm(s, $"embedding"), 6))
         .filter($"norm" > 0.5)
         .select($"doc_id", $"source", $"n_chars", $"label", $"norm")
         .orderBy($"doc_id")
@@ -233,8 +246,11 @@ object Llm {
     "q_llm_minhash_neardup" ->
       (shCte +
        ", sig AS (SELECT doc_id, shingles, " +
-       (0 until 16).map(i =>
-         s"list_min(list_transform(shingles, x -> ${sqlH32("x", i)})) AS s$i").mkString(", ") +
+       (0 until 16).map { i =>
+         val j = i / 4; val k = i % 4
+         s"list_min(list_transform(shingles, x -> " +
+         s"CAST(('0x' || substr(md5(x || '#$j'), ${1 + 8 * k}, 8)) AS BIGINT))) AS s$i"
+       }.mkString(", ") +
        " FROM sh), " +
        "bands AS (SELECT doc_id, unnest([" +
        (0 until 4).map(b =>
