@@ -46,8 +46,11 @@ object StreamTwins {
     }),
 
     // Session windows (30 min gap) per user via lag+cumsum — the
-    // portable twin of streaming session_window (SessionSpec asserts
-    // the streaming operator agrees on the same input).
+    // portable twin of streaming session_window (SessionTwinSpec asserts
+    // the streaming operator agrees on the same input, including the
+    // exactly-at-gap edge: session_window windows are [ts, ts+gap) and
+    // merge on touching boundaries, so a new session needs delta > gap
+    // STRICTLY).
     "q_stream_session_twin" -> ((s, d) => {
       import s.implicits._
       val wOrd = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")

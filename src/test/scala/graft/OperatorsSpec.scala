@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.{AnnLsh, Multimodal}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Engine-only operators: LSH-ANN recall vs brute force, multimodal
+  * binary plumbing with the stubbed decoder. */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  val sf = TestSpark.sf
+
+  test("AnnLsh: deterministic, candidates ≪ N, recall@10 ≥ 0.5 vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val brute = AnnLsh.bruteTopK(spark, emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val approx1 = AnnLsh.topK(spark, emb, 0L, 10).collect().map(_.getLong(0)).toSeq
+    val approx2 = AnnLsh.topK(spark, emb, 0L, 10).collect().map(_.getLong(0)).toSeq
+    assert(approx1 == approx2) // hash-derived hyperplanes → fully deterministic
+    val recall = approx1.toSet.intersect(brute).size / 10.0
+    assert(recall >= 0.5, s"recall@10 = $recall")
+    // the candidate set actually prunes: fewer candidates than 80% of N
+    val cands = AnnLsh.bucketize(spark, emb, 16, 6)
+      .filter($"vec_id" =!= 0L)
+      .join(AnnLsh.bucketize(spark, emb, 16, 6).filter($"vec_id" === 0L)
+        .select($"t".as("qt"), $"bucket".as("qbucket")),
+        $"t" === $"qt" && $"bucket" === $"qbucket")
+      .select("vec_id").distinct().count()
+    assert(cands < n * 0.8, s"candidates $cands of $n")
+  }
+
+  test("Multimodal: binary payload → stub features, schema and shapes hold") {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf))
+    assert(media.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Multimodal.mediaSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val feats = Multimodal.extractFeatures(spark, media)
+    val rows = feats.collect()
+    assert(rows.length == media.count())
+    rows.foreach { f =>
+      assert(f.features.length == 16)
+      assert(math.abs(f.features.sum - 1.0f) < 1e-3) // L1-normalized histogram
+      assert(f.n_bytes > 0)
+    }
+    // deterministic: same payload → same features
+    val f2 = Multimodal.extractFeatures(spark, media).collect()
+    assert(rows.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
+  }
+
+  test("Multimodal: resize and frame-sample stubs keep the binary contract") {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf).limit(30))
+    val resized = Multimodal.resizeStub(spark, media, 16)
+    resized.as[Multimodal.MediaRow].collect().foreach(r => assert(r.payload.length <= 16))
+    val frames = Multimodal.frameSampleStub(spark, media, 10)
+    val kinds = frames.select("kind").distinct().collect().map(_.getString(0)).toSeq
+    assert(kinds == Seq("video"))
+  }
+
+  test("Multimodal join pairs features with embeddings by id") {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf))
+    val feats = Multimodal.extractFeatures(spark, media).toDF()
+    val joined = Multimodal.joinWithEmbeddings(feats, Tables.embeddings(spark, sf))
+    assert(joined.count() > 0)
+    assert(joined.columns.toSet ==
+      Set("media_id", "kind", "n_bytes", "features", "label"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.VecOps
+import graft.queries.Scalars
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+import org.scalacheck.Prop.propBoolean
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck properties (SURVEY §5.2 item 4), driven through the real
+  * Catalyst expressions (not Scala reimplementations). */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def check(p: Prop): Unit = {
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(30), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  val latGen: Gen[Double] = Gen.choose(-89.0, 89.0)
+  val lonGen: Gen[Double] = Gen.choose(-179.0, 179.0)
+
+  test("haversine: symmetric, non-negative, bounded by half circumference") {
+    check(Prop.forAll(latGen, lonGen, latGen, lonGen) { (la1, lo1, la2, lo2) =>
+      val Array(d12, d21) = Seq((la1, lo1, la2, lo2), (la2, lo2, la1, lo1)).toDF("a", "b", "c", "d")
+        .select(Scalars.haversineKm(col("a"), col("b"), col("c"), col("d")))
+        .collect().map(_.getDouble(0))
+      d12 >= 0.0 && d12 <= 20040.0 && math.abs(d12 - d21) < 1e-6
+    })
+  }
+
+  test("cosine similarity ∈ [-1-ε, 1+ε] on random float vectors") {
+    val vecGen = Gen.listOfN(16, Gen.choose(-1.0f, 1.0f)).suchThat(_.exists(_ != 0f))
+    check(Prop.forAll(vecGen, vecGen) { (a, b) =>
+      val cs = Seq((a.toArray, b.toArray)).toDF("a", "b")
+        .select((VecOps.dot(spark, $"a", $"b") /
+          (VecOps.norm(spark, $"a") * VecOps.norm(spark, $"b"))).as("cs"))
+        .collect().head.getDouble(0)
+      cs >= -1.0000001 && cs <= 1.0000001
+    })
+  }
+
+  test("dedup idempotence: dropDuplicates twice == once") {
+    check(Prop.forAll(Gen.listOfN(60, Gen.choose(0, 10))) { xs =>
+      val df = xs.toDF("x")
+      val once = df.dropDuplicates("x")
+      once.count() == once.dropDuplicates("x").count() &&
+        once.count() == xs.distinct.size.toLong
+    })
+  }
+
+  test("union-all count additivity") {
+    check(Prop.forAll(Gen.listOf(Gen.choose(0, 100)), Gen.listOf(Gen.choose(0, 100))) {
+      (a, b) =>
+        (a.nonEmpty && b.nonEmpty) ==> {
+          val (da, db) = (a.toDF("x"), b.toDF("x"))
+          da.unionByName(db).count() == a.size.toLong + b.size.toLong
+        }
+    })
+  }
+
+  test("lag is the inverse of lead under order reversal") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 50).map(i => (i, i * 2.0)).toDF("id", "v")
+    val asc = Window.orderBy($"id".asc)
+    val desc = Window.orderBy($"id".desc)
+    val bad = df.select(
+      lag($"v", 1).over(asc).as("lag_asc"),
+      lead($"v", 1).over(desc).as("lead_desc"), $"id")
+      .collect().count(r => r.get(0) != r.get(1))
+    assert(bad == 0)
+  }
+}

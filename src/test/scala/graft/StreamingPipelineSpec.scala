@@ -1,0 +1,120 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.Pipeline
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming semantics over MemoryStream (SURVEY §5.2 item 5):
+  * envelope build, CDC apply, watermark late-drop, streaming dedup,
+  * and the foreachBatch sink boundary. */
+class StreamingPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  implicit def sqlCtx = spark.sqlContext
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  val ingress: String =
+    """{"device_id":"dev-1","location":{"timestamp":"2026-02-06T12:00:00Z",
+      |"coords":{"latitude":1.0,"longitude":2.0,"accuracy":3.0,
+      |"speed":4.0,"heading":5.0,"altitude":6.0}}}""".stripMargin.replace("\n", "")
+
+  test("ingress → envelope runs as a streaming query into a memory sink") {
+    val in = MemoryStream[(String, String)]
+    val q = Pipeline.ingressToEnvelope(in.toDF.toDF("json", "addr"))
+      .writeStream.format("memory").queryName("env_out").outputMode("append").start()
+    in.addData((ingress, "10.0.0.1:1"), ("{bad", "10.0.0.2:2"))
+    q.processAllAvailable()
+    val rows = spark.table("env_out").collect()
+    q.stop()
+    assert(rows.length == 1) // malformed dropped
+    assert(rows.head.getAs[String]("key") == "address-10.0.0.1:1")
+    assert(rows.head.getAs[String]("value").contains(""""deviceId":"dev-1""""))
+  }
+
+  test("CDC stream → location_instances via foreachBatch RowSink") {
+    val dbz =
+      """{"payload":{"after":{"id":"T1","latitude":1.5,"longitude":2.5},"op":"c"}}"""
+    val in = MemoryStream[String]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val sink = new Pipeline.RowSink {
+      override def write(batch: DataFrame, batchId: Long): Unit =
+        batch.collect().foreach(r => seen.add(r.mkString("|")))
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val q = Pipeline.start(
+      Pipeline.cdcToLocationInstances(in.toDF.toDF("value")), sink, ckpt,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    in.addData(dbz)
+    q.awaitTermination()
+    assert(seen.size() == 1)
+    assert(seen.peek() == "T1|POINT(2.500000 1.500000)|1.5|2.5")
+  }
+
+  test("watermark drops events later than the horizon") {
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val stats = Pipeline.windowedDeviceStats(
+      in.toDF.toDF("ts", "deviceId", "speed"), "10 minutes", "5 minutes")
+    val q = stats.writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    // batch 1: window [00:00,00:10) gets 2 events; a later event pushes
+    // the watermark past that window's end
+    in.addData(
+      (ts("2024-01-01 00:01:00"), "d1", 10.0),
+      (ts("2024-01-01 00:02:00"), "d1", 20.0),
+      (ts("2024-01-01 01:00:00"), "d1", 1.0))
+    q.processAllAvailable()
+    // batch 2: a very late event for the closed window — must be dropped
+    in.addData((ts("2024-01-01 00:03:00"), "d1", 99.0))
+    q.processAllAvailable()
+    in.addData((ts("2024-01-01 02:00:00"), "d1", 2.0)) // advances watermark again
+    q.processAllAvailable()
+    val rows = spark.table("wm_out").collect()
+      .map(r => (r.getAs[Timestamp]("wstart").toString, r.getAs[Long]("n_fixes"),
+        r.getAs[Double]("max_speed")))
+    q.stop()
+    val first = rows.find(_._1.startsWith("2024-01-01 00:00"))
+    assert(first.contains(("2024-01-01 00:00:00.0", 2L, 20.0))) // late 99.0 NOT included
+  }
+
+  test("dropDuplicatesWithinWatermark dedups by natural key") {
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val fixes = in.toDF.toDF("ts", "id", "speed")
+    val q = Pipeline.dedupFixes(fixes, "10 minutes")
+      .writeStream.format("memory").queryName("dd_out").outputMode("append").start()
+    in.addData(
+      (ts("2024-01-01 00:00:01"), "A", 1.0),
+      (ts("2024-01-01 00:00:02"), "A", 2.0), // dup key in same batch
+      (ts("2024-01-01 00:00:03"), "B", 3.0))
+    q.processAllAvailable()
+    in.addData((ts("2024-01-01 00:00:04"), "A", 4.0)) // dup key, later batch
+    q.processAllAvailable()
+    val n = spark.table("dd_out").count()
+    q.stop()
+    assert(n == 2) // A once, B once
+  }
+
+  test("exactly-once: restart from checkpoint does not re-deliver") {
+    val dbz = (i: Int) =>
+      s"""{"payload":{"after":{"id":"E$i","latitude":1.0,"longitude":2.0},"op":"c"}}"""
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val sink = new Pipeline.RowSink {
+      override def write(batch: DataFrame, batchId: Long): Unit =
+        batch.collect().foreach(r => seen.add(r.getString(0)))
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt2").toString
+    val in = MemoryStream[String]
+    in.addData(dbz(1), dbz(2))
+    val q1 = Pipeline.start(Pipeline.cdcToLocationInstances(in.toDF.toDF("value")), sink, ckpt)
+    q1.awaitTermination()
+    assert(seen.size() == 2)
+    // second start on the same checkpoint with no new data → nothing re-sent
+    val q2 = Pipeline.start(Pipeline.cdcToLocationInstances(in.toDF.toDF("value")), sink, ckpt)
+    q2.awaitTermination()
+    assert(seen.size() == 2)
+  }
+}
