@@ -121,6 +121,19 @@ object Aggregations {
         .orderBy($"l_orderkey")
     }),
 
+    // HLL approximate distinct — engine-only (approx result is not
+    // hash-stable vs DuckDB; accuracy is unit-tested vs exact in
+    // KernelSpec). Driver records a rows-only check (no oracle twin).
+    "q_agg_approx_distinct" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          approx_count_distinct($"l_partkey", 0.05).as("approx_nd_part"),
+          approx_count_distinct($"l_suppkey", 0.05).as("approx_nd_supp"))
+        .orderBy($"l_returnflag")
+    }),
+
     // collect_list / collect_set, deterministically sorted.
     "q_agg_collect" -> ((s, d) => {
       import s.implicits._

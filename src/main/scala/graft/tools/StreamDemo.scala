@@ -63,6 +63,21 @@ object StreamDemo {
     val q2 = Pipeline.start(Pipeline.cdcToLocationInstances(cdc.toDF.toDF("value")), sink, ckpt)
     q2.awaitTermination()
     println(s"DEMO exactly-once: rows after restart = ${spark.read.parquet(outDir).count()}")
+
+    // stateful per-key latest-fix store across micro-batches
+    import graft.streaming.LastFixStore
+    import graft.streaming.LastFixStore.Fix
+    val fixes = MemoryStream[Fix]
+    val lfsQ = LastFixStore(spark, fixes.toDS())
+      .writeStream.format("memory").queryName("demo_lfs").outputMode("append").start()
+    fixes.addData(Fix("dev-1", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 35.0, 51.0))
+    lfsQ.processAllAvailable()
+    fixes.addData(
+      Fix("dev-1", java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), 35.5, 51.5),
+      Fix("dev-1", java.sql.Timestamp.valueOf("2023-12-31 23:00:00"), 0.0, 0.0)) // stale
+    lfsQ.processAllAvailable(); lfsQ.stop()
+    println("DEMO stateful last-fix store (stale fix must not appear):")
+    spark.table("demo_lfs").orderBy("nFixes").show(truncate = false)
     spark.stop()
   }
 }
