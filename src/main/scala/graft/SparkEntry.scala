@@ -52,7 +52,8 @@ object SparkEntry {
       (Scalars.queries, Scalars.oracle),
       (StreamTwins.queries, StreamTwins.oracle),
       (Llm.queries, Llm.oracle),
-      (TextAnalysis.queries, TextAnalysis.oracle))
+      (TextAnalysis.queries, TextAnalysis.oracle),
+      (SqlSurface.queries, SqlSurface.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

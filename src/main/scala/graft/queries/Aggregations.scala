@@ -121,6 +121,16 @@ object Aggregations {
         .orderBy($"l_orderkey")
     }),
 
+    // PIVOT: per-returnflag quantities pivoted by linestatus.
+    "q_agg_pivot" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sumd($"l_quantity"))
+        .orderBy($"l_returnflag")
+    }),
+
     // HLL approximate distinct — engine-only (approx result is not
     // hash-stable vs DuckDB; accuracy is unit-tested vs exact in
     // KernelSpec). Driver records a rows-only check (no oracle twin).
@@ -175,6 +185,11 @@ object Aggregations {
     "q_agg_count_distinct" ->
       ("SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part, " +
        "COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS n_rows " +
+       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_agg_pivot" ->
+      ("SELECT l_returnflag, " +
+       "CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS \"F\", " +
+       "CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS \"O\" " +
        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_agg_rollup" -> gsSql("ROLLUP (l_returnflag, l_linestatus)"),
     "q_agg_cube" -> gsSql("CUBE (l_returnflag, l_linestatus)"),

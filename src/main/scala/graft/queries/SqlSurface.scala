@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL-text surface: the engine accepts ANSI SQL over registered views
+  * (CTEs, scalar subqueries, multi-join aggregates). These queries run
+  * the LITERAL oracle string through spark.sql — the two dialects
+  * overlap on this surface, so the twin is the same text, which also
+  * pins Spark's subquery decorrelation rules (SURVEY §4.2 row 7).
+  */
+object SqlSurface {
+
+  private def registerAll(s: SparkSession, d: String): Unit =
+    Tables.names.foreach(n => Tables.t(s, d, n).createOrReplaceTempView(n))
+
+  /** TPC-H Q5-shaped revenue by nation (decimal-exact, region filter). */
+  val revenueByNationSql: String =
+    "SELECT n_name, " +
+    "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue, " +
+    "COUNT(*) AS n_items " +
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+    "JOIN customer ON o_custkey = c_custkey " +
+    "JOIN nation ON c_nationkey = n_nationkey " +
+    "JOIN region ON n_regionkey = r_regionkey " +
+    "WHERE r_name = 'ASIA' " +
+    "GROUP BY n_name ORDER BY revenue DESC, n_name"
+
+  /** CTE + scalar subquery (decorrelation surface). */
+  val cteSubquerySql: String =
+    "WITH big AS (SELECT o_custkey, COUNT(*) AS n_big FROM orders " +
+    "WHERE o_totalprice > 100000.0 GROUP BY o_custkey) " +
+    "SELECT c_custkey, c_name, n_big FROM customer JOIN big ON c_custkey = o_custkey " +
+    "WHERE n_big > (SELECT AVG(n_big) FROM big) " +
+    "ORDER BY c_custkey"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_revenue_by_nation" -> ((s, d) => {
+      registerAll(s, d); s.sql(revenueByNationSql)
+    }),
+    "q_sql_cte_subquery" -> ((s, d) => {
+      registerAll(s, d); s.sql(cteSubquerySql)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sql_revenue_by_nation" -> revenueByNationSql,
+    "q_sql_cte_subquery" -> cteSubquerySql
+  )
+}

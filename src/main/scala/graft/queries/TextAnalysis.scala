@@ -108,6 +108,21 @@ object TextAnalysis {
         .orderBy($"doc_id")
     }),
 
+    // Edit-distance near-dup over part names, blocked by (brand, type)
+    // — the blocking join is the scale pattern: candidate pairs only
+    // within blocks, never the full cross product.
+    "q_llm_edit_distance" -> ((s, d) => {
+      import s.implicits._
+      val p = Tables.part(s, d).select($"p_partkey", $"p_brand", $"p_type", $"p_name")
+      p.as("a").join(p.as("b"),
+          $"a.p_brand" === $"b.p_brand" && $"a.p_type" === $"b.p_type" &&
+          $"a.p_partkey" < $"b.p_partkey")
+        .withColumn("lev", levenshtein($"a.p_name", $"b.p_name").cast("long"))
+        .filter($"lev" <= 3)
+        .select($"a.p_partkey".as("part_a"), $"b.p_partkey".as("part_b"), $"lev")
+        .orderBy($"part_a", $"part_b")
+    }),
+
     // Document fingerprint: md5 over the sorted distinct token set
     // (order-insensitive content identity).
     "q_llm_fingerprint" -> ((s, d) => {
@@ -162,6 +177,12 @@ object TextAnalysis {
       ("SELECT doc_id, len(string_split(text, ' ')) AS n_ws, " +
        "len(regexp_extract_all(text, '[a-z]+')) AS n_alpha, " +
        "length(text) AS n_chars_m FROM documents ORDER BY doc_id"),
+    "q_llm_edit_distance" ->
+      ("SELECT a.p_partkey AS part_a, b.p_partkey AS part_b, " +
+       "levenshtein(a.p_name, b.p_name) AS lev " +
+       "FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_type = b.p_type " +
+       "AND a.p_partkey < b.p_partkey " +
+       "WHERE levenshtein(a.p_name, b.p_name) <= 3 ORDER BY part_a, part_b"),
     "q_llm_fingerprint" ->
       ("SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint, " +
        "len(list_distinct(string_split(text, ' '))) AS n_uniq FROM documents ORDER BY doc_id")

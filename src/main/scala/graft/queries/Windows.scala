@@ -47,6 +47,23 @@ object Windows {
         .orderBy($"o_orderkey")
     }),
 
+    // percent_rank / cume_dist over a tieful ordering (values are
+    // rank-derived → deterministic); nth_value needs a total ordering.
+    "q_win_pctrank" -> ((s, d) => {
+      import s.implicits._
+      val wTies = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice".desc)
+      val wUniq = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(
+          $"o_orderkey", $"o_orderpriority", $"o_totalprice",
+          percent_rank().over(wTies).as("pct_rnk"),
+          cume_dist().over(wTies).as("cdist"),
+          nth_value($"o_totalprice", 2).over(wUniq).as("second_price"))
+        .orderBy($"o_orderkey")
+    }),
+
     // Per-device delta between consecutive fixes: Δvalue and Δt-ms.
     "q_win_lag_delta" -> ((s, d) => {
       import s.implicits._
@@ -134,6 +151,14 @@ object Windows {
        "DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS drnk, " +
        "NTILE(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS quartile " +
        "FROM orders ORDER BY o_orderkey"),
+    "q_win_pctrank" ->
+      ("SELECT o_orderkey, o_orderpriority, o_totalprice, " +
+       "PERCENT_RANK() OVER wt AS pct_rnk, CUME_DIST() OVER wt AS cdist, " +
+       "NTH_VALUE(o_totalprice, 2) OVER (PARTITION BY o_orderpriority " +
+       "ORDER BY o_totalprice DESC, o_orderkey ASC " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price " +
+       "FROM orders WINDOW wt AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) " +
+       "ORDER BY o_orderkey"),
     "q_win_lag_delta" ->
       (eCte + "SELECT user_id, event_id, ts_ms, value, " +
        "LAG(value, 1) OVER w AS prev_value, " +
