@@ -121,6 +121,19 @@ object Aggregations {
         .orderBy($"l_orderkey")
     }),
 
+    // Salted two-phase aggregation over a skewed key (events.user_id
+    // has only 150 distinct values — exactly the hot-key shape that
+    // overloads one reducer at 100 TB). Decimal sums make the rewrite
+    // bit-identical to the plain groupBy, so the oracle IS the plain
+    // group-by: the skew mitigation is verified semantics-preserving.
+    "q_agg_salted_skew" -> ((s, d) => {
+      import s.implicits._
+      graft.operators.SaltedAgg.sumCountByKey(
+          Tables.events(s, d), $"user_id", "user_id", $"value",
+          salts = 16, saltSource = Seq($"event_id"))
+        .orderBy($"user_id")
+    }),
+
     // PIVOT: per-returnflag quantities pivoted by linestatus.
     "q_agg_pivot" -> ((s, d) => {
       import s.implicits._
@@ -186,6 +199,9 @@ object Aggregations {
       ("SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part, " +
        "COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS n_rows " +
        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_agg_salted_skew" ->
+      ("SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value, " +
+       "COUNT(*) AS n_rows FROM events GROUP BY user_id ORDER BY user_id"),
     "q_agg_pivot" ->
       ("SELECT l_returnflag, " +
        "CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS \"F\", " +

@@ -153,6 +153,17 @@ object Scalars {
         .orderBy($"vec_id")
     }),
 
+    // Generator/UDTF surface: posexplode with ordinality.
+    "q_fn_posexplode" -> ((s, d) => {
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .filter($"vec_id" < 50)
+        .select($"vec_id", posexplode($"embedding"))
+        .select($"vec_id", ($"pos" + 1).cast("long").as("pos"),
+          $"col".cast(DoubleType).as("val"))
+        .orderBy($"vec_id", $"pos")
+    }),
+
     "q_fn_map" -> ((s, d) => {
       import s.implicits._
       val m = map(
@@ -231,6 +242,10 @@ object Scalars {
        "round(list_sum(list_transform(list_zip(list_transform(embedding, x -> CAST(x AS DOUBLE)), " +
        "list_reverse(list_transform(embedding, x -> CAST(x AS DOUBLE)))), p -> p[1] * p[2])), 6) AS dot_rev " +
        "FROM embeddings ORDER BY vec_id"),
+    "q_fn_posexplode" ->
+      ("SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos, " +
+       "CAST(unnest(embedding) AS DOUBLE) AS val " +
+       "FROM embeddings WHERE vec_id < 50 ORDER BY vec_id, pos"),
     "q_fn_map" ->
       ("SELECT event_id, ['k', 'type'] AS ks, event_type AS type_val, " +
        "json_extract_string(props, '$.k') AS k_val, CAST(2 AS BIGINT) AS n_vals " +
