@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Physical-layout operators for the 100 TB posture (SURVEY §4.3):
+  *
+  *  - partitioned tables (raw GPS by `date(ts)` in production; any
+  *    low-cardinality column here) → partition pruning turns a full
+  *    scan into a directory subset scan;
+  *  - bucketed tables on the join key → co-located sort-merge joins
+  *    with NO shuffle of either side (the shuffle happened once, at
+  *    write time, and is amortized over every subsequent join).
+  *
+  * ScaleLayoutSpec asserts both effects in the physical plan.
+  */
+object Layout {
+
+  /** Write `df` as a parquet table partitioned by `partitionCol`. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
+  /** Write `df` as a bucketed+sorted table on `key` (session catalog;
+    * external data at `path`). Bucket count pins the join parallelism. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two bucketed tables on their bucket keys — with matching
+    * bucket specs Catalyst plans a sort-merge join with zero Exchange
+    * operators. */
+  def coLocatedJoin(spark: SparkSession, left: String, right: String,
+      leftKey: String, rightKey: String): DataFrame =
+    spark.table(left).join(spark.table(right),
+      spark.table(left)(leftKey) === spark.table(right)(rightKey))
+}

@@ -23,6 +23,33 @@ import org.apache.spark.sql.Row
   */
 object Pipeline {
 
+  // ---- Kafka endpoints (production wiring; the connector jar is an
+  // environment concern — tests drive the same stages via MemoryStream)
+
+  /** Kafka source mirroring the reference consumer (main.go:31-51):
+    * subscribe semantics, start-at-latest default, bounded micro-batches
+    * via maxOffsetsPerTrigger (the analog of the reference's 10 MB
+    * MaxBytes fetch cap). */
+  def kafkaSource(spark: SparkSession, servers: String, topic: String,
+      startingOffsets: String = "latest",
+      maxOffsetsPerTrigger: Long = 1000000L): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger.toString)
+      .load()
+      .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+
+  /** Keyed Kafka sink (producer analog, main.go:23-29; partitioner is
+    * broker/client-side — key parity is the semantic contract). */
+  def kafkaSink(keyed: DataFrame, servers: String, topic: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    keyed.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
   // ---- stage A: ingress JSON → keyed Connect envelope (main.go:87-137)
 
   /** `jsonCol`-bearing stream of raw POST bodies (+ an `addr` column
@@ -36,6 +63,27 @@ object Pipeline {
     ok.select(
       Gps.messageKey(col("addr")).as("key"),
       Gps.connectEnvelope(ok).as("value"))
+  }
+
+  /** Dead-letter split: the reference silently drops malformed records
+    * (HTTP 400 / skip-on-error); a 100 TB training-data pipeline wants
+    * them quarantined instead. Returns (ok, deadLetter) — deadLetter
+    * keeps the raw payload plus a reason column for reprocessing. */
+  def ingressWithDeadLetter(raw: DataFrame): (DataFrame, DataFrame) = {
+    // PERMISSIVE from_json yields an all-null struct (not a null) for
+    // malformed input, so JSON validity needs its own probe:
+    // get_json_object(_, '$') is null iff the document doesn't parse.
+    val isValidJson = get_json_object(col("json"), "$").isNotNull
+    val parsed = Gps.parseIngress(col("json"))
+    val tagged = raw.withColumn("_parsed", parsed).withColumn("_valid", isValidJson)
+    val complete = col("_valid") && col("_parsed.location.timestamp").isNotNull
+    val ok = tagged.filter(complete)
+      .select(col("addr") +: Gps.fixColumns(col("_parsed")): _*)
+    val dlq = tagged.filter(!complete)
+      .select(col("json").as("raw"), col("addr"),
+        when(!col("_valid"), "malformed_json")
+          .otherwise("missing_required_fields").as("reason"))
+    (ok, dlq)
   }
 
   // ---- stage C: Debezium CDC → geo-enriched rows (main.go:196-231)

@@ -64,6 +64,16 @@ object StreamDemo {
     q2.awaitTermination()
     println(s"DEMO exactly-once: rows after restart = ${spark.read.parquet(outDir).count()}")
 
+    // dead-letter split on mixed-quality ingress
+    val mixed = Seq(
+      (ingressJson(5), "10.0.0.9:9"),
+      ("{truncated", "10.0.0.9:9"),
+      ("""{"device_id":"dev-x","location":{"coords":{"latitude":1.0}}}""", "10.0.0.9:9"))
+      .toDF("json", "addr")
+    val (okRows, dlqRows) = Pipeline.ingressWithDeadLetter(mixed)
+    println(s"DEMO dead-letter: ok=${okRows.count()} dlq=${dlqRows.count()}")
+    dlqRows.show(3, truncate = 60)
+
     // stateful per-key latest-fix store across micro-batches
     import graft.streaming.LastFixStore
     import graft.streaming.LastFixStore.Fix

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Layout
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The at-scale physical layout patterns must be visible in the plan:
+  * partition pruning reaches the scan, bucketed joins drop the
+  * shuffle entirely. */
+class ScaleLayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("partitioned write + filter → partition pruning in the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Layout.writePartitioned(
+      Tables.events(spark, sf).select(col("event_id"), col("user_id"),
+        col("value"), col("event_type")),
+      dir, "event_type")
+    val df = spark.read.parquet(dir).filter(col("event_type") === "click")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("event_type"),
+      s"no partition pruning in:\n$plan")
+    // pruned read: only the click partition's rows
+    val clicks = Tables.events(spark, sf)
+      .filter(col("event_type") === "click").count()
+    assert(df.count() == clicks)
+  }
+
+  test("bucketed tables join with ZERO exchanges (co-located SMJ)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_buck").toString
+    Layout.writeBucketed(Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_linenumber")),
+      "li_b", s"$base/li", "l_orderkey", 4)
+    Layout.writeBucketed(Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice")),
+      "ord_b", s"$base/ord", "o_orderkey", 4)
+    val c1 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val joined = Layout.coLocatedJoin(spark, "li_b", "ord_b", "l_orderkey", "o_orderkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == Tables.lineitem(spark, sf).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", c1)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+}

@@ -98,6 +98,21 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(n == 2) // A once, B once
   }
 
+  test("dead-letter split quarantines malformed and incomplete records") {
+    val incomplete = """{"device_id":"dev-9","location":{"coords":{"latitude":1.0}}}"""
+    val raw = Seq(
+      (ingress, "10.0.0.1:1"), ("{bad", "10.0.0.2:2"), (incomplete, "10.0.0.3:3")
+    ).toDF("json", "addr")
+    val (ok, dlq) = Pipeline.ingressWithDeadLetter(raw)
+    assert(ok.count() == 1)
+    val reasons = dlq.collect().map(r => (r.getAs[String]("addr"), r.getAs[String]("reason"))).toSet
+    assert(reasons == Set(
+      ("10.0.0.2:2", "malformed_json"),
+      ("10.0.0.3:3", "missing_required_fields")))
+    // nothing lost: ok + dlq partition the input
+    assert(ok.count() + dlq.count() == raw.count())
+  }
+
   test("exactly-once: restart from checkpoint does not re-deliver") {
     val dbz = (i: Int) =>
       s"""{"payload":{"after":{"id":"E$i","latitude":1.0,"longitude":2.0},"op":"c"}}"""
