@@ -146,11 +146,14 @@ object Pipeline {
     * schema — Connect `auto.create`/`insert.mode=insert` semantics
     * (connector.json:12-13) with real batching. */
   final class JdbcAppendSink(url: String, table: String,
-      props: java.util.Properties, batchSize: Int = 10000) extends RowSink {
-    override def write(batch: DataFrame, batchId: Long): Unit =
-      batch.write.mode("append")
+      props: java.util.Properties, batchSize: Int = 10000,
+      createTableColumnTypes: Option[String] = None) extends RowSink {
+    override def write(batch: DataFrame, batchId: Long): Unit = {
+      val w = batch.write.mode("append")
         .option("batchsize", batchSize.toString)
+      createTableColumnTypes.fold(w)(t => w.option("createTableColumnTypes", t))
         .jdbc(url, table, props)
+    }
   }
 
   /** Wire a stage to a sink with exactly-once checkpointing. */

@@ -60,6 +60,21 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("salted two-phase agg == plain groupBy (bit-exact) on random data") {
+    check(Prop.forAll(Gen.listOfN(200, Gen.zip(Gen.choose(0, 5), Gen.choose(-100.0, 100.0)))) { xs =>
+      val df = xs.toDF("k", "v")
+      val salted = graft.operators.SaltedAgg
+        .sumCountByKey(df, col("k"), "k", col("v"), salts = 8,
+          saltSource = Seq(col("v")))
+        .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSet
+      val plain = df.groupBy(col("k"))
+        .agg(sum(graft.Determinism.dec(col("v"))).cast("double").as("sum_value"),
+          count(lit(1)).as("n_rows"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSet
+      salted == plain
+    })
+  }
+
   test("lag is the inverse of lead under order reversal") {
     import org.apache.spark.sql.expressions.Window
     val df = (1 to 50).map(i => (i, i * 2.0)).toDF("id", "v")
