@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-dup cluster resolution: connected components over the pair
+  * graph, canonical member = min doc id. This is the step a dedup
+  * pipeline ends with — pairs alone don't say which docs to keep.
+  *
+  * Implementation: min-label propagation iterated to a fixpoint with a
+  * driver-side loop (each round: one join + one aggregate — the
+  * standard large-scale connected-components-lite; rounds are bounded
+  * by cluster diameter, which for near-dup graphs is tiny). Fully
+  * deterministic → hash-checkable against a recursive-CTE oracle.
+  */
+object DedupClusters {
+
+  /** pairs(doc_a, doc_b) → (doc_id, canonical) for every doc appearing
+    * in at least one pair; canonical = min id in the component. */
+  def resolve(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    // Materialize the candidate-pair derivation ONCE (it may be an
+    // expensive upstream join), then size the iteration to the graph:
+    // the near-dup edge list is orders of magnitude smaller than the
+    // corpus, so the loop runs on few partitions — 1 here for the
+    // hundreds-of-edges case; at larger graphs raise it to keep
+    // partitions ~100k edges each.
+    val p = pairs.cache()
+    val nEdges = p.count()
+    val parts = math.max(1, (nEdges / 100000L).toInt)
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().repartition(parts).cache()
+    if (parts == 1) return resolveLocal(spark, edges)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("lab", col("doc_id")).cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      // each node takes min(own label, neighbors' labels)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "dst_id"),
+          col("dst") === col("dst_id"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("lab")).as("nlab"))
+      val next = labels.join(viaNeighbors, "doc_id")
+        .select(col("doc_id"), least(col("lab"), col("nlab")).as("lab"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("lab", "old"), "doc_id")
+        .filter(col("lab") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("doc_id"), col("lab").as("canonical"))
+  }
+
+  /** Single-partition case: classic union-find in one executor pass
+    * (same result as the iterative path — the "min id becomes root"
+    * union rule makes the final root the component minimum). */
+  private def resolveLocal(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    edges.as[(Long, Long)].mapPartitions { it =>
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      it.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          parent.getOrElseUpdate(math.min(ra, rb), math.min(ra, rb))
+        } else parent.getOrElseUpdate(ra, ra)
+      }
+      val members = parent.keySet
+      members.iterator.map(x => (x, find(x)))
+    }.toDF("doc_id", "canonical")
+  }
+}

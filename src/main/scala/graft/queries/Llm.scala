@@ -47,6 +47,24 @@ object Llm {
     dot(da, db) / (sqrt(dot(da, da)) * sqrt(dot(db, db)))
   }
 
+  /** The trigram-Jaccard near-dup pairs (threshold 0.2) — shared by
+    * q_llm_ngram_jaccard (which adds the rounded score) and the
+    * cluster-resolution query. */
+  private def queriesNgramPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = shingled(s, d).cache()
+    val sizes = sh.select($"doc_id", size($"shingles").as("n_sh"))
+    val ex = sh.select($"doc_id", explode($"shingles").as("sh"))
+    ex.as("a").join(ex.as("b"), $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("n_int"))
+      .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("na")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("nb")), "doc_b")
+      .withColumn("jaccard", $"n_int".cast(DoubleType) / ($"na" + $"nb" - $"n_int"))
+      .filter($"jaccard" >= 0.2)
+      .select($"doc_a", $"doc_b")
+  }
+
   /** doc_id, shingles for docs with at least one shingle. */
   def shingledPub(s: SparkSession, d: String): DataFrame = shingled(s, d)
 
@@ -127,7 +145,7 @@ object Llm {
     // count in the same shuffle — no second array_intersect pass.
     "q_llm_ngram_jaccard" -> ((s, d) => {
       import s.implicits._
-      val sh = shingled(s, d)
+      val sh = shingled(s, d).cache()
       val sizes = sh.select($"doc_id", size($"shingles").as("n_sh"))
       val ex = sh.select($"doc_id", explode($"shingles").as("sh"))
       ex.as("a").join(ex.as("b"), $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
@@ -139,6 +157,20 @@ object Llm {
         .filter($"jaccard" >= 0.2)
         .select($"doc_a", $"doc_b", round($"jaccard", 6).as("jaccard"))
         .orderBy($"doc_a", $"doc_b")
+    }),
+
+    // Near-dup cluster resolution: connected components over the
+    // trigram-Jaccard pair graph, canonical = min doc id. Spark side:
+    // fixpoint min-label propagation (operators.DedupClusters); oracle:
+    // recursive-CTE transitive closure — same deterministic result.
+    "q_llm_dedup_clusters" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val pairs = queriesNgramPairs(s, d)
+      graft.operators.DedupClusters.resolve(s, pairs)
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy($"canonical")))
+        .orderBy($"doc_id")
     }),
 
     // SimHash (32-bit) from md5 token hashes — codegen-friendly
@@ -276,6 +308,8 @@ object Llm {
        "FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b) " +
        "SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM v WHERE jaccard >= 0.2 " +
        "ORDER BY doc_a, doc_b"),
+    "q_llm_dedup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), sh0 AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)]) AS shingles FROM t), sh AS (SELECT * FROM sh0 WHERE len(shingles) > 0), ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh), shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_int FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT doc_a, doc_b FROM shared JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b WHERE CAST(n_int AS DOUBLE) / (len(x.shingles) + len(y.shingles) - n_int) >= 0.2), e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs), r AS (SELECT src, dst FROM e UNION SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src), reach AS (SELECT src AS doc_id, dst FROM r UNION SELECT src, src FROM e), lab AS (SELECT doc_id, MIN(dst) AS canonical FROM reach GROUP BY doc_id) SELECT doc_id, canonical, COUNT(*) OVER (PARTITION BY canonical) AS cluster_size FROM lab ORDER BY doc_id""",
     "q_llm_simhash" ->
       ("WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents), " +
        "b AS (SELECT doc_id, [CASE WHEN list_sum(list_transform(toks, " +
