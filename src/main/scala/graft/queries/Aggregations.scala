@@ -157,15 +157,54 @@ object Aggregations {
         .orderBy($"l_returnflag")
     }),
 
-    // collect_list / collect_set, deterministically sorted.
+    // collect_list / collect_set / string-agg, deterministically sorted.
     "q_agg_collect" -> ((s, d) => {
       import s.implicits._
       Tables.lineitem(s, d)
         .groupBy($"l_orderkey")
         .agg(
           sort_array(collect_list($"l_linenumber")).as("line_numbers"),
-          sort_array(collect_set($"l_returnflag")).as("flags"))
+          sort_array(collect_set($"l_returnflag")).as("flags"),
+          concat_ws(",", sort_array(collect_list($"l_linenumber".cast("string"))))
+            .as("lines_csv"))
         .orderBy($"l_orderkey")
+    }),
+
+    // Exact percentiles (linear interpolation — SQL percentile_cont).
+    "q_agg_percentile" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("median_price"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // Statistical aggregates (1-ulp engine variance → round(6)).
+    "q_agg_stats" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(stddev_samp($"l_quantity"), 6).as("sd_qty"),
+          round(var_samp($"l_quantity"), 6).as("var_qty"),
+          round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qp"),
+          round(covar_samp($"l_quantity", $"l_discount"), 6).as("cov_qd"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // UNPIVOT: wide per-status sums melted back to long form.
+    "q_agg_unpivot" -> ((s, d) => {
+      import s.implicits._
+      val wide = Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sumd($"l_quantity"))
+      wide.unpivot(Array($"l_returnflag"), Array($"F", $"O"), "status", "sum_qty")
+        .filter($"sum_qty".isNotNull)
+        .orderBy($"l_returnflag", $"status")
     })
   )
 
@@ -217,7 +256,28 @@ object Aggregations {
        "ORDER BY l_orderkey"),
     "q_agg_collect" ->
       ("SELECT l_orderkey, list_sort(list(l_linenumber)) AS line_numbers, " +
-       "list_sort(list_distinct(list(l_returnflag))) AS flags " +
-       "FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey")
+       "list_sort(list_distinct(list(l_returnflag))) AS flags, " +
+       "string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY CAST(l_linenumber AS VARCHAR)) AS lines_csv " +
+       "FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"),
+    "q_agg_percentile" ->
+      ("SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty, " +
+       "quantile_cont(l_quantity, 0.9) AS p90_qty, " +
+       "round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price " +
+       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_agg_stats" ->
+      ("SELECT l_returnflag, round(stddev_samp(l_quantity), 6) AS sd_qty, " +
+       "round(var_samp(l_quantity), 6) AS var_qty, " +
+       "round(corr(l_quantity, l_extendedprice), 6) AS corr_qp, " +
+       "round(covar_samp(l_quantity, l_discount), 6) AS cov_qd " +
+       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_agg_unpivot" ->
+      ("SELECT l_returnflag, status, sum_qty FROM (" +
+       "SELECT l_returnflag, 'F' AS status, " +
+       "CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS sum_qty " +
+       "FROM lineitem GROUP BY l_returnflag " +
+       "UNION ALL SELECT l_returnflag, 'O' AS status, " +
+       "CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS sum_qty " +
+       "FROM lineitem GROUP BY l_returnflag) WHERE sum_qty IS NOT NULL " +
+       "ORDER BY l_returnflag, status")
   )
 }
