@@ -28,6 +28,11 @@ object Llm {
   def h32(c: Column, salt: Int): Column =
     conv(substring(md5(concat(c, lit("#" + salt))), 1, 8), 16, 10).cast(LongType)
 
+  /** Distinct word-trigram shingles via the fused kernel (public
+    * entry for other families). */
+  def shingles3Pub(s: SparkSession, text: Column): Column =
+    TextKernels.triShingles(s, text)
+
   /** Distinct word-trigram shingles of a space-tokenized text. */
   def shingles3(text: Column): Column = {
     val toks = split(text, " ")

@@ -26,6 +26,30 @@ object SqlSurface {
     "WHERE r_name = 'ASIA' " +
     "GROUP BY n_name ORDER BY revenue DESC, n_name"
 
+  /** TPC-H Q3-shaped shipping-priority top-k. */
+  val q3Sql: String =
+    "SELECT l_orderkey, " +
+    "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue, " +
+    "CAST(o_orderdate AS DATE) AS odate " +
+    "FROM customer JOIN orders ON c_custkey = o_custkey " +
+    "JOIN lineitem ON l_orderkey = o_orderkey " +
+    "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' " +
+    "AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00' " +
+    "GROUP BY l_orderkey, o_orderdate " +
+    "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+
+  /** TPC-H Q10-shaped returned-item customer ranking. */
+  val q10Sql: String =
+    "SELECT c_custkey, c_name, " +
+    "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue, " +
+    "n_name " +
+    "FROM customer JOIN orders ON c_custkey = o_custkey " +
+    "JOIN lineitem ON l_orderkey = o_orderkey " +
+    "JOIN nation ON c_nationkey = n_nationkey " +
+    "WHERE l_returnflag = 'R' " +
+    "GROUP BY c_custkey, c_name, n_name " +
+    "ORDER BY revenue DESC, c_custkey LIMIT 20"
+
   /** CTE + scalar subquery (decorrelation surface). */
   val cteSubquerySql: String =
     "WITH big AS (SELECT o_custkey, COUNT(*) AS n_big FROM orders " +
@@ -40,11 +64,19 @@ object SqlSurface {
     }),
     "q_sql_cte_subquery" -> ((s, d) => {
       registerAll(s, d); s.sql(cteSubquerySql)
+    }),
+    "q_sql_tpch_q3ish" -> ((s, d) => {
+      registerAll(s, d); s.sql(q3Sql)
+    }),
+    "q_sql_tpch_q10ish" -> ((s, d) => {
+      registerAll(s, d); s.sql(q10Sql)
     })
   )
 
   val oracle: Map[String, String] = Map(
     "q_sql_revenue_by_nation" -> revenueByNationSql,
-    "q_sql_cte_subquery" -> cteSubquerySql
+    "q_sql_cte_subquery" -> cteSubquerySql,
+    "q_sql_tpch_q3ish" -> q3Sql,
+    "q_sql_tpch_q10ish" -> q10Sql
   )
 }

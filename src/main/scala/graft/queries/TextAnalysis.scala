@@ -108,6 +108,47 @@ object TextAnalysis {
         .orderBy($"doc_id")
     }),
 
+    // Deterministic stratified sampling: md5-hash bucketing, ~10% per
+    // language — reproducible on any cluster (no RNG state), the way a
+    // training corpus is actually sampled.
+    "q_llm_sample_strat" -> ((s, d) => {
+      import s.implicits._
+      val bucket = conv(substring(md5(concat(lit("sample#"), $"doc_id".cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 10
+      Tables.documents(s, d)
+        .filter(bucket === 0)
+        .select($"doc_id", $"lang", $"source", $"n_chars")
+        .orderBy($"doc_id")
+    }),
+
+    // Deterministic train/val/test split by hash range (80/10/10):
+    // per-(split, lang) doc and char counts.
+    "q_llm_split" -> ((s, d) => {
+      import s.implicits._
+      val h = conv(substring(md5(concat(lit("split#"), $"doc_id".cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 10
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(h < 8, "train").when(h === 8, "val").otherwise("test"))
+        .groupBy($"split", $"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars_total"))
+        .orderBy($"split", $"lang")
+    }),
+
+    // Eval-contamination check: train docs sharing any trigram shingle
+    // with the (simulated) eval set — the semi-join decontamination
+    // pass every corpus build runs before training.
+    "q_llm_contamination" -> ((s, d) => {
+      import s.implicits._
+      val sh = Tables.documents(s, d)
+        .select($"doc_id", explode(graft.queries.Llm.shingles3Pub(s, $"text")).as("sh"))
+      val evalSh = sh.filter($"doc_id" % 97 === 0).select($"sh").distinct()
+      val train = sh.filter($"doc_id" % 97 =!= 0)
+      train.join(evalSh, Seq("sh"), "left_semi")
+        .select($"doc_id").distinct()
+        .orderBy($"doc_id")
+    }),
+
     // Edit-distance near-dup over part names, blocked by (brand, type)
     // — the blocking join is the scale pattern: candidate pairs only
     // within blocks, never the full cross product.
@@ -177,6 +218,18 @@ object TextAnalysis {
       ("SELECT doc_id, len(string_split(text, ' ')) AS n_ws, " +
        "len(regexp_extract_all(text, '[a-z]+')) AS n_alpha, " +
        "length(text) AS n_chars_m FROM documents ORDER BY doc_id"),
+    "q_llm_sample_strat" ->
+      ("SELECT doc_id, lang, source, n_chars FROM documents " +
+       "WHERE CAST(('0x' || substr(md5('sample#' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0 " +
+       "ORDER BY doc_id"),
+    "q_llm_split" ->
+      ("WITH h AS (SELECT doc_id, lang, n_chars, " +
+       "CAST(('0x' || substr(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS b FROM documents), " +
+       "sp AS (SELECT lang, n_chars, CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split FROM h) " +
+       "SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars_total " +
+       "FROM sp GROUP BY split, lang ORDER BY split, lang"),
+    "q_llm_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), sh0 AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)]) AS shingles FROM t), ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh0 WHERE len(shingles) > 0), ev AS (SELECT DISTINCT sh FROM ex WHERE doc_id % 97 = 0), tr AS (SELECT doc_id, sh FROM ex WHERE doc_id % 97 <> 0) SELECT DISTINCT doc_id FROM tr WHERE sh IN (SELECT sh FROM ev) ORDER BY doc_id""",
     "q_llm_edit_distance" ->
       ("SELECT a.p_partkey AS part_a, b.p_partkey AS part_b, " +
        "levenshtein(a.p_name, b.p_name) AS lev " +
