@@ -45,4 +45,25 @@ class JdbcSinkSpec extends AnyFunSuite {
     q3.awaitTermination()
     assert(spark.read.jdbc(url, "location_instances", props).count() == 4)
   }
+
+  test("JdbcUpsertSink: keyed MERGE converges to current state (divergence knob)") {
+    // pre-create the keyed current-state table
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE location_current (gps_id VARCHAR(64) PRIMARY KEY, " +
+      "geo_point VARCHAR(64), latitude DOUBLE, longitude DOUBLE)")
+    conn.close()
+    def dbz(id: String, lat: Double) =
+      s"""{"payload":{"after":{"id":"$id","latitude":$lat,"longitude":9.0},"op":"u"}}"""
+    val sink = new graft.streaming.JdbcUpsertSink(url, "location_current", "gps_id")
+    val b1 = Seq(dbz("U1", 1.0), dbz("U2", 2.0)).toDF("value")
+    sink.write(Pipeline.cdcToLocationInstances(b1), 0L)
+    val b2 = Seq(dbz("U1", 5.0), dbz("U3", 3.0)).toDF("value") // U1 updated
+    sink.write(Pipeline.cdcToLocationInstances(b2), 1L)
+    // replay of b2 (idempotent by construction — no ledger needed)
+    sink.write(Pipeline.cdcToLocationInstances(b2), 1L)
+    val cur = spark.read.jdbc(url, "location_current", props)
+    assert(cur.count() == 3) // U1,U2,U3 — current state, not history
+    assert(cur.filter($"GPS_ID" === "U1").collect().head.getAs[Double]("LATITUDE") == 5.0)
+  }
 }
