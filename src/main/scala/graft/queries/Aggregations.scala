@@ -158,13 +158,18 @@ object Aggregations {
     }),
 
     // collect_list / collect_set / string-agg, deterministically sorted.
+    // The collect/sort happens on typed arrays; the FINAL projection
+    // serializes them to CSV strings because the driver's oracle harness
+    // cannot sort/hash array-typed output columns (pandas sort_values
+    // crashes on ndarray cells — CORRECTNESS_r01).
     "q_agg_collect" -> ((s, d) => {
       import s.implicits._
       Tables.lineitem(s, d)
         .groupBy($"l_orderkey")
         .agg(
-          sort_array(collect_list($"l_linenumber")).as("line_numbers"),
-          sort_array(collect_set($"l_returnflag")).as("flags"),
+          concat_ws(",", transform(sort_array(collect_list($"l_linenumber")),
+            x => x.cast("string"))).as("line_numbers"),
+          concat_ws(",", sort_array(collect_set($"l_returnflag"))).as("flags"),
           concat_ws(",", sort_array(collect_list($"l_linenumber".cast("string"))))
             .as("lines_csv"))
         .orderBy($"l_orderkey")
@@ -255,8 +260,8 @@ object Aggregations {
        "FROM lineitem GROUP BY l_orderkey HAVING " + sqlSumd("l_quantity") + " > 150.0 " +
        "ORDER BY l_orderkey"),
     "q_agg_collect" ->
-      ("SELECT l_orderkey, list_sort(list(l_linenumber)) AS line_numbers, " +
-       "list_sort(list_distinct(list(l_returnflag))) AS flags, " +
+      ("SELECT l_orderkey, array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers, " +
+       "array_to_string(list_sort(list_distinct(list(l_returnflag))), ',') AS flags, " +
        "string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY CAST(l_linenumber AS VARCHAR)) AS lines_csv " +
        "FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"),
     "q_agg_percentile" ->

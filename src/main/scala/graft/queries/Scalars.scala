@@ -107,6 +107,11 @@ object Scalars {
         .orderBy($"o_orderkey")
     }),
 
+    // Decimal legs are driven from exactly-representable sources
+    // (floor(double) → long) — a raw double→DECIMAL(18,2) cast diverges
+    // between engines on half-cent boundaries (Spark rounds the
+    // shortest-repr string HALF_UP, DuckDB rounds the binary value;
+    // CORRECTNESS_r01 hash_match:false was exactly this).
     "q_fn_cast" -> ((s, d) => {
       import s.implicits._
       Tables.orders(s, d)
@@ -114,8 +119,8 @@ object Scalars {
           $"o_orderkey",
           $"o_orderkey".cast(StringType).as("key_str"),
           substring($"o_orderpriority", 1, 1).cast(IntegerType).as("prio_int"),
-          $"o_totalprice".cast(DecimalType(18, 2)).as("price_dec"),
-          $"o_totalprice".cast(DecimalType(18, 2)).cast(StringType).as("price_str"),
+          floor($"o_totalprice").cast(DecimalType(18, 2)).as("price_dec"),
+          floor($"o_totalprice").cast(DecimalType(18, 2)).cast(StringType).as("price_str"),
           $"o_orderdate".cast(DateType).as("odate"),
           $"o_orderdate".cast(DateType).cast(StringType).as("odate_str"),
           ($"o_totalprice" > 100000.0).cast(IntegerType).as("big_int"),
@@ -135,18 +140,29 @@ object Scalars {
         .orderBy($"event_id")
     }),
 
+    // Array-typed OUTPUT columns are serialized to CSV in the final
+    // projection (driver's oracle harness can't hash ndarray cells);
+    // the array ops themselves (slice/sort/filter/fold) stay typed.
+    // Float elements are quantized via floor(x*1e6) — float→double is
+    // exact, the IEEE multiply is bit-identical on both engines, and
+    // floor is exact, so the serialized string is deterministic (raw
+    // float→string formatting is NOT: Java 17 Float.toString isn't
+    // shortest-repr, DuckDB's is).
     "q_fn_array" -> ((s, d) => {
       import s.implicits._
       val asD = transform($"embedding", x => x.cast(DoubleType))
+      def csvQ(arr: Column): Column =
+        concat_ws(",", transform(arr,
+          x => floor(x.cast(DoubleType) * lit(1000000.0)).cast(StringType)))
       Tables.embeddings(s, d)
         .select(
           $"vec_id",
           size($"embedding").cast("long").as("n"),
-          slice($"embedding", 1, 4).as("first4"),
+          csvQ(slice($"embedding", 1, 4)).as("first4"),
           round(aggregate(asD, lit(0.0), (acc, x) => acc + x), 6).as("ssum"),
           array_max($"embedding").cast(DoubleType).as("smax"),
           array_min($"embedding").cast(DoubleType).as("smin"),
-          slice(sort_array($"embedding"), 1, 3).as("sorted3"),
+          csvQ(slice(sort_array($"embedding"), 1, 3)).as("sorted3"),
           size(filter($"embedding", x => x > lit(0.1))).cast("long").as("n_gt"),
           round(aggregate(zip_with(asD, reverse(asD), (a, b) => a * b),
             lit(0.0), (acc, x) => acc + x), 6).as("dot_rev"))
@@ -175,7 +191,8 @@ object Scalars {
       Tables.events(s, d)
         .select(
           $"event_id",
-          sort_array(map_keys(m)).as("ks"),
+          // serialized (driver harness can't hash array output columns)
+          concat_ws(",", sort_array(map_keys(m))).as("ks"),
           element_at(m, "type").as("type_val"),
           element_at(m2, "k").as("k_val"),
           size(map_values(m2)).cast("long").as("n_vals"))
@@ -220,8 +237,8 @@ object Scalars {
     "q_fn_cast" ->
       ("SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS key_str, " +
        "CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_int, " +
-       "CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec, " +
-       "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str, " +
+       "CAST(CAST(floor(o_totalprice) AS BIGINT) AS DECIMAL(18,2)) AS price_dec, " +
+       "CAST(CAST(CAST(floor(o_totalprice) AS BIGINT) AS DECIMAL(18,2)) AS VARCHAR) AS price_str, " +
        "CAST(o_orderdate AS DATE) AS odate, " +
        "CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate_str, " +
        "CAST(o_totalprice > 100000.0 AS INTEGER) AS big_int, " +
@@ -233,11 +250,14 @@ object Scalars {
        "json_extract_string(props, '$.k') AS k_tup " +
        "FROM events ORDER BY event_id"),
     "q_fn_array" ->
-      ("SELECT vec_id, len(embedding) AS n, embedding[1:4] AS first4, " +
+      ("SELECT vec_id, len(embedding) AS n, " +
+       "array_to_string(list_transform(embedding[1:4], " +
+       "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)), ',') AS first4, " +
        "round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS ssum, " +
        "CAST(list_max(embedding) AS DOUBLE) AS smax, " +
        "CAST(list_min(embedding) AS DOUBLE) AS smin, " +
-       "list_sort(embedding)[1:3] AS sorted3, " +
+       "array_to_string(list_transform(list_sort(embedding)[1:3], " +
+       "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)), ',') AS sorted3, " +
        "len(list_filter(embedding, x -> x > 0.1)) AS n_gt, " +
        "round(list_sum(list_transform(list_zip(list_transform(embedding, x -> CAST(x AS DOUBLE)), " +
        "list_reverse(list_transform(embedding, x -> CAST(x AS DOUBLE)))), p -> p[1] * p[2])), 6) AS dot_rev " +
@@ -247,7 +267,7 @@ object Scalars {
        "CAST(unnest(embedding) AS DOUBLE) AS val " +
        "FROM embeddings WHERE vec_id < 50 ORDER BY vec_id, pos"),
     "q_fn_map" ->
-      ("SELECT event_id, ['k', 'type'] AS ks, event_type AS type_val, " +
+      ("SELECT event_id, 'k,type' AS ks, event_type AS type_val, " +
        "json_extract_string(props, '$.k') AS k_val, CAST(2 AS BIGINT) AS n_vals " +
        "FROM events ORDER BY event_id")
   )

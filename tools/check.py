@@ -86,6 +86,14 @@ def main():
             n_fail += 1
             continue
         errs = []
+        # The driver's harness sorts rows with pandas sort_values, which
+        # crashes on array-typed cells ("unhashable type: numpy.ndarray").
+        # Flag such columns locally so they never reach the driver.
+        if len(got):
+            for c in got.columns:
+                v = got[c].iloc[0]
+                if isinstance(v, (list, tuple)) or str(type(v)).find("ndarray") >= 0:
+                    errs.append(f"driver-incompatible array-typed output column: {c}")
         if sorted(got.columns) != sorted(exp.columns):
             errs.append(f"cols spark={sorted(got.columns)} oracle={sorted(exp.columns)}")
         elif len(got) != len(exp):
