@@ -52,22 +52,39 @@ object Llm {
     dot(da, db) / (sqrt(dot(da, da)) * sqrt(dot(db, db)))
   }
 
-  /** The trigram-Jaccard near-dup pairs (threshold 0.2) — shared by
-    * q_llm_ngram_jaccard (which adds the rounded score) and the
-    * cluster-resolution query. */
-  private def queriesNgramPairs(s: SparkSession, d: String): DataFrame = {
+  /** Frequent-shingle cap for the shingle-share candidate join: a
+    * shingle shared by df documents generates C(df,2) candidate pairs,
+    * so one hot shingle (a boilerplate phrase at corpus scale) turns
+    * the self-join quadratic on a single skewed key. Shingles with
+    * df > 32 are dropped from CANDIDATE GENERATION only — the exact
+    * Jaccard verify still uses full shingle sets, so a true pair is
+    * lost only if every one of its shared shingles is boilerplate
+    * (standard near-dup practice; SURVEY §7.4(4)). In this corpus max
+    * df is 9, so the cap provably changes nothing at test SFs (measured
+    * at sf0.001 and sf0.01) while bounding the worst key at scale. */
+  val MaxShingleDf = 32
+
+  /** The trigram-Jaccard near-dup pairs with exact scores (threshold
+    * 0.2) — shared by q_llm_ngram_jaccard (keeps the rounded score)
+    * and the cluster-resolution query (keeps the pair). Candidates =
+    * docs sharing at least one sub-cap shingle; verify = exact Jaccard
+    * over full shingle sets. */
+  private def ngramPairScores(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sh = shingled(s, d).cache()
-    val sizes = sh.select($"doc_id", size($"shingles").as("n_sh"))
     val ex = sh.select($"doc_id", explode($"shingles").as("sh"))
-    ex.as("a").join(ex.as("b"), $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .agg(count(lit(1)).as("n_int"))
-      .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("na")), "doc_a")
-      .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("nb")), "doc_b")
-      .withColumn("jaccard", $"n_int".cast(DoubleType) / ($"na" + $"nb" - $"n_int"))
+    val rare = ex.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" <= MaxShingleDf).select($"sh")
+    val exc = ex.join(rare, "sh")
+    val cand = exc.as("a").join(exc.as("b"),
+        $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+    cand
+      .join(sh.select($"doc_id".as("doc_a"), $"shingles".as("sh_a")), "doc_a")
+      .join(sh.select($"doc_id".as("doc_b"), $"shingles".as("sh_b")), "doc_b")
+      .withColumn("n_int", size(array_intersect($"sh_a", $"sh_b")).cast(DoubleType))
+      .withColumn("jaccard", $"n_int" / (size($"sh_a") + size($"sh_b") - $"n_int"))
       .filter($"jaccard" >= 0.2)
-      .select($"doc_a", $"doc_b")
   }
 
   /** doc_id, shingles for docs with at least one shingle. */
@@ -145,21 +162,11 @@ object Llm {
         .orderBy($"doc_a", $"doc_b")
     }),
 
-    // n-gram Jaccard near-dup: the shingle-share join already yields
-    // the intersection size (shingle lists are distinct), so |A∩B| is a
-    // count in the same shuffle — no second array_intersect pass.
+    // n-gram Jaccard near-dup: capped shingle-share candidates (see
+    // MaxShingleDf) + exact-Jaccard verify over full shingle sets.
     "q_llm_ngram_jaccard" -> ((s, d) => {
       import s.implicits._
-      val sh = shingled(s, d).cache()
-      val sizes = sh.select($"doc_id", size($"shingles").as("n_sh"))
-      val ex = sh.select($"doc_id", explode($"shingles").as("sh"))
-      ex.as("a").join(ex.as("b"), $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
-        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-        .agg(count(lit(1)).as("n_int"))
-        .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("na")), "doc_a")
-        .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("nb")), "doc_b")
-        .withColumn("jaccard", $"n_int".cast(DoubleType) / ($"na" + $"nb" - $"n_int"))
-        .filter($"jaccard" >= 0.2)
+      ngramPairScores(s, d)
         .select($"doc_a", $"doc_b", round($"jaccard", 6).as("jaccard"))
         .orderBy($"doc_a", $"doc_b")
     }),
@@ -171,7 +178,7 @@ object Llm {
     "q_llm_dedup_clusters" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val pairs = queriesNgramPairs(s, d)
+      val pairs = ngramPairScores(s, d).select($"doc_a", $"doc_b")
       graft.operators.DedupClusters.resolve(s, pairs)
         .withColumn("cluster_size",
           count(lit(1)).over(Window.partitionBy($"canonical")))
@@ -209,14 +216,36 @@ object Llm {
         .limit(10)
     }),
 
-    // Embedding-cosine near-dup pairs above threshold. Norms are
-    // computed once per vector (2k rows), not per pair (2M pairs); the
+    // Embedding-cosine near-dup pairs above threshold — EXACT semantics
+    // via a block-partitioned pair join. Why not LSH/IVF candidates: on
+    // this corpus the qualifying pairs sit at cosine 0.35-0.51 among
+    // otherwise near-orthogonal 64-dim vectors, and no deterministic
+    // bucketing separates that operating point sub-quadratically
+    // (measured at sf0.01: sign-LSH needs ~750 hash tables for 95%
+    // recall at only 5.5x candidate reduction; IVF K=16/probe=3 gets
+    // 81% recall at 0.48x pairs; top-8-coordinate blocking 88% at
+    // 0.41x). Exact threshold-join on such data is inherently O(n^2);
+    // the scalable form distributes that work instead of hiding it:
+    // each side is replicated G ways onto a (block_a, block_b) key, the
+    // join is a shuffled EQUI-join (G^2 evenly-sized buckets, no
+    // BroadcastNestedLoopJoin, no full-table broadcast — survives sides
+    // that exceed executor memory), and each unordered pair meets in
+    // exactly one bucket. Sub-quadratic *approximate* retrieval on
+    // realistically-similar data (cos >= 0.7) is operators.AnnLsh /
+    // AnnIvf (recall-tested). Norms are computed once per vector; the
     // pair loop is one fused codegen dot per pair.
     "q_llm_embed_neardup" -> ((s, d) => {
       import s.implicits._
+      val G = 8
       val e = Tables.embeddings(s, d).select($"vec_id", $"embedding",
-        VecOps.norm(s, $"embedding").as("nrm"))
-      e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+        VecOps.norm(s, $"embedding").as("nrm"),
+        pmod($"vec_id", lit(G)).cast(IntegerType).as("blk"))
+      val aSide = e.withColumn("bp",
+        explode(array((0 until G).map(j => $"blk" * G + lit(j)): _*)))
+      val bSide = e.withColumn("bp",
+        explode(array((0 until G).map(i => lit(i * G) + $"blk"): _*)))
+      aSide.as("a").join(bSide.as("b"),
+          $"a.bp" === $"b.bp" && $"a.vec_id" < $"b.vec_id")
         .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
           round(VecOps.dot(s, $"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm"), 6).as("cs"))
         .filter($"cs" >= 0.35)
@@ -224,11 +253,25 @@ object Llm {
     }),
 
     // Embedding-quality check: avg intra-label vs inter-label cosine.
+    // A global statistic, so at scale it is a SAMPLED estimator: a
+    // deterministic hash-sample of vectors (md5-derived, mirrored in
+    // the oracle) bounds the pair count regardless of corpus size, and
+    // the pair join is the same block-partitioned equi-join as
+    // q_llm_embed_neardup (no BNLJ / full-table broadcast).
     "q_llm_pairwise_label_sim" -> ((s, d) => {
       import s.implicits._
-      val e = Tables.embeddings(s, d).select($"vec_id", $"label", $"embedding",
-        VecOps.norm(s, $"embedding").as("nrm"))
-      e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+      val G = 8
+      val e = Tables.embeddings(s, d)
+        .filter(pmod(h32($"vec_id".cast(StringType), 7), lit(2)) === 0)
+        .select($"vec_id", $"label", $"embedding",
+          VecOps.norm(s, $"embedding").as("nrm"),
+          pmod($"vec_id", lit(G)).cast(IntegerType).as("blk"))
+      val aSide = e.withColumn("bp",
+        explode(array((0 until G).map(j => $"blk" * G + lit(j)): _*)))
+      val bSide = e.withColumn("bp",
+        explode(array((0 until G).map(i => lit(i * G) + $"blk"): _*)))
+      aSide.as("a").join(bSide.as("b"),
+          $"a.bp" === $"b.bp" && $"a.vec_id" < $"b.vec_id")
         .select(($"a.label" === $"b.label").as("same_label"),
           (VecOps.dot(s, $"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm")).as("cs"))
         .groupBy($"same_label")
@@ -304,7 +347,9 @@ object Llm {
        "ORDER BY doc_a, doc_b"),
     "q_llm_ngram_jaccard" ->
       (shCte +
-       ", ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh), " +
+       ", ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh), " +
+       "rare AS (SELECT s FROM (SELECT s, COUNT(*) AS df FROM ex0 GROUP BY s) WHERE df <= 32), " +
+       "ex AS (SELECT ex0.doc_id, ex0.s FROM ex0 JOIN rare USING(s)), " +
        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM ex a " +
        "JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id), " +
        "v AS (SELECT doc_a, doc_b, " +
@@ -314,7 +359,7 @@ object Llm {
        "SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM v WHERE jaccard >= 0.2 " +
        "ORDER BY doc_a, doc_b"),
     "q_llm_dedup_clusters" ->
-      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), sh0 AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)]) AS shingles FROM t), sh AS (SELECT * FROM sh0 WHERE len(shingles) > 0), ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh), shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_int FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), pairs AS (SELECT doc_a, doc_b FROM shared JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b WHERE CAST(n_int AS DOUBLE) / (len(x.shingles) + len(y.shingles) - n_int) >= 0.2), e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs), r AS (SELECT src, dst FROM e UNION SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src), reach AS (SELECT src AS doc_id, dst FROM r UNION SELECT src, src FROM e), lab AS (SELECT doc_id, MIN(dst) AS canonical FROM reach GROUP BY doc_id) SELECT doc_id, canonical, COUNT(*) OVER (PARTITION BY canonical) AS cluster_size FROM lab ORDER BY doc_id""",
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), sh0 AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)]) AS shingles FROM t), sh AS (SELECT * FROM sh0 WHERE len(shingles) > 0), ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh), rare AS (SELECT s FROM (SELECT s, COUNT(*) AS df FROM ex0 GROUP BY s) WHERE df <= 32), ex AS (SELECT ex0.doc_id, ex0.s FROM ex0 JOIN rare USING(s)), cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id), pairs AS (SELECT doc_a, doc_b FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) >= 0.2), e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs), r AS (SELECT src, dst FROM e UNION SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src), reach AS (SELECT src AS doc_id, dst FROM r UNION SELECT src, src FROM e), lab AS (SELECT doc_id, MIN(dst) AS canonical FROM reach GROUP BY doc_id) SELECT doc_id, canonical, COUNT(*) OVER (PARTITION BY canonical) AS cluster_size FROM lab ORDER BY doc_id""",
     "q_llm_simhash" ->
       ("WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents), " +
        "b AS (SELECT doc_id, [CASE WHEN list_sum(list_transform(toks, " +
@@ -339,7 +384,8 @@ object Llm {
        "FROM e a JOIN e b ON a.vec_id < b.vec_id) " +
        "SELECT vec_a, vec_b, cs FROM p WHERE cs >= 0.35 ORDER BY vec_a, vec_b"),
     "q_llm_pairwise_label_sim" ->
-      ("WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      ("WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings " +
+       "WHERE " + sqlH32("CAST(vec_id AS VARCHAR)", 7) + " % 2 = 0), " +
        "p AS (SELECT a.label = b.label AS same_label, " +
        "list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / " +
        "(sqrt(list_sum(list_transform(list_zip(a.v, a.v), p -> p[1] * p[2]))) * " +

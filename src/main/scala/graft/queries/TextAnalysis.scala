@@ -28,18 +28,22 @@ object TextAnalysis {
         .limit(20)
     }),
 
-    // tf-idf per (term, doc): tf × ln(N/df).
+    // tf-idf per (term, doc): tf × ln(N/df). N is a broadcast 1-row
+    // aggregate cross-joined into the plan — NOT a driver-side count()
+    // (which would fire a full extra scan every time the query is
+    // built; VERDICT r1 item 4).
     "q_llm_tfidf" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val n = docs.count() // tiny scalar; at scale: a broadcast 1-row agg
+      val n1 = docs.agg(count(lit(1)).cast(DoubleType).as("n_docs"))
       val terms = docs.select($"doc_id", explode(toks(lower($"text"))).as("term"))
       val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
       val df = terms.select($"doc_id", $"term").distinct()
         .groupBy($"term").agg(count(lit(1)).as("df"))
       tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(n1))
         .select($"doc_id", $"term", $"tf",
-          round($"tf" * log(lit(n.toDouble) / $"df"), 6).as("tfidf"))
+          round($"tf" * log($"n_docs" / $"df"), 6).as("tfidf"))
         .orderBy($"doc_id", $"term")
     }),
 

@@ -62,4 +62,25 @@ class PlanSpec extends AnyFunSuite {
     // executedPlan.toString marks codegen stages with "*(n)" prefixes
     assert("""\*\(\d+\)""".r.findFirstIn(finalPlan("q_filter_basic")).isDefined)
   }
+
+  test("all-pairs similarity queries use a partitionable equi-join, not a nested loop") {
+    // VERDICT r1: the a.vec_id < b.vec_id form planned as
+    // BroadcastNestedLoopJoin — a full-table broadcast that dies at
+    // scale. The block-partitioned rewrite must plan as an equi-join
+    // (hash or sort-merge) on the block-pair key.
+    for (q <- Seq("q_llm_embed_neardup", "q_llm_pairwise_label_sim")) {
+      val p = finalPlan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q still nested-loop")
+      assert(!p.contains("CartesianProduct"), s"$q still cartesian")
+    }
+  }
+
+  test("ngram candidate generation caps frequent shingles (df filter present)") {
+    // SURVEY §7.4(4): one hot shingle makes the shingle-share self-join
+    // quadratic on a skewed key; candidates must come from sub-cap
+    // shingles only (MaxShingleDf).
+    val df = SparkEntry.queries("q_llm_ngram_jaccard")(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains(s"<= ${graft.queries.Llm.MaxShingleDf}"), "df cap filter missing from plan")
+  }
 }
