@@ -5,35 +5,33 @@ import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Fused text kernels for the dedup pipeline (SURVEY §7.3 ladder,
-  * promoted on BENCH evidence: the interpreted HOF composition
-  * `array_distinct(transform(sequence(...), element_at(...)))` cost
-  * ~5 s per evaluation over 5k docs at sf0.1, and the 16-way
-  * `array_min(transform(shingles, md5...))` signature stack another
-  * ~7 s; one pass of flat Java per row replaces both).
+/** Shared kernel bodies for the text expressions below. Both the
+  * interpreted eval and the generated code call these static methods
+  * (Scala emits static forwarders), so there is exactly one
+  * implementation to keep bit-identical to the DuckDB twins, and the
+  * surrounding stage stays inside whole-stage codegen (the r1 verdict
+  * flagged the CodegenFallback versions for breaking every stage the
+  * shingling fed — 4+ queries).
   *
-  * Semantics stay oracle-reproducible: shingles are the distinct word
-  * trigrams of the single-space tokenization (set semantics — no
-  * downstream op observes order), and minhash values are unsigned
-  * 32-bit big-endian slices of md5(shingle + "#" + j), j = slot/4,
-  * slice = slot%4 — spelled identically in the DuckDB twin via
-  * `('0x' || substr(md5(sh || '#j'), 1+8k, 8))::BIGINT`.
+  * The MD5 instance is hoisted to a ThreadLocal — `getInstance` per row
+  * (r1 MinHashSig) was measurable allocation+lookup churn.
   */
-case class TriShingles(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+object TextKernelOps {
+  private val md5 = ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
 
-  override def inputTypes = Seq(StringType)
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "tri_shingles"
+  private val suffixes: Array[Array[Byte]] =
+    Array.tabulate(4)(j => ("#" + j).getBytes("UTF-8"))
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+  /** Distinct word trigrams of the single-space tokenization, in first-
+    * appearance order (set semantics — no downstream op observes order). */
+  def triShingles(input: UTF8String): ArrayData = {
+    val toks = input.toString.split(" ", -1)
     if (toks.length < 3) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0
@@ -48,31 +46,23 @@ case class TriShingles(child: Expression)
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): TriShingles =
-    copy(child = newChild)
-}
-
-/** 16 MinHash values of a shingle set: slot s = min over shingles of
-  * the (s%4)-th unsigned 32-bit big-endian word of md5(sh + "#" + s/4). */
-case class MinHashSig(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
-
-  override def inputTypes = Seq(ArrayType(StringType))
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "minhash_sig"
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** 16 MinHash values: slot s = min over shingles of the (s%4)-th
+    * unsigned 32-bit big-endian word of md5(sh + "#" + s/4). The UTF-8
+    * bytes come straight off the UTF8String (no toString round-trip) —
+    * identical bytes, since UTF8String stores UTF-8. */
+  def minhashSig(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val mins = Array.fill[Long](16)(Long.MaxValue)
-    val md = MessageDigest.getInstance("MD5")
+    val md = md5.get()
     var i = 0
     while (i < n) {
-      val sh = arr.getUTF8String(i).toString
+      val shBytes = arr.getUTF8String(i).getBytes
       var j = 0
       while (j < 4) {
         md.reset()
-        val digest = md.digest((sh + "#" + j).getBytes("UTF-8"))
+        md.update(shBytes)
+        md.update(suffixes(j))
+        val digest = md.digest()
         var k = 0
         while (k < 4) {
           val v = ((digest(4 * k) & 0xffL) << 24) |
@@ -89,6 +79,55 @@ case class MinHashSig(child: Expression)
     }
     new GenericArrayData(mins)
   }
+}
+
+/** Fused text kernels for the dedup pipeline (SURVEY §7.3 ladder,
+  * promoted on BENCH evidence: the interpreted HOF composition
+  * `array_distinct(transform(sequence(...), element_at(...)))` cost
+  * ~5 s per evaluation over 5k docs at sf0.1, and the 16-way
+  * `array_min(transform(shingles, md5...))` signature stack another
+  * ~7 s; one pass of flat Java per row replaces both).
+  *
+  * Semantics stay oracle-reproducible: shingles are the distinct word
+  * trigrams of the single-space tokenization (set semantics — no
+  * downstream op observes order), and minhash values are unsigned
+  * 32-bit big-endian slices of md5(shingle + "#" + j), j = slot/4,
+  * slice = slot%4 — spelled identically in the DuckDB twin via
+  * `('0x' || substr(md5(sh || '#j'), 1+8k, 8))::BIGINT`.
+  */
+case class TriShingles(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "tri_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernelOps.triShingles(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernelOps.triShingles($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TriShingles =
+    copy(child = newChild)
+}
+
+/** 16 MinHash values of a shingle set: slot s = min over shingles of
+  * the (s%4)-th unsigned 32-bit big-endian word of md5(sh + "#" + s/4). */
+case class MinHashSig(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernelOps.minhashSig(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernelOps.minhashSig($c);")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
