@@ -104,12 +104,27 @@ object Gps {
   }
 
   /** Wrap the 8 flat fix columns into the Connect `{schema,payload}`
-    * envelope JSON (main.go:111-125). */
-  def connectEnvelope(df: DataFrame): Column =
+    * envelope JSON (main.go:111-125).
+    *
+    * Byte-level payload fidelity (ADVICE r1): the reference producer
+    * marshals a Go map, which (a) always emits all 8 keys — absent
+    * ingress fields arrive as gjson zero values ("" / 0) — and (b)
+    * emits keys in ALPHABETICAL order (encoding/json sorts map keys).
+    * So fields are coalesced to those zero values (to_json would drop
+    * nulls) and the payload struct is built in alphabetical key order.
+    * The schema block keeps the producer's declared field order. */
+  def connectEnvelope(df: DataFrame): Column = {
+    val strings = Set("id", "deviceId")
+    val alphabetical = fixSchema.fieldNames.sorted
+    val payload = alphabetical.map { f =>
+      (if (strings(f)) coalesce(df.col(f), lit(""))
+       else coalesce(df.col(f), lit(0.0))).as(f)
+    }
     concat(
       lit(s"""{"schema":$connectSchemaJson,"payload":"""),
-      to_json(struct(fixSchema.fieldNames.map(df.col): _*)),
+      to_json(struct(payload: _*)),
       lit("}"))
+  }
 
   /** The producer's message key: "address-" + client address
     * (main.go:127) — partitioning by producer, not device. */

@@ -19,34 +19,34 @@ import org.apache.spark.sql.functions._
   */
 object AnnLsh {
 
-  /** ±1 pseudo-hyperplane component for (table t, bit b, dim i):
-    * parity of a 64-bit avalanche hash of the coordinate triple. */
-  private def sgn(t: Int, b: Int, i: Column): Column =
-    when(pmod(xxhash64(lit(t), lit(b), i), lit(2)) === 0, 1.0).otherwise(-1.0)
-
-  /** Signature bucket id for one table: `bits` sign bits packed. */
-  private def bucket(v: Column, t: Int, bits: Int): Column = {
-    val dims = 64 // embedding dim in the testdata
+  /** Reference Column spelling of one table's bucket (what the fused
+    * kernel must reproduce bit-for-bit — AnnLshSpec pins equivalence).
+    * ±1 hyperplane component for (table t, bit b, dim i) = parity of
+    * xxhash64(t, b, i); projection = left-fold over dims in double.
+    * `dims` is explicit — the r1 version hardcoded 64, silently
+    * nulling projections for any other dimension (ADVICE r1). */
+  def bucketColumnSpelling(v: Column, t: Int, bits: Int, dims: Int): Column = {
+    def sgn(b: Int, i: Column): Column =
+      when(pmod(xxhash64(lit(t), lit(b), i), lit(2)) === 0, 1.0).otherwise(-1.0)
     val bitCols = (0 until bits).map { b =>
-      // dot(v, hyperplane) where hyperplane entries are hash-signs
       val proj = (0 until dims).map(i =>
-        element_at(v, i + 1).cast("double") * sgn(t, b, lit(i))).reduce(_ + _)
+        element_at(v, i + 1).cast("double") * sgn(b, lit(i))).reduce(_ + _)
       when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
   }
 
   /** Attach `tables` bucket ids to each embedding row; output one row
-    * per (vector, table): (vec_id, embedding, t, bucket). */
+    * per (vector, table): (vec_id, embedding, t, bucket). Signatures
+    * come from the fused LshSignatures kernel (one call per row, dims
+    * derived from the vector itself) instead of the unrolled
+    * tables×bits×dims Column tree. */
   def bucketize(spark: SparkSession, emb: DataFrame, tables: Int, bits: Int): DataFrame = {
-    val withBuckets = emb.select(
-      (col("vec_id") +: col("embedding") +:
-        (0 until tables).map(t => bucket(col("embedding"), t, bits).as(s"b$t"))): _*)
-    withBuckets.select(col("vec_id"), col("embedding"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), col(s"b$t").as("bucket"))): _*)).as("tb"))
+    import graft.functions.LshSignatures
+    emb.select(col("vec_id"), col("embedding"),
+        LshSignatures.of(spark, col("embedding"), tables, bits).as("sigs"))
       .select(col("vec_id"), col("embedding"),
-        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+        posexplode(col("sigs")).as(Seq("t", "bucket")))
   }
 
   /** Top-k approximate neighbors of `queryVecId`: same-bucket union

@@ -51,6 +51,12 @@ object DedupClusters {
       labels = next
       rounds += 1
     }
+    // A silent exit with changed > 0 would return wrong canonical labels
+    // (graph diameter exceeded the round bound) — fail loudly instead.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"DedupClusters: min-label propagation did not converge in $rounds rounds " +
+        s"($changed labels still changing) — pair-graph diameter exceeds the bound")
     labels.select(col("doc_id"), col("lab").as("canonical"))
   }
 

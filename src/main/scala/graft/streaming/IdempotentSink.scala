@@ -13,9 +13,18 @@ import org.apache.spark.sql.DataFrame
   * an append sink would double-write (at-least-once). foreachBatch's
   * contract is that batchId is stable across replays, so recording
   * committed ids turns any sink idempotent: replayed batches are
-  * skipped. The ledger lives next to the sink (here a file per batch;
-  * a JDBC deployment uses a _committed_batches table updated in the
-  * same transaction as the data — the classic transactional outbox).
+  * skipped.
+  *
+  * HONEST LIMIT of the file ledger used here: the marker is created
+  * AFTER inner.write returns, non-atomically — a crash in between
+  * re-delivers that one batch on restart, so this class alone is
+  * at-least-once in exactly that window. True exactly-once requires
+  * the sink's write and the ledger commit to share one transaction
+  * (JDBC: a _committed_batches table updated in the same transaction
+  * as the data — the classic transactional outbox), or an inner sink
+  * that is itself idempotent per (batchId, row). The file ledger is
+  * the right shape for tests and for object-store sinks whose "write"
+  * is an atomic rename.
   */
 final class IdempotentSink(inner: RowSink, ledgerDir: String) extends RowSink {
   override def write(batch: DataFrame, batchId: Long): Unit = {

@@ -12,13 +12,37 @@ import org.apache.spark.sql.{DataFrame, Row}
   * this sink, which MERGEs on the key so re-delivered or updated rows
   * converge (naturally idempotent — no batch ledger needed).
   *
+  * "Converges to current state" requires each key to be MERGEd exactly
+  * once per batch: partitions run concurrently, so a batch carrying
+  * several rows for one key would otherwise apply them in whatever
+  * order the executors race (and concurrent MERGEs on the same row can
+  * deadlock). The batch is therefore reduced to ONE deterministic row
+  * per key first — the lexicographic max of (orderCol, remaining
+  * columns), i.e. latest-by-orderCol with a total-order tiebreak; with
+  * no orderCol the tiebreak alone picks the winner independent of
+  * partition layout.
+  *
   * Executed per partition over plain JDBC (Spark's .jdbc() writer has
   * no upsert mode); statements are batched per `batchSize`.
   */
 final class JdbcUpsertSink(url: String, table: String, keyCol: String,
-    batchSize: Int = 1000) extends RowSink {
+    batchSize: Int = 1000, orderCol: Option[String] = None) extends RowSink {
 
-  override def write(batch: DataFrame, batchId: Long): Unit = {
+  import org.apache.spark.sql.functions.{col, max, struct}
+
+  /** One deterministic row per key (see class doc). */
+  private def latestPerKey(batch: DataFrame): DataFrame = {
+    val cols = batch.columns.toSeq
+    val rest = cols.filterNot(c => c == keyCol || orderCol.contains(c))
+    val ordered = orderCol.toSeq ++ rest
+    batch.groupBy(col(keyCol))
+      .agg(max(struct(ordered.map(col): _*)).as("_latest"))
+      .select(cols.map(c =>
+        if (c == keyCol) col(keyCol) else col(s"_latest.$c").as(c)): _*)
+  }
+
+  override def write(rawBatch: DataFrame, batchId: Long): Unit = {
+    val batch = latestPerKey(rawBatch)
     val cols = batch.columns.toSeq
     val nonKey = cols.filterNot(_ == keyCol)
     val insCols = cols.mkString(", ")

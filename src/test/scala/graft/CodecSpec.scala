@@ -40,7 +40,11 @@ class CodecSpec extends AnyFunSuite {
     val flat = Gps.flattenIngress(df, Gps.parseIngress($"json"))
     val env = flat.select(Gps.connectEnvelope(flat).as("value")).collect().head.getString(0)
     assert(env.startsWith("""{"schema":{"type":"struct","fields":[{"type":"string","field":"id"},"""))
-    assert(env.contains(""""payload":{"id":"2026-02-06T12:34:56.789Z","deviceId":"dev-42""""))
+    // payload keys: all 8, alphabetical — Go json.Marshal(map) semantics
+    assert(env.contains(""""payload":{"accuracy":4.5,"altitude":1190.2,"deviceId":"dev-42""""))
+    val payloadKeys = """"(\w+)":""".r.findAllMatchIn(
+      env.substring(env.indexOf(""""payload":{""") + 11)).map(_.group(1)).toSeq
+    assert(payloadKeys == payloadKeys.sorted && payloadKeys.size == 8)
     // decode back through the envelope schema: payload survives intact
     val back = spark.createDataset(Seq(env)).toDF("value")
       .select(from_json($"value", Gps.envelopeSchema).getField("payload").as("p"))
@@ -50,6 +54,18 @@ class CodecSpec extends AnyFunSuite {
     val key = Seq("10.0.0.7:51234").toDF("addr")
       .select(Gps.messageKey($"addr")).collect().head.getString(0)
     assert(key == "address-10.0.0.7:51234")
+  }
+
+  test("B.2 envelope: absent ingress fields serialize as Go zero values, all 8 keys") {
+    val sparse =
+      """{"device_id":"d7","location":{"timestamp":"T1","coords":{"latitude":1.5,"longitude":2.5}}}"""
+    val df = Seq((sparse, "a")).toDF("json", "addr")
+    val flat = Gps.flattenIngress(df, Gps.parseIngress($"json"))
+    val env = flat.select(Gps.connectEnvelope(flat).as("value")).collect().head.getString(0)
+    // gjson .Float() of a missing field is 0 — the producer still emits the key
+    assert(env.contains(""""speed":0.0""") && env.contains(""""heading":0.0""") &&
+      env.contains(""""accuracy":0.0""") && env.contains(""""altitude":0.0"""))
+    assert(env.contains(""""latitude":1.5""") && env.contains(""""id":"T1""""))
   }
 
   test("B.3 debezium decode: after-image only, extras tolerated, WKT lon-first") {

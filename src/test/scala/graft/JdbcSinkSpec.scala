@@ -66,4 +66,31 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(cur.count() == 3) // U1,U2,U3 — current state, not history
     assert(cur.filter($"GPS_ID" === "U1").collect().head.getAs[Double]("LATITUDE") == 5.0)
   }
+
+  test("JdbcUpsertSink reduces a batch to one deterministic row per key (ADVICE r1)") {
+    // A batch carrying several rows for one key must MERGE exactly once
+    // with the orderCol winner — concurrent per-partition MERGEs on the
+    // same key would otherwise apply in race order (or deadlock).
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE device_current (dev VARCHAR(16) PRIMARY KEY, " +
+      "seq INT, val DOUBLE)")
+    conn.close()
+    val sink = new graft.streaming.JdbcUpsertSink(
+      url, "device_current", "dev", orderCol = Some("seq"))
+    // 8 rows for the same key across many partitions, out of order
+    val b = Seq(("D1", 3, 3.0), ("D1", 7, 7.0), ("D1", 1, 1.0), ("D1", 5, 5.0),
+      ("D1", 8, 8.0), ("D1", 2, 2.0), ("D2", 1, 10.0), ("D2", 4, 40.0))
+      .toDF("dev", "seq", "val").repartition(8)
+    sink.write(b, 0L)
+    val cur = spark.read.jdbc(url, "device_current", props).collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(cur("D1") == ((8, 8.0))) // latest by seq, not arrival race
+    assert(cur("D2") == ((4, 40.0)))
+    // lower-seq late batch still applies per MERGE semantics (max of batch)
+    sink.write(Seq(("D2", 9, 90.0), ("D2", 6, 60.0)).toDF("dev", "seq", "val"), 1L)
+    val cur2 = spark.read.jdbc(url, "device_current", props)
+      .filter($"DEV" === "D2").collect().head
+    assert(cur2.getInt(1) == 9 && cur2.getDouble(2) == 90.0)
+  }
 }

@@ -30,6 +30,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cands < n * 0.8, s"candidates $cands of $n")
   }
 
+  test("LshSignatures fused kernel reproduces the Column spelling bit-for-bit") {
+    // The fused kernel must keep the exact hash/fold contract of the
+    // reference Column formulation (same xxhash64 chain, same left-fold
+    // order) — otherwise buckets silently shift and recall regresses.
+    val emb = Tables.embeddings(spark, sf).limit(50)
+    val (tables, bits, dims) = (4, 6, 64)
+    val viaKernel = graft.functions.LshSignatures.of(spark, $"embedding", tables, bits)
+    val viaColumns = array((0 until tables).map(t =>
+      AnnLsh.bucketColumnSpelling($"embedding", t, bits, dims)): _*)
+    val mismatches = emb
+      .select(viaKernel.as("k"), viaColumns.as("c"))
+      .filter($"k" =!= $"c").count()
+    assert(mismatches == 0)
+  }
+
   test("AnnIvf: probe-limited search, recall vs brute force, deterministic") {
     import graft.operators.AnnIvf
     val emb = Tables.embeddings(spark, sf)
