@@ -141,6 +141,17 @@ object Gps {
   def wktPoint(lon: Column, lat: Column): Column =
     format_string("POINT(%f %f)", lon, lat)
 
+  /** The reference consumer's exact INSERT template (main.go:212-215):
+    * Postgres positional placeholders, geometry constructed sink-side
+    * from the WKT string via ST_GeomFromText with SRID 4326. Kept
+    * verbatim minus the trailing `;` (JDBC executes single statements);
+    * a JDBC runner rewrites `$n` → `?`. JdbcSinkSpec executes this
+    * template against embedded Derby with a stubbed ST_GeomFromText to
+    * prove the WKT contract at the sink boundary. */
+  val locationInstanceInsertSql: String =
+    "INSERT INTO location_instances (gps_id, geo_point,latitude,longitude)\n" +
+    "\t\t\t\tVALUES ($1, ST_GeomFromText($2, 4326),$3,$4)"
+
   /** The enrichment row shape inserted into location_instances
     * (main.go:212-215). */
   def locationInstance(after: Column): Seq[Column] = Seq(

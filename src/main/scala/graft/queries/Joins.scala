@@ -114,23 +114,39 @@ object Joins {
 
     // As-of join: for each click, the latest view by the same user at or
     // before the click (CDC-motivated: latest fix per device). Spark has
-    // no native ASOF → range-condition left join + row_number, one
-    // shuffle by user_id.
+    // no native ASOF. The r1 range-join + row_number form materialized
+    // every (click × earlier view) candidate pair before filtering — a
+    // hot user inflates that quadratically. This is the scale shape
+    // (VERDICT r1 item 9): union both streams, ONE sort per user, and
+    // carry the latest view forward with last(_, ignoreNulls) — linear
+    // in events, no pair inflation. Views order before clicks at equal
+    // timestamps (q_ts <= t_ts is inclusive); among equal-ts views the
+    // largest event_id wins — both matching the r1 semantics, so the
+    // oracle twin is unchanged.
     "q_join_asof" -> ((s, d) => {
       import s.implicits._
       val e = Tables.events(s, d).withColumn("ts_ms", tsMs($"ts"))
-      val trades = e.filter($"event_type" === "click")
-        .select($"event_id".as("t_event_id"), $"user_id", $"ts_ms".as("t_ts"))
+      val qStructT = "struct<q_event_id:bigint,q_ts:timestamp,q_value:double>"
       val quotes = e.filter($"event_type" === "view")
-        .select($"event_id".as("q_event_id"), $"user_id".as("q_user_id"),
-          $"ts_ms".as("q_ts"), $"value".as("q_value"))
-      val w = Window.partitionBy($"t_event_id")
-        .orderBy($"q_ts".desc, $"q_event_id".desc)
-      trades
-        .join(quotes, $"user_id" === $"q_user_id" && $"q_ts" <= $"t_ts", "left")
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-        .select($"t_event_id", $"user_id", $"t_ts", $"q_event_id", $"q_ts", $"q_value")
+        .select($"user_id", $"ts_ms".as("ts"), lit(0).as("is_click"),
+          $"event_id".as("evt"),
+          struct($"event_id".as("q_event_id"), $"ts_ms".as("q_ts"),
+            $"value".as("q_value")).cast(qStructT).as("q"),
+          lit(null).cast("bigint").as("t_event_id"))
+      val trades = e.filter($"event_type" === "click")
+        .select($"user_id", $"ts_ms".as("ts"), lit(1).as("is_click"),
+          $"event_id".as("evt"),
+          lit(null).cast(qStructT).as("q"),
+          $"event_id".as("t_event_id"))
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".asc, $"is_click".asc, $"evt".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      quotes.unionByName(trades)
+        .withColumn("lastq", last($"q", ignoreNulls = true).over(w))
+        .filter($"is_click" === 1)
+        .select($"t_event_id", $"user_id", $"ts".as("t_ts"),
+          $"lastq.q_event_id".as("q_event_id"), $"lastq.q_ts".as("q_ts"),
+          $"lastq.q_value".as("q_value"))
         .orderBy($"t_event_id")
     }),
 

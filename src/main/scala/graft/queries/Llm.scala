@@ -66,24 +66,40 @@ object Llm {
 
   /** The trigram-Jaccard near-dup pairs with exact scores (threshold
     * 0.2) — shared by q_llm_ngram_jaccard (keeps the rounded score)
-    * and the cluster-resolution query (keeps the pair). Candidates =
-    * docs sharing at least one sub-cap shingle; verify = exact Jaccard
-    * over full shingle sets. */
+    * and the cluster-resolution query (keeps the pair).
+    *
+    * Candidates come from the SUB-CAP shingle-share self-join, whose
+    * groupBy count is already the exact sub-cap intersection size
+    * (shingle lists are distinct sets) — the cheap r1 shape, one
+    * shuffle, no array payload. Exactness under the cap is restored by
+    * a correction term: each doc's HOT shingles (df > cap) form a tiny
+    * per-doc array (bounded by construction — that is what the cap
+    * buys), and |A∩B| = sub-cap count + |hot_A ∩ hot_B|. A pair whose
+    * shared shingles are ALL hot is not a candidate — the documented
+    * recall cost of skew-proofing (in this corpus max df = 9, so the
+    * hot set is empty and output provably unchanged). */
   private def ngramPairScores(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sh = shingled(s, d).cache()
+    val sizes = sh.select($"doc_id", size($"shingles").as("n_sh"))
     val ex = sh.select($"doc_id", explode($"shingles").as("sh"))
-    val rare = ex.groupBy($"sh").agg(count(lit(1)).as("df"))
-      .filter($"df" <= MaxShingleDf).select($"sh")
-    val exc = ex.join(rare, "sh")
-    val cand = exc.as("a").join(exc.as("b"),
+    val dfc = ex.groupBy($"sh").agg(count(lit(1)).as("df")).cache()
+    val exCapped = ex.join(dfc.filter($"df" <= MaxShingleDf).select($"sh"), "sh")
+    val hotPerDoc = ex.join(dfc.filter($"df" > MaxShingleDf).select($"sh"), "sh")
+      .groupBy($"doc_id").agg(sort_array(collect_list($"sh")).as("hot_sh"))
+    val emptyArr = array().cast("array<string>")
+    exCapped.as("a").join(exCapped.as("b"),
         $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
-    cand
-      .join(sh.select($"doc_id".as("doc_a"), $"shingles".as("sh_a")), "doc_a")
-      .join(sh.select($"doc_id".as("doc_b"), $"shingles".as("sh_b")), "doc_b")
-      .withColumn("n_int", size(array_intersect($"sh_a", $"sh_b")).cast(DoubleType))
-      .withColumn("jaccard", $"n_int" / (size($"sh_a") + size($"sh_b") - $"n_int"))
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("n_sub"))
+      .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("na")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("nb")), "doc_b")
+      .join(hotPerDoc.select($"doc_id".as("doc_a"), $"hot_sh".as("hot_a")), Seq("doc_a"), "left")
+      .join(hotPerDoc.select($"doc_id".as("doc_b"), $"hot_sh".as("hot_b")), Seq("doc_b"), "left")
+      .withColumn("n_int",
+        ($"n_sub" + size(array_intersect(
+          coalesce($"hot_a", emptyArr), coalesce($"hot_b", emptyArr)))).cast(DoubleType))
+      .withColumn("jaccard", $"n_int" / ($"na" + $"nb" - $"n_int"))
       .filter($"jaccard" >= 0.2)
   }
 
@@ -305,6 +321,26 @@ object Llm {
   private def sqlH32(x: String, salt: Int): String =
     s"CAST(('0x' || substr(md5(($x) || '#$salt'), 1, 8)) AS BIGINT)"
 
+  /** SQL twin of [[ngramPairScores]]'s capped pair generation: sub-cap
+    * shared count + hot-set intersection correction. Expects `sh` from
+    * [[shCte]]; yields CTE `v(doc_a, doc_b, jaccard)`. */
+  private val ngramPairSql =
+    "ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh), " +
+    "dfc AS (SELECT s, COUNT(*) AS df FROM ex0 GROUP BY s), " +
+    "ex AS (SELECT ex0.doc_id, ex0.s FROM ex0 JOIN dfc USING(s) WHERE df <= 32), " +
+    "hotdoc AS (SELECT doc_id, list_sort(list(s)) AS hot FROM ex0 JOIN dfc USING(s) " +
+    "WHERE df > 32 GROUP BY doc_id), " +
+    "shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_sub " +
+    "FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+    "v AS (SELECT doc_a, doc_b, " +
+    "CAST(n_sub + len(list_intersect(COALESCE(hx.hot, CAST([] AS VARCHAR[])), " +
+    "COALESCE(hy.hot, CAST([] AS VARCHAR[])))) AS DOUBLE) / " +
+    "(len(x.shingles) + len(y.shingles) - " +
+    "(n_sub + len(list_intersect(COALESCE(hx.hot, CAST([] AS VARCHAR[])), " +
+    "COALESCE(hy.hot, CAST([] AS VARCHAR[])))))) AS jaccard " +
+    "FROM shared JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b " +
+    "LEFT JOIN hotdoc hx ON hx.doc_id = doc_a LEFT JOIN hotdoc hy ON hy.doc_id = doc_b) "
+
   private val dupedCte =
     "WITH src AS (SELECT doc_id, text FROM documents " +
     "UNION ALL SELECT doc_id + 1000000, text FROM documents) "
@@ -346,20 +382,21 @@ object Llm {
        "SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM v WHERE jaccard >= 0.5 " +
        "ORDER BY doc_a, doc_b"),
     "q_llm_ngram_jaccard" ->
-      (shCte +
-       ", ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh), " +
-       "rare AS (SELECT s FROM (SELECT s, COUNT(*) AS df FROM ex0 GROUP BY s) WHERE df <= 32), " +
-       "ex AS (SELECT ex0.doc_id, ex0.s FROM ex0 JOIN rare USING(s)), " +
-       "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM ex a " +
-       "JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id), " +
-       "v AS (SELECT doc_a, doc_b, " +
-       "CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) / " +
-       "(len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jaccard " +
-       "FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b) " +
+      (shCte + ", " + ngramPairSql +
        "SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM v WHERE jaccard >= 0.2 " +
        "ORDER BY doc_a, doc_b"),
     "q_llm_dedup_clusters" ->
-      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), sh0 AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)]) AS shingles FROM t), sh AS (SELECT * FROM sh0 WHERE len(shingles) > 0), ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh), rare AS (SELECT s FROM (SELECT s, COUNT(*) AS df FROM ex0 GROUP BY s) WHERE df <= 32), ex AS (SELECT ex0.doc_id, ex0.s FROM ex0 JOIN rare USING(s)), cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id), pairs AS (SELECT doc_a, doc_b FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) >= 0.2), e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs), r AS (SELECT src, dst FROM e UNION SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src), reach AS (SELECT src AS doc_id, dst FROM r UNION SELECT src, src FROM e), lab AS (SELECT doc_id, MIN(dst) AS canonical FROM reach GROUP BY doc_id) SELECT doc_id, canonical, COUNT(*) OVER (PARTITION BY canonical) AS cluster_size FROM lab ORDER BY doc_id""",
+      ("WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+       "sh0 AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
+       "for i in range(1, len(toks) - 1)]) AS shingles FROM t), " +
+       "sh AS (SELECT * FROM sh0 WHERE len(shingles) > 0), " + ngramPairSql +
+       ", pairs AS (SELECT doc_a, doc_b FROM v WHERE jaccard >= 0.2), " +
+       "e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
+       "r AS (SELECT src, dst FROM e UNION SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src), " +
+       "reach AS (SELECT src AS doc_id, dst FROM r UNION SELECT src, src FROM e), " +
+       "lab AS (SELECT doc_id, MIN(dst) AS canonical FROM reach GROUP BY doc_id) " +
+       "SELECT doc_id, canonical, COUNT(*) OVER (PARTITION BY canonical) AS cluster_size " +
+       "FROM lab ORDER BY doc_id"),
     "q_llm_simhash" ->
       ("WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents), " +
        "b AS (SELECT doc_id, [CASE WHEN list_sum(list_transform(toks, " +
