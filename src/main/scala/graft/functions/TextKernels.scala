@@ -46,6 +46,40 @@ object TextKernelOps {
     new GenericArrayData(out)
   }
 
+  /** 32-bit SimHash of a string set: bit b is set when the ±1 vote sum
+    * over elements of bit b of h32(x) is positive, where h32(x) = the
+    * unsigned 32-bit big-endian first word of md5(x + "#0") — exactly
+    * the repo's portable h32(x, salt=0), so the DuckDB twin reproduces
+    * it digit-for-digit. Vote sums are order-independent integers →
+    * deterministic under any partitioning. */
+  def simHash32(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Int](32)
+    val md = md5.get()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      md.update(arr.getUTF8String(i).getBytes)
+      md.update(suffixes(0))
+      val digest = md.digest()
+      val v = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+        ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+      var b = 0
+      while (b < 32) {
+        counts(b) += (if (((v >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 32) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   /** 16 MinHash values: slot s = min over shingles of the (s%4)-th
     * unsigned 32-bit big-endian word of md5(sh + "#" + s/4). The UTF-8
     * bytes come straight off the UTF8String (no toString round-trip) —
@@ -113,6 +147,25 @@ case class TriShingles(child: Expression)
     copy(child = newChild)
 }
 
+/** 32-bit SimHash of a string-set column (see TextKernelOps.simHash32). */
+case class SimHash32(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernelOps.simHash32(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernelOps.simHash32($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
 /** 16 MinHash values of a shingle set: slot s = min over shingles of
   * the (s%4)-th unsigned 32-bit big-endian word of md5(sh + "#" + s/4). */
 case class MinHashSig(child: Expression)
@@ -139,6 +192,13 @@ object TextKernels {
       "tri_shingles", exprs => TriShingles(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSig(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash32", exprs => SimHash32(exprs.head), "built-in")
+  }
+
+  def simHash32(spark: SparkSession, set: Column): Column = {
+    register(spark)
+    call_function("simhash32", set)
   }
 
   def triShingles(spark: SparkSession, text: Column): Column = {

@@ -27,10 +27,14 @@ object DedupClusters {
     val p = pairs.cache()
     val nEdges = p.count()
     val parts = math.max(1, (nEdges / 100000L).toInt)
+    // Union-find consumes undirected pairs directly — no symmetric
+    // union, no distinct (duplicates are harmless), one less shuffle.
+    if (parts == 1)
+      return resolveLocal(spark,
+        p.select(col("doc_a").as("src"), col("doc_b").as("dst")).repartition(1))
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().repartition(parts).cache()
-    if (parts == 1) return resolveLocal(spark, edges)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("lab", col("doc_id")).cache()
     var changed = 1L

@@ -201,19 +201,41 @@ object Llm {
         .orderBy($"doc_id")
     }),
 
-    // SimHash (32-bit) from md5 token hashes — codegen-friendly
-    // unrolled bit loop, no explode.
+    // SimHash (32-bit) from md5 token hashes — fused SimHash32 kernel
+    // (one pass per doc; the r1 form ran a 32-way unrolled stack of
+    // interpreted aggregate() HOFs per row).
     "q_llm_simhash" -> ((s, d) => {
       import s.implicits._
-      val toks = array_distinct(split($"text", " "))
-      def bitSum(b: Int): Column =
-        aggregate(toks, lit(0),
-          (acc, t) => acc + when(shiftrightunsigned(h32(t, 0), b) % 2 === 1, 1).otherwise(-1))
-      val simhash = (0 until 32).map(b =>
-        when(bitSum(b) > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
       Tables.documents(s, d)
-        .select($"doc_id", simhash.as("simhash"))
+        .select($"doc_id",
+          TextKernels.simHash32(s, array_distinct(split($"text", " "))).as("simhash"))
         .orderBy($"doc_id")
+    }),
+
+    // SimHash near-dup pairs over SHINGLE sets (tokens don't
+    // discriminate on this corpus: hamming<=3 covers 25% of all token
+    // pairs, vs ~22 planted shingle pairs at sf0.01 — measured). 4
+    // bands × 8 bits: a pair within hamming 3 differs in at most 3
+    // bands, so by pigeonhole it shares at least one band — the banded
+    // equi-join is EXACT for the <=3 operating point, not approximate.
+    // Verify = bit_count(xor) on candidates. One kernel pass, one
+    // band-keyed shuffle — no all-pairs anywhere.
+    "q_llm_simhash_neardup" -> ((s, d) => {
+      import s.implicits._
+      val sim = shingled(s, d)
+        .select($"doc_id", TextKernels.simHash32(s, $"shingles").as("simhash"))
+      val bands = sim.select($"doc_id", $"simhash",
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned($"simhash", 8 * b).bitwiseAND(lit(255L)).as("bkey"))): _*)).as("tb"))
+        .select($"doc_id", $"simhash", $"tb.band", $"tb.bkey")
+      bands.as("a").join(bands.as("b"),
+          $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+          bit_count($"a.simhash".bitwiseXOR($"b.simhash")).cast(LongType).as("hamming"))
+        .distinct()
+        .filter($"hamming" <= 3)
+        .orderBy($"doc_a", $"doc_b")
     }),
 
     // Brute-force cosine top-k of a fixed query vector (vec_id 0).
@@ -403,6 +425,19 @@ object Llm {
        "x -> CASE WHEN (" + sqlH32("x", 0) + " >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
        "THEN CAST(1 AS BIGINT) << b ELSE 0 END for b in range(0, 32)] AS bits FROM t) " +
        "SELECT doc_id, CAST(list_sum(bits) AS BIGINT) AS simhash FROM b ORDER BY doc_id"),
+    "q_llm_simhash_neardup" ->
+      (shCte +
+       ", bb AS (SELECT doc_id, [CASE WHEN list_sum(list_transform(shingles, " +
+       "x -> CASE WHEN (" + sqlH32("x", 0) + " >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
+       "THEN CAST(1 AS BIGINT) << b ELSE 0 END for b in range(0, 32)] AS bits FROM sh), " +
+       "sim AS (SELECT doc_id, CAST(list_sum(bits) AS BIGINT) AS simhash FROM bb), " +
+       "bands AS (SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS band FROM sim), " +
+       "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+       "a.simhash AS sa, b.simhash AS sb FROM bands a JOIN bands b " +
+       "ON a.band = b.band AND ((a.simhash >> (8 * a.band)) & 255) = ((b.simhash >> (8 * b.band)) & 255) " +
+       "AND a.doc_id < b.doc_id) " +
+       "SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming " +
+       "FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY doc_a, doc_b"),
     "q_llm_knn_cosine" ->
       ("WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0), " +

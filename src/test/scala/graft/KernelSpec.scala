@@ -76,6 +76,20 @@ class KernelSpec extends AnyFunSuite {
     assert(row.getLong(0) == row.getLong(1))
   }
 
+  test("SimHash32 == 32-way aggregate() vote-sum composition, bit-for-bit") {
+    // the r1 q_llm_simhash spelling (and still the DuckDB twin's shape)
+    val toks = array_distinct(split($"text", " "))
+    def bitSum(b: Int) =
+      aggregate(toks, lit(0), (acc, t) =>
+        acc + when(shiftrightunsigned(Llm.h32(t, 0), b) % 2 === 1, 1).otherwise(-1))
+    val hof = (0 until 32).map(b =>
+      when(bitSum(b) > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    val rows = Tables.documents(spark, sf).limit(100)
+      .select(TextKernels.simHash32(spark, toks).as("kernel"), hof.as("hof")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("approx_count_distinct within declared rsd of exact (engine-only op)") {
     val li = Tables.lineitem(spark, sf)
     val exact = li.select(countDistinct($"l_partkey")).collect().head.getLong(0)
