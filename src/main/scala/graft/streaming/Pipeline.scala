@@ -122,6 +122,30 @@ object Pipeline {
     fixes.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("id")
 
+  /** Stream-stream interval join: each fix is enriched with the device
+    * status events observed in the lag window [fix.ts − maxLag,
+    * fix.ts]. Both sides carry watermarks AND the join condition bounds
+    * event time on both sides, so Spark can expire join state — the
+    * two requirements that make a stream-stream join runnable with
+    * bounded memory at 100 TB (an unbounded-state join is refused by
+    * the engine in append mode). Inner join: fixes with no status in
+    * the window are dropped; use leftOuter for the keep-all variant
+    * (emitted only after watermark passes). */
+  def fixesWithStatus(fixes: DataFrame, status: DataFrame,
+      watermark: String = "10 minutes", maxLag: String = "5 minutes",
+      joinType: String = "inner"): DataFrame = {
+    val f = fixes.withWatermark("ts", watermark)
+    val st = status
+      .select(col("deviceId").as("s_deviceId"), col("ts").as("s_ts"), col("status"))
+      .withWatermark("s_ts", watermark)
+    f.join(st,
+      col("deviceId") === col("s_deviceId") &&
+        col("s_ts") >= col("ts") - expr(s"INTERVAL $maxLag") &&
+        col("s_ts") <= col("ts"),
+      joinType)
+      .drop("s_deviceId")
+  }
+
   /** Session windows per device (30 min gap) — streaming twin of
     * q_stream_session_twin's lag+cumsum batch form. */
   def sessionStats(fixes: DataFrame, gap: String = "30 minutes",

@@ -46,10 +46,13 @@ class StreamingPipelineSpec extends AnyFunSuite {
         batch.collect().foreach(r => seen.add(r.mkString("|")))
     }
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    // data must be in the stream BEFORE start: AvailableNow snapshots
+    // the available offsets at query start (addData-after-start is a
+    // race that passed only by timing luck)
+    in.addData(dbz)
     val q = Pipeline.start(
       Pipeline.cdcToLocationInstances(in.toDF.toDF("value")), sink, ckpt,
       org.apache.spark.sql.streaming.Trigger.AvailableNow())
-    in.addData(dbz)
     q.awaitTermination()
     assert(seen.size() == 1)
     assert(seen.peek() == "T1|POINT(2.500000 1.500000)|1.5|2.5")
@@ -96,6 +99,29 @@ class StreamingPipelineSpec extends AnyFunSuite {
     val n = spark.table("dd_out").count()
     q.stop()
     assert(n == 2) // A once, B once
+  }
+
+  test("stream-stream interval join enriches fixes with in-window status only") {
+    val fixIn = MemoryStream[(Timestamp, String, Double)]
+    val stIn = MemoryStream[(Timestamp, String, String)]
+    val joined = Pipeline.fixesWithStatus(
+      fixIn.toDF.toDF("ts", "deviceId", "speed"),
+      stIn.toDF.toDF("ts", "deviceId", "status"),
+      watermark = "10 minutes", maxLag = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    stIn.addData(
+      (ts("2024-01-01 00:00:30"), "d1", "ok"),      // within 5 min of the fix
+      (ts("2024-01-01 00:04:00"), "d1", "degraded"), // also within
+      (ts("2023-12-31 23:50:00"), "d1", "stale"),    // outside the lag window
+      (ts("2024-01-01 00:03:00"), "d2", "other-device"))
+    fixIn.addData((ts("2024-01-01 00:05:00"), "d1", 42.0))
+    q.processAllAvailable()
+    val rows = spark.table("ssj_out").collect()
+      .map(r => (r.getAs[String]("deviceId"), r.getAs[String]("status"))).sorted
+    q.stop()
+    // exactly the two in-window statuses for d1 — stale and cross-device dropped
+    assert(rows.toSeq == Seq(("d1", "degraded"), ("d1", "ok")))
   }
 
   test("dead-letter split quarantines malformed and incomplete records") {
