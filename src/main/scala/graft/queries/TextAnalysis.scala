@@ -161,7 +161,10 @@ object TextAnalysis {
       val p = Tables.part(s, d).select($"p_partkey", $"p_brand", $"p_type", $"p_name")
       p.as("a").join(p.as("b"),
           $"a.p_brand" === $"b.p_brand" && $"a.p_type" === $"b.p_type" &&
-          $"a.p_partkey" < $"b.p_partkey")
+          $"a.p_partkey" < $"b.p_partkey" &&
+          // free prune: |len(a)−len(b)| > 3 ⟹ lev > 3, skips the
+          // O(len²) levenshtein for most in-block pairs
+          abs(length($"a.p_name") - length($"b.p_name")) <= 3)
         .withColumn("lev", levenshtein($"a.p_name", $"b.p_name").cast("long"))
         .filter($"lev" <= 3)
         .select($"a.p_partkey".as("part_a"), $"b.p_partkey".as("part_b"), $"lev")
