@@ -50,6 +50,29 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("SimHash32: permutation-invariant (vote sums are order-independent)") {
+    val setGen = Gen.nonEmptyListOf(Gen.identifier).map(_.distinct)
+    check(Prop.forAll(setGen) { xs =>
+      val perm = scala.util.Random.shuffle(xs)
+      val Array(h1, h2) = Seq(Tuple1(xs), Tuple1(perm)).toDF("s")
+        .select(graft.functions.TextKernels.simHash32(spark, $"s"))
+        .collect().map(_.getLong(0))
+      h1 == h2
+    })
+  }
+
+  test("simhash banding is pigeonhole-exact: hamming<=3 pairs always share a band") {
+    // the correctness argument behind q_llm_simhash_neardup's candidate
+    // join — checked directly on random 32-bit values with <=3 flips
+    val baseGen = Gen.choose(0L, 0xffffffffL)
+    val flipsGen = Gen.choose(0, 3).flatMap(n => Gen.listOfN(n, Gen.choose(0, 31)))
+    check(Prop.forAll(baseGen, flipsGen) { (a, flips) =>
+      val b = flips.foldLeft(a)((acc, i) => acc ^ (1L << i))
+      val sharesBand = (0 until 4).exists(t => ((a >>> (8 * t)) & 255) == ((b >>> (8 * t)) & 255))
+      java.lang.Long.bitCount(a ^ b) > 3 || sharesBand
+    })
+  }
+
   test("union-all count additivity") {
     check(Prop.forAll(Gen.listOf(Gen.choose(0, 100)), Gen.listOf(Gen.choose(0, 100))) {
       (a, b) =>
