@@ -81,8 +81,11 @@ object Llm {
   private def ngramPairScores(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sh = shingled(s, d).cache()
-    val sizes = sh.select($"doc_id", size($"shingles").as("n_sh"))
-    val ex = sh.select($"doc_id", explode($"shingles").as("sh"))
+    // n_sh rides through the explode so the pair aggregate can emit
+    // na/nb directly (max of a per-doc constant) — two fewer joins
+    // than a separate sizes relation.
+    val ex = sh.select($"doc_id", size($"shingles").as("n_sh"),
+      explode($"shingles").as("sh"))
     val dfc = ex.groupBy($"sh").agg(count(lit(1)).as("df")).cache()
     val exCapped = ex.join(dfc.filter($"df" <= MaxShingleDf).select($"sh"), "sh")
     val hotPerDoc = ex.join(dfc.filter($"df" > MaxShingleDf).select($"sh"), "sh")
@@ -91,9 +94,8 @@ object Llm {
     exCapped.as("a").join(exCapped.as("b"),
         $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .agg(count(lit(1)).as("n_sub"))
-      .join(sizes.select($"doc_id".as("doc_a"), $"n_sh".as("na")), "doc_a")
-      .join(sizes.select($"doc_id".as("doc_b"), $"n_sh".as("nb")), "doc_b")
+      .agg(count(lit(1)).as("n_sub"),
+        max($"a.n_sh").as("na"), max($"b.n_sh").as("nb"))
       .join(hotPerDoc.select($"doc_id".as("doc_a"), $"hot_sh".as("hot_a")), Seq("doc_a"), "left")
       .join(hotPerDoc.select($"doc_id".as("doc_b"), $"hot_sh".as("hot_b")), Seq("doc_b"), "left")
       .withColumn("n_int",
@@ -101,6 +103,11 @@ object Llm {
           coalesce($"hot_a", emptyArr), coalesce($"hot_b", emptyArr)))).cast(DoubleType))
       .withColumn("jaccard", $"n_int" / ($"na" + $"nb" - $"n_int"))
       .filter($"jaccard" >= 0.2)
+      // post-threshold relation is tiny (near-dup mass, ~10^2 rows per
+      // 5k docs); caching it here lets ngram_jaccard and dedup_clusters
+      // share one materialization of the whole pair pipeline (identical
+      // plan → same cache entry)
+      .cache()
   }
 
   /** doc_id, shingles for docs with at least one shingle. */

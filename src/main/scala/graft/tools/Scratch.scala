@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Dev scratchpad for isolating perf of query stages. */
 object Scratch {
@@ -12,7 +11,6 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    import spark.implicits._
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.1"
 
@@ -21,20 +19,36 @@ object Scratch {
       println(f"SCRATCH $label rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
 
-    val sh = graft.queries.Llm.shingledPub(spark, d)
-    time("shingled.count")(sh.count())
-    val ex = sh.select($"doc_id", explode($"shingles").as("sh"))
-    time("explode.count")(ex.count())
-    time("selfjoin.count")(
-      ex.as("a").join(ex.as("b"), $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id").count())
-    time("cand.agg.count")(
-      ex.as("a").join(ex.as("b"), $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
-        .groupBy($"a.doc_id", $"b.doc_id").agg(count(lit(1))).count())
-    // hash-based shingles instead of strings
-    val exh = sh.select($"doc_id", explode(expr("transform(shingles, x -> xxhash64(x))")).as("sh"))
-    time("explode.hash.count")(exh.count())
-    time("selfjoin.hash.count")(
-      exh.as("a").join(exh.as("b"), $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id").count())
+    // untimed warmup (JVM + parquet footers)
+    graft.Tables.documents(spark, d).count()
+
+
+    // fine-grained pipeline decomposition
+    {
+      import org.apache.spark.sql.functions._
+      val sh = graft.queries.Llm.shingledPub(spark, d)
+      time("shingled.count")(sh.count())
+      val ex = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"),
+        explode(col("shingles")).as("sh"))
+      time("explode.count")(ex.count())
+      val dfc = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      time("dfc.count")(dfc.count())
+      val exCapped = ex.join(dfc.filter(col("df") <= 32).select(col("sh")), "sh")
+      time("exCapped.count")(exCapped.count())
+      val shared = exCapped.as("a").join(exCapped.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_sub"))
+      time("shared.count")(shared.count())
+    }
+    // dedup_clusters decomposition: ngram first (pays the pair
+    // pipeline), then dedup (should be CC + window only)
+    time("ngram_jaccard (pays pair pipeline)")(
+      graft.SparkEntry.queries("q_llm_ngram_jaccard")(spark, d).count())
+    time("dedup_clusters (CC + window on top)")(
+      graft.SparkEntry.queries("q_llm_dedup_clusters")(spark, d).count())
+    time("dedup_clusters again (all warm)")(
+      graft.SparkEntry.queries("q_llm_dedup_clusters")(spark, d).count())
     spark.stop()
   }
 }
