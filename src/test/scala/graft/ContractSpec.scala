@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.types.{ArrayType, MapType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants — the failure classes that cost green
+  * CORRECTNESS rows in round 1 must be structurally impossible to
+  * reintroduce. */
+class ContractSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("oracle keys ⊆ query keys; only the documented engine-only op lacks an oracle") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert((os -- qs).isEmpty, s"oracles without queries: ${os -- qs}")
+    // rows-only by design: approx_count_distinct is not hash-stable vs DuckDB
+    assert((qs -- os) == Set("q_agg_approx_distinct"), s"undeclared engine-only: ${qs -- os}")
+  }
+
+  test("no declared query outputs array/map-typed columns (driver harness cannot hash them)") {
+    // CORRECTNESS_r01: pandas sort_values crashes on ndarray cells —
+    // three queries lost their green rows to this. Array ops must end
+    // in a serialized projection.
+    for ((name, fn) <- SparkEntry.queries) {
+      val schema = fn(spark, sf).schema
+      schema.fields.foreach { f =>
+        assert(!f.dataType.isInstanceOf[ArrayType] && !f.dataType.isInstanceOf[MapType],
+          s"$name.${f.name}: ${f.dataType.simpleString}")
+      }
+    }
+  }
+
+  test("every query ends deterministically: rerun produces identical rows") {
+    // spot-check the queries with the most nondeterminism surface
+    // (joins with ties, sampled estimators, CC resolution)
+    for (name <- Seq("q_join_asof", "q_llm_pairwise_label_sim",
+        "q_llm_dedup_clusters", "q_llm_simhash_neardup", "q_topk_pergroup")) {
+      val a = SparkEntry.queries(name)(spark, sf).collect().toSeq
+      val b = SparkEntry.queries(name)(spark, sf).collect().toSeq
+      assert(a == b, s"$name not stable across reruns")
+    }
+  }
+}
