@@ -45,6 +45,10 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect().head.getLong(0)
       assert(row.getLong(1) == viaCode)
       assert(row.getDouble(3) == 1.5 * 2.0 + 2.0 * 3.0)
+      val sigs = spark.sql(
+        "SELECT lsh_signatures(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT)), 4, 6) AS s")
+        .collect().head.getSeq[Long](0)
+      assert(sigs.length == 4 && sigs.forall(s => s >= 0 && s < 64))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
