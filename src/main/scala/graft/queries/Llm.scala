@@ -110,6 +110,40 @@ object Llm {
       .cache()
   }
 
+  /** MinHash-LSH verified near-dup pairs (jaccard ≥ 0.5), carrying both
+    * docs' signature slots (xs0..15 / ys0..15) — shared by
+    * q_llm_minhash_neardup (pair + exact score) and
+    * q_llm_minhash_estimate (adds the slot-match estimator). Cached
+    * post-verify: the relation is tiny (near-dup mass). */
+  private def minhashVerified(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = shingled(s, d).cache()
+    val sigs = sh
+      .select($"doc_id", TextKernels.minhashSig(s, $"shingles").as("sig"))
+      .select(
+        ($"doc_id" +: (0 until 16).map(i => element_at($"sig", i + 1).as(s"s$i"))): _*)
+    val bands = sigs.select(($"doc_id" +: (0 until 16).map(i => col(s"s$i"))) :+
+      explode(array((0 until 4).map(b =>
+        concat_ws("_", lit(b.toString),
+          col(s"s${4 * b}").cast(StringType), col(s"s${4 * b + 1}").cast(StringType),
+          col(s"s${4 * b + 2}").cast(StringType), col(s"s${4 * b + 3}").cast(StringType))): _*))
+        .as("band"): _*)
+    val cand = bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
+      .select(($"a.doc_id".as("doc_a") +: $"b.doc_id".as("doc_b") +:
+        ((0 until 16).map(i => col(s"a.s$i").as(s"xs$i")) ++
+          (0 until 16).map(i => col(s"b.s$i").as(s"ys$i")))): _*)
+      .distinct()
+    cand
+      .join(sh.select($"doc_id".as("doc_a"), $"shingles".as("sh_a")), "doc_a")
+      .join(sh.select($"doc_id".as("doc_b"), $"shingles".as("sh_b")), "doc_b")
+      .withColumn("n_int", size(array_intersect($"sh_a", $"sh_b")).cast(DoubleType))
+      .withColumn("jaccard",
+        $"n_int" / (size($"sh_a") + size($"sh_b") - $"n_int"))
+      .filter($"jaccard" >= 0.5)
+      .cache()
+  }
+
   /** doc_id, shingles for docs with at least one shingle. */
   def shingledPub(s: SparkSession, d: String): DataFrame = shingled(s, d)
 
@@ -161,27 +195,24 @@ object Llm {
     // 4 bands of 4 → band-bucket join → exact-Jaccard verify ≥ 0.5.
     "q_llm_minhash_neardup" -> ((s, d) => {
       import s.implicits._
-      val sh = shingled(s, d).cache()
-      val sigs = sh
-        .select($"doc_id", TextKernels.minhashSig(s, $"shingles").as("sig"))
-        .select(
-          ($"doc_id" +: (0 until 16).map(i => element_at($"sig", i + 1).as(s"s$i"))): _*)
-      val bands = sigs.select($"doc_id", explode(array((0 until 4).map(b =>
-        concat_ws("_", lit(b.toString),
-          col(s"s${4 * b}").cast(StringType), col(s"s${4 * b + 1}").cast(StringType),
-          col(s"s${4 * b + 2}").cast(StringType), col(s"s${4 * b + 3}").cast(StringType))): _*))
-        .as("band"))
-      val cand = bands.as("a").join(bands.as("b"),
-          $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
-      val verified = cand
-        .join(sh.select($"doc_id".as("doc_a"), $"shingles".as("sh_a")), "doc_a")
-        .join(sh.select($"doc_id".as("doc_b"), $"shingles".as("sh_b")), "doc_b")
-        .withColumn("n_int", size(array_intersect($"sh_a", $"sh_b")).cast(DoubleType))
-        .withColumn("jaccard",
-          $"n_int" / (size($"sh_a") + size($"sh_b") - $"n_int"))
-        .filter($"jaccard" >= 0.5)
-      verified.select($"doc_a", $"doc_b", round($"jaccard", 6).as("jaccard"))
+      minhashVerified(s, d)
+        .select($"doc_a", $"doc_b", round($"jaccard", 6).as("jaccard"))
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
+    // MinHash Jaccard ESTIMATION next to the exact value — the
+    // calibration evidence for the LSH layer: est = matching signature
+    // slots / 16, an unbiased estimator of Jaccard (each md5-minhash
+    // slot matches with probability J). Deterministic md5 hashes make
+    // even the estimate hash-checkable against the oracle.
+    "q_llm_minhash_estimate" -> ((s, d) => {
+      import s.implicits._
+      val est = (0 until 16)
+        .map(i => when(col(s"xs$i") === col(s"ys$i"), 1).otherwise(0))
+        .reduce(_ + _).cast(DoubleType) / 16.0
+      minhashVerified(s, d)
+        .select($"doc_a", $"doc_b",
+          round(est, 6).as("est_jaccard"), round($"jaccard", 6).as("jaccard"))
         .orderBy($"doc_a", $"doc_b")
     }),
 
@@ -350,6 +381,26 @@ object Llm {
   private def sqlH32(x: String, salt: Int): String =
     s"CAST(('0x' || substr(md5(($x) || '#$salt'), 1, 8)) AS BIGINT)"
 
+  /** SQL twin of [[minhashVerified]]'s candidate generation: sig slots,
+    * 4 bands, distinct band-share pairs. Expects `sh` from [[shCte]];
+    * yields CTEs `sig(doc_id, shingles, s0..s15)` and
+    * `cand(doc_a, doc_b)`. */
+  private val minhashCandSql =
+    "sig AS (SELECT doc_id, shingles, " +
+    (0 until 16).map { i =>
+      val j = i / 4; val k = i % 4
+      s"list_min(list_transform(shingles, x -> " +
+      s"CAST(('0x' || substr(md5(x || '#$j'), ${1 + 8 * k}, 8)) AS BIGINT))) AS s$i"
+    }.mkString(", ") +
+    " FROM sh), " +
+    "bands AS (SELECT doc_id, unnest([" +
+    (0 until 4).map(b =>
+      s"'$b' || '_' || CAST(s${4 * b} AS VARCHAR) || '_' || CAST(s${4 * b + 1} AS VARCHAR) || '_' || " +
+      s"CAST(s${4 * b + 2} AS VARCHAR) || '_' || CAST(s${4 * b + 3} AS VARCHAR)").mkString(", ") +
+    "]) AS band FROM sig), " +
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
+    "JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)"
+
   /** SQL twin of [[ngramPairScores]]'s capped pair generation: sub-cap
     * shared count + hot-set intersection correction. Expects `sh` from
     * [[shCte]]; yields CTE `v(doc_a, doc_b, jaccard)`. */
@@ -389,27 +440,24 @@ object Llm {
        "SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_copies, norm_hash " +
        "FROM n GROUP BY norm_hash ORDER BY keeper"),
     "q_llm_minhash_neardup" ->
-      (shCte +
-       ", sig AS (SELECT doc_id, shingles, " +
-       (0 until 16).map { i =>
-         val j = i / 4; val k = i % 4
-         s"list_min(list_transform(shingles, x -> " +
-         s"CAST(('0x' || substr(md5(x || '#$j'), ${1 + 8 * k}, 8)) AS BIGINT))) AS s$i"
-       }.mkString(", ") +
-       " FROM sh), " +
-       "bands AS (SELECT doc_id, unnest([" +
-       (0 until 4).map(b =>
-         s"'$b' || '_' || CAST(s${4 * b} AS VARCHAR) || '_' || CAST(s${4 * b + 1} AS VARCHAR) || '_' || " +
-         s"CAST(s${4 * b + 2} AS VARCHAR) || '_' || CAST(s${4 * b + 3} AS VARCHAR)").mkString(", ") +
-       "]) AS band FROM sig), " +
-       "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
-       "JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id), " +
-       "v AS (SELECT doc_a, doc_b, " +
+      (shCte + ", " + minhashCandSql +
+       ", v AS (SELECT doc_a, doc_b, " +
        "CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) / " +
        "(len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jaccard " +
-       "FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b) " +
+       "FROM cand JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b) " +
        "SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM v WHERE jaccard >= 0.5 " +
        "ORDER BY doc_a, doc_b"),
+    "q_llm_minhash_estimate" ->
+      (shCte + ", " + minhashCandSql +
+       ", v AS (SELECT doc_a, doc_b, " +
+       "CAST((" + (0 until 16).map(i =>
+         s"CASE WHEN x.s$i = y.s$i THEN 1 ELSE 0 END").mkString(" + ") +
+       ") AS DOUBLE) / 16.0 AS est, " +
+       "CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) / " +
+       "(len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jaccard " +
+       "FROM cand JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b) " +
+       "SELECT doc_a, doc_b, round(est, 6) AS est_jaccard, round(jaccard, 6) AS jaccard " +
+       "FROM v WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"),
     "q_llm_ngram_jaccard" ->
       (shCte + ", " + ngramPairSql +
        "SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM v WHERE jaccard >= 0.2 " +
