@@ -1,0 +1,72 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured scaling evidence for the operators whose 100 TB story is
+  * "linear in the input": time them at 1×/2×/4× the sf0.1 corpus and
+  * print the growth ratios. Scaled copies rename every token with a
+  * per-copy suffix (and shift ids), so no shingle/minhash/simhash
+  * content collides across copies — the per-copy near-dup structure is
+  * preserved and the INPUT grows k× without adversarial duplication
+  * (naively unioning identical copies would turn every dup group into
+  * k² pairs and measure a different algorithm). Events scale by
+  * shifting user_id, preserving per-user series shape.
+  *
+  * The quadratic-by-design ops (embed_neardup exact pairs, ngram pair
+  * mass) are intentionally absent — their growth is documented, not
+  * disputed; this probe pins the family that must stay linear.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+
+    def scaledDocs(k: Int): DataFrame = {
+      val base = graft.Tables.documents(spark, src)
+      (0 until k).map { c =>
+        base.select(
+          (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+          concat_ws(" ", transform(split(col("text"), " "),
+            t => concat(t, lit(s"_$c")))).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+    }
+
+    def scaledEvents(k: Int): DataFrame = {
+      // Tables.t sets nanosAsLong for the TIMESTAMP(NANOS) ts column;
+      // the rewritten copy stores ts as a plain ns-long, which the
+      // same loader (and Determinism.msEpoch) handles identically
+      val base = graft.Tables.t(spark, src, "events")
+      (0 until k).map { c =>
+        base.withColumn("user_id", col("user_id") + lit(c * 1000000L))
+          .withColumn("event_id", col("event_id") + lit(c * 100000000L))
+      }.reduce(_ unionByName _)
+    }
+
+    val queries = Seq(
+      "q_llm_minhash_neardup", "q_llm_simhash_neardup", "q_llm_exact_dedup",
+      "q_llm_norm_dedup", "q_llm_tfidf", "q_llm_token_stats", "q_join_asof")
+
+    for (k <- Seq(1, 2, 4)) {
+      val dir = Files.createTempDirectory(s"graft_scale_x$k").toString
+      scaledDocs(k).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      scaledEvents(k).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      for (q <- queries) {
+        // fresh timing per (k, q); cold caches dominate equally per k
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries(q)(spark, dir).count()
+        println(f"SCALE x$k $q rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f")
+      }
+    }
+    spark.stop()
+  }
+}
