@@ -16,17 +16,21 @@ import org.apache.spark.sql.functions._
 object DedupClusters {
 
   /** pairs(doc_a, doc_b) → (doc_id, canonical) for every doc appearing
-    * in at least one pair; canonical = min id in the component. */
-  def resolve(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    * in at least one pair; canonical = min id in the component.
+    * `edgesPerPartition` sizes the iteration (default keeps partitions
+    * ~100k edges; tests lower it to exercise the distributed
+    * propagation path on small graphs). */
+  def resolve(spark: SparkSession, pairs: DataFrame,
+      edgesPerPartition: Long = 100000L): DataFrame = {
     // Materialize the candidate-pair derivation ONCE (it may be an
     // expensive upstream join), then size the iteration to the graph:
     // the near-dup edge list is orders of magnitude smaller than the
     // corpus, so the loop runs on few partitions — 1 here for the
     // hundreds-of-edges case; at larger graphs raise it to keep
-    // partitions ~100k edges each.
+    // partitions ~edgesPerPartition edges each.
     val p = pairs.cache()
     val nEdges = p.count()
-    val parts = math.max(1, (nEdges / 100000L).toInt)
+    val parts = math.max(1, (nEdges / edgesPerPartition).toInt)
     // Union-find consumes undirected pairs directly — no symmetric
     // union, no distinct (duplicates are harmless), one less shuffle.
     if (parts == 1)
@@ -35,8 +39,13 @@ object DedupClusters {
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().repartition(parts).cache()
+    // localCheckpoint (not cache) per round: the next round's plan
+    // references the previous labels THREE times, so without lineage
+    // truncation the logical plan grows exponentially with rounds and
+    // analysis OOMs long before the round bound (found by the
+    // propagation-path test; any many-round graph at scale hits it).
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("lab", col("doc_id")).cache()
+      .withColumn("lab", col("doc_id")).localCheckpoint(true)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
@@ -48,10 +57,9 @@ object DedupClusters {
         .agg(min(col("lab")).as("nlab"))
       val next = labels.join(viaNeighbors, "doc_id")
         .select(col("doc_id"), least(col("lab"), col("nlab")).as("lab"))
-        .cache()
+        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("lab", "old"), "doc_id")
         .filter(col("lab") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       rounds += 1
     }

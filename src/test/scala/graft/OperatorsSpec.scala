@@ -60,6 +60,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(full == brute)
   }
 
+  test("DedupClusters: distributed propagation path == union-find path; non-convergence throws") {
+    import graft.operators.DedupClusters
+    // components: {1,2,3,4} (chain), {10,11}, {20,21,22} (triangle)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    def labels(edgesPerPartition: Long) =
+      DedupClusters.resolve(spark, pairs, edgesPerPartition)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(100000L) == expected) // single-partition union-find
+    assert(labels(2L) == expected)      // multi-partition min-label propagation
+    // a >50-diameter chain must fail loudly, not return wrong labels
+    val longChain = (1L to 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      DedupClusters.resolve(spark, longChain, 2L).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("IdempotentSink skips replayed batchIds") {
     import graft.streaming.{IdempotentSink, Pipeline}
     val seen = new java.util.concurrent.atomic.AtomicInteger(0)
