@@ -37,4 +37,18 @@ object Layout {
       leftKey: String, rightKey: String): DataFrame =
     spark.table(left).join(spark.table(right),
       spark.table(left)(leftKey) === spark.table(right)(rightKey))
+
+  /** Size-bounded output: cap rows per file (the knob that prevents
+    * both the small-files problem — thousands of tiny parquet files
+    * murder the next job's planning — and unsplittable monster files).
+    * `targetFiles` first coalesces/repartitions to the intended file
+    * COUNT, `maxRecordsPerFile` bounds stragglers from skewed
+    * partitions. A 100 TB pipeline sets these from expected row width;
+    * the mechanism, not the constant, is what this operator pins. */
+  def writeSized(df: DataFrame, path: String, targetFiles: Int,
+      maxRecordsPerFile: Long): Unit =
+    df.repartition(targetFiles)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .parquet(path)
 }

@@ -53,4 +53,19 @@ class ScaleLayoutSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS ord_b")
     }
   }
+
+  test("writeSized bounds both file count and records per file") {
+    import graft.operators.Layout
+    val dir = java.nio.file.Files.createTempDirectory("graft_sized").toString
+    val df = Tables.lineitem(spark, sf).limit(1000)
+    Layout.writeSized(df, s"$dir/out", targetFiles = 4, maxRecordsPerFile = 200)
+    val files = new java.io.File(s"$dir/out").listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+    // 1000 rows / 200 per file = 5 files minimum; repartition(4) splits
+    // each of the 4 partitions into >=1 files of <=200 records
+    assert(files.length >= 5 && files.length <= 8, s"${files.length} files")
+    val counts = files.map(f => spark.read.parquet(f.getAbsolutePath).count())
+    assert(counts.forall(_ <= 200), counts.mkString(","))
+    assert(counts.sum == 1000)
+  }
 }
