@@ -44,6 +44,10 @@ object DedupClusters {
     // truncation the logical plan grows exponentially with rounds and
     // analysis OOMs long before the round bound (found by the
     // propagation-path test; any many-round graph at scale hits it).
+    // Tradeoff: localCheckpoint forfeits lineage-based recovery — an
+    // executor loss mid-iteration fails the job (rerun) instead of
+    // recomputing; a cluster deployment that can't accept that swaps
+    // in reliable checkpoint(). Standard iterative-graph practice.
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("lab", col("doc_id")).localCheckpoint(true)
     var changed = 1L
