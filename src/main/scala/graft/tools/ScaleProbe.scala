@@ -29,6 +29,8 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val multipliers =
+      if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 2, 4)
 
     def scaledDocs(k: Int): DataFrame = {
       val base = graft.Tables.documents(spark, src)
@@ -56,7 +58,7 @@ object ScaleProbe {
       "q_llm_minhash_neardup", "q_llm_simhash_neardup", "q_llm_exact_dedup",
       "q_llm_norm_dedup", "q_llm_tfidf", "q_llm_token_stats", "q_join_asof")
 
-    for (k <- Seq(1, 2, 4)) {
+    for (k <- multipliers) {
       val dir = Files.createTempDirectory(s"graft_scale_x$k").toString
       scaledDocs(k).write.mode("overwrite").parquet(s"$dir/documents.parquet")
       scaledEvents(k).write.mode("overwrite").parquet(s"$dir/events.parquet")
