@@ -97,8 +97,14 @@ object DedupClusters {
           parent.getOrElseUpdate(math.min(ra, rb), math.min(ra, rb))
         } else parent.getOrElseUpdate(ra, ra)
       }
-      val members = parent.keySet
-      members.iterator.map(x => (x, find(x)))
+      // Materialize the member snapshot BEFORE emitting: find() still
+      // path-compresses (mutates the map), and interleaving that mutation
+      // with a lazy keySet-VIEW iterator silently dropped rows (observed:
+      // 39 of 47 members emitted, dependent on shuffle-fetch edge order —
+      // deep parent chains only form under some arrival orders). An array
+      // snapshot of the keys decouples mutation from consumption; the
+      // (member → component-min) result itself is arrival-order-invariant.
+      parent.keysIterator.toArray.map(x => (x, find(x))).iterator
     }.toDF("doc_id", "canonical")
   }
 }

@@ -111,7 +111,12 @@ object Scalars {
     // (floor(double) → long) — a raw double→DECIMAL(18,2) cast diverges
     // between engines on half-cent boundaries (Spark rounds the
     // shortest-repr string HALF_UP, DuckDB rounds the binary value;
-    // CORRECTNESS_r01 hash_match:false was exactly this).
+    // CORRECTNESS_r01 hash_match:false was exactly this). The decimal
+    // cast itself stays in the query body but is SURFACED as double +
+    // string: a DECIMAL-typed output column hashes as decimal.Decimal
+    // from Spark parquet but float64 from DuckDB's pandas export, so the
+    // driver's value hash can never match (CORRECTNESS_r02, the suite's
+    // only decimal-typed output column).
     "q_fn_cast" -> ((s, d) => {
       import s.implicits._
       Tables.orders(s, d)
@@ -119,7 +124,7 @@ object Scalars {
           $"o_orderkey",
           $"o_orderkey".cast(StringType).as("key_str"),
           substring($"o_orderpriority", 1, 1).cast(IntegerType).as("prio_int"),
-          floor($"o_totalprice").cast(DecimalType(18, 2)).as("price_dec"),
+          floor($"o_totalprice").cast(DecimalType(18, 2)).cast(DoubleType).as("price_dec"),
           floor($"o_totalprice").cast(DecimalType(18, 2)).cast(StringType).as("price_str"),
           $"o_orderdate".cast(DateType).as("odate"),
           $"o_orderdate".cast(DateType).cast(StringType).as("odate_str"),
@@ -237,7 +242,7 @@ object Scalars {
     "q_fn_cast" ->
       ("SELECT o_orderkey, CAST(o_orderkey AS VARCHAR) AS key_str, " +
        "CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_int, " +
-       "CAST(CAST(floor(o_totalprice) AS BIGINT) AS DECIMAL(18,2)) AS price_dec, " +
+       "CAST(CAST(CAST(floor(o_totalprice) AS BIGINT) AS DECIMAL(18,2)) AS DOUBLE) AS price_dec, " +
        "CAST(CAST(CAST(floor(o_totalprice) AS BIGINT) AS DECIMAL(18,2)) AS VARCHAR) AS price_str, " +
        "CAST(o_orderdate AS DATE) AS odate, " +
        "CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate_str, " +
