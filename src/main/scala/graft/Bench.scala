@@ -1,5 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -23,10 +25,27 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def sec(v: Double): String = f"$v%.3f"
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query map goes to a file (the harness captures only the
+    // last ~2000 chars of output, which truncated the 90-entry inline
+    // map in r01/r02 → parsed:null); the stdout line stays under that
+    // window: total + the slow set inline, with an explicit rollup of
+    // what was elided so nothing is silently dropped.
+    val fullJson = results.map { case (k, v) => "\"" + k + "\":" + sec(v) }
+      .mkString("{\"metric\":\"total\",\"value\":" + sec(total) +
+        ",\"unit\":\"sec\",\"sf\":\"" + sfDir + "\",\"queries\":{", ",", "}}")
+    val fullPath = Paths.get("BENCH_FULL.json").toAbsolutePath
+    Files.writeString(fullPath, fullJson + "\n")
+    val slow = results.filter(_._2 >= 0.25).sortBy(-_._2).take(45)
+    val slowSet = slow.map(_._1).toSet
+    val fast = results.filterNot(kv => slowSet(kv._1))
+    val qs = slow.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + sec(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec",""" +
+      s""""n_queries":${results.size},"queries":$qs,""" +
+      s""""fast_n":${fast.size},"fast_sec":${sec(fast.map(_._2).sum)},""" +
+      s""""full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }
