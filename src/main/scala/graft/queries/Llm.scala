@@ -369,6 +369,56 @@ object Llm {
         .orderBy($"same_label")
     }),
 
+    // Dedup survivor selection by QUALITY, not min-id: production dedup
+    // keeps the best copy of each near-dup cluster (longest here; any
+    // scoring column slots in), with doc_id as the deterministic
+    // tiebreak. One shuffle on the canonical label; the winner is an
+    // order-independent max(struct) aggregate — no window, safe under
+    // partial aggregation at scale. (r3 addition)
+    "q_llm_dedup_keep_best" -> ((s, d) => {
+      import s.implicits._
+      val pairs = ngramPairScores(s, d).select($"doc_a", $"doc_b")
+      val labels = graft.operators.DedupClusters.resolve(s, pairs)
+      labels.join(Tables.documents(s, d).select($"doc_id", $"n_chars"), "doc_id")
+        .groupBy($"canonical")
+        .agg(count(lit(1)).as("cluster_size"),
+          max(struct($"n_chars", (lit(0L) - $"doc_id").as("neg_id"))).as("w"))
+        .select($"canonical", $"cluster_size",
+          (lit(0L) - $"w.neg_id").as("keeper"), $"w.n_chars".as("keeper_chars"))
+        .orderBy($"canonical")
+    }),
+
+    // Token-budget shard packing: assign docs (in deterministic doc_id
+    // order) to ~10k-token training shards via an EXACT distributed
+    // prefix sum — the two-level scan: intra-bucket cumsum is a window
+    // PARTITIONED by a fixed doc_id range bucket (parallel), bucket
+    // offsets are a cumsum over the tiny bucket-totals relation
+    // (corpus/500 rows — at 100 TB add a third level or range-partition
+    // the bucket scan; the per-doc data never collapses to one
+    // partition). Output is the per-shard manifest. (r3 addition)
+    "q_llm_pack_shards" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(s, d).select($"doc_id",
+        size(split($"text", " ")).cast(LongType).as("nt"),
+        floor($"doc_id" / 500.0).cast(LongType).as("bkt"))
+      val intra = t.withColumn("intra",
+        sum($"nt").over(Window.partitionBy($"bkt").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val bktOff = t.groupBy($"bkt").agg(sum($"nt").as("btot"))
+        .withColumn("off", coalesce(
+          sum($"btot").over(Window.orderBy($"bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select($"bkt", $"off")
+      intra.join(broadcast(bktOff), "bkt")
+        .withColumn("cum", $"off" + $"intra")
+        .withColumn("shard", floor(($"cum" - $"nt") / 10000.0).cast(LongType))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .orderBy($"shard")
+    }),
+
     // Multimodal pairing: text ↔ vector by id, text predicate then
     // vector-derived predicate.
     "q_llm_multimodal_join" -> ((s, d) => {
@@ -486,6 +536,30 @@ object Llm {
        "lab AS (SELECT doc_id, MIN(dst) AS canonical FROM reach GROUP BY doc_id) " +
        "SELECT doc_id, canonical, COUNT(*) OVER (PARTITION BY canonical) AS cluster_size " +
        "FROM lab ORDER BY doc_id"),
+    "q_llm_dedup_keep_best" ->
+      ("WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+       "sh0 AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
+       "for i in range(1, len(toks) - 1)]) AS shingles FROM t), " +
+       "sh AS (SELECT * FROM sh0 WHERE len(shingles) > 0), " + ngramPairSql +
+       ", pairs AS (SELECT doc_a, doc_b FROM v WHERE jaccard >= 0.2), " +
+       "e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
+       "r AS (SELECT src, dst FROM e UNION SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src), " +
+       "reach AS (SELECT src AS doc_id, dst FROM r UNION SELECT src, src FROM e), " +
+       "lab AS (SELECT doc_id, MIN(dst) AS canonical FROM reach GROUP BY doc_id), " +
+       "q AS (SELECT lab.canonical, lab.doc_id, d.n_chars, " +
+       "row_number() OVER (PARTITION BY lab.canonical ORDER BY d.n_chars DESC, lab.doc_id ASC) AS rn " +
+       "FROM lab JOIN documents d ON d.doc_id = lab.doc_id), " +
+       "cs AS (SELECT canonical, COUNT(*) AS cluster_size FROM lab GROUP BY canonical) " +
+       "SELECT cs.canonical, cs.cluster_size, q.doc_id AS keeper, q.n_chars AS keeper_chars " +
+       "FROM cs JOIN q ON q.canonical = cs.canonical AND q.rn = 1 ORDER BY cs.canonical"),
+    "q_llm_pack_shards" ->
+      ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents), " +
+       "c AS (SELECT doc_id, nt, CAST(sum(nt) OVER (ORDER BY doc_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM t), " +
+       "s AS (SELECT doc_id, nt, CAST(floor((cum - nt) / 10000.0) AS BIGINT) AS shard FROM c) " +
+       "SELECT shard, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens, " +
+       "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc " +
+       "FROM s GROUP BY shard ORDER BY shard"),
     "q_llm_simhash" ->
       ("WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents), " +
        "b AS (SELECT doc_id, [CASE WHEN list_sum(list_transform(toks, " +

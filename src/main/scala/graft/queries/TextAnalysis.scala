@@ -174,6 +174,21 @@ object TextAnalysis {
         .orderBy($"part_a", $"part_b")
     }),
 
+    // PII scrub: mask digit runs and emit the audit columns a
+    // compliance pipeline needs (what was masked, how much survived).
+    // Narrow map over the scan — no shuffle, codegen regex; patterns
+    // are swappable (digits here; SSN/phone/email shapes are the same
+    // operator with different regexes). (r3 addition)
+    "q_llm_pii_mask" -> ((s, d) => {
+      import s.implicits._
+      Tables.customer(s, d).select(
+        $"c_custkey",
+        regexp_replace($"c_name", "[0-9]+", "<NUM>").as("masked_name"),
+        size(regexp_extract_all($"c_name", lit("[0-9]+"), lit(0))).cast(LongType).as("n_digit_runs"),
+        length(regexp_replace($"c_name", "[0-9]", "")).cast(LongType).as("n_clear_chars"))
+        .orderBy($"c_custkey")
+    }),
+
     // Document fingerprint: md5 over the sorted distinct token set
     // (order-insensitive content identity).
     "q_llm_fingerprint" -> ((s, d) => {
@@ -246,6 +261,11 @@ object TextAnalysis {
        "FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_type = b.p_type " +
        "AND a.p_partkey < b.p_partkey " +
        "WHERE levenshtein(a.p_name, b.p_name) <= 3 ORDER BY part_a, part_b"),
+    "q_llm_pii_mask" ->
+      ("SELECT c_custkey, regexp_replace(c_name, '[0-9]+', '<NUM>', 'g') AS masked_name, " +
+       "CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS BIGINT) AS n_digit_runs, " +
+       "CAST(length(regexp_replace(c_name, '[0-9]', '', 'g')) AS BIGINT) AS n_clear_chars " +
+       "FROM customer ORDER BY c_custkey"),
     "q_llm_fingerprint" ->
       ("SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint, " +
        "len(list_distinct(string_split(text, ' '))) AS n_uniq FROM documents ORDER BY doc_id")

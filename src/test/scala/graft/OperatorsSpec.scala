@@ -131,4 +131,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(joined.columns.toSet ==
       Set("media_id", "kind", "n_bytes", "features", "label"))
   }
+
+  test("pack_shards: two-level prefix sum equals the single-window spelling") {
+    import org.apache.spark.sql.expressions.Window
+    // reference: one global-order window cumsum (correct but collapses
+    // to a single partition — exactly what the two-level form avoids)
+    val t = Tables.documents(spark, sf)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("nt"))
+    val ref = t.withColumn("cum", sum($"nt").over(Window.orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("shard", floor(($"cum" - $"nt") / 10000.0).cast("long"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"shard").collect().toSeq
+    val got = SparkEntry.queries("q_llm_pack_shards")(spark, sf).collect().toSeq
+    assert(got == ref)
+    // manifest covers the corpus exactly once
+    val total = t.agg(sum($"nt")).collect()(0).getLong(0)
+    assert(got.map(_.getLong(2)).sum == total)
+  }
+
+  test("dedup_keep_best: keeper is the longest member (id tiebreak) of its cluster") {
+    val labels = {
+      val pairs = SparkEntry.queries("q_llm_ngram_jaccard")(spark, sf)
+        .select($"doc_a", $"doc_b")
+      graft.operators.DedupClusters.resolve(spark, pairs)
+    }
+    val best = SparkEntry.queries("q_llm_dedup_keep_best")(spark, sf).collect()
+    val members = labels.join(Tables.documents(spark, sf), "doc_id")
+      .select($"canonical", $"doc_id", $"n_chars")
+      .collect().groupBy(_.getLong(0))
+    assert(best.nonEmpty && best.length == members.size)
+    best.foreach { r =>
+      val ms = members(r.getLong(0)).map(m => (m.getLong(2), m.getLong(1)))
+      val (bestChars, bestId) = ms.sortBy { case (c, id) => (-c, id) }.head
+      assert(r.getLong(2) == bestId && r.getLong(3) == bestChars,
+        s"cluster ${r.getLong(0)}: keeper ${r.getLong(2)} vs expected $bestId")
+      assert(r.getLong(1) == ms.length)
+    }
+  }
+
+  test("pii_mask: masked output carries no digits; audit counts consistent") {
+    val rows = SparkEntry.queries("q_llm_pii_mask")(spark, sf).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val masked = r.getString(1)
+      assert(!masked.replace("<NUM>", "").exists(_.isDigit), masked)
+      assert(r.getLong(2) >= 1) // every c_name has its key digits
+      assert(r.getLong(3) >= 0)
+    }
+  }
 }
