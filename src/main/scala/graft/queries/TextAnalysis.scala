@@ -174,6 +174,37 @@ object TextAnalysis {
         .orderBy($"part_a", $"part_b")
     }),
 
+    // Repetition quality signals (the Gopher-rule family): duplicate
+    // trigram fraction + top-bigram share per doc. The n-gram counts
+    // are per-row narrow ops; the top-bigram share is two partial-agg
+    // shuffles on (doc_id[, bigram]) — linear in corpus, no self-join.
+    // Ratios are raw IEEE divisions of integer counts (bit-identical
+    // across engines — the repo's determinism discipline). (r3)
+    "q_llm_repetition" -> ((s, d) => {
+      import s.implicits._
+      val tk = toks($"text")
+      val n = size(tk)
+      val tri = when(n >= 3, transform(sequence(lit(1), n - 2), i =>
+        concat_ws(" ", element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2))))
+        .otherwise(array().cast(ArrayType(StringType)))
+      val base = Tables.documents(s, d).select($"doc_id",
+        size(tri).cast(LongType).as("n_tri"),
+        when(size(tri) > 0,
+          lit(1.0) - size(array_distinct(tri)).cast(DoubleType) / size(tri))
+          .otherwise(lit(0.0)).as("dup_tri_frac"))
+      val bg = Tables.documents(s, d).select($"doc_id",
+          explode(when(n >= 2, transform(sequence(lit(1), n - 1), i =>
+            concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
+            .otherwise(array().cast(ArrayType(StringType)))).as("bg"))
+        .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg((max($"c").cast(DoubleType) / sum($"c")).as("top_bigram_share"))
+      base.join(bg, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_tri", $"dup_tri_frac",
+          coalesce($"top_bigram_share", lit(0.0)).as("top_bigram_share"))
+        .orderBy($"doc_id")
+    }),
+
     // PII scrub: mask digit runs and emit the audit columns a
     // compliance pipeline needs (what was masked, how much survived).
     // Narrow map over the scan — no shuffle, codegen regex; patterns
@@ -261,6 +292,20 @@ object TextAnalysis {
        "FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_type = b.p_type " +
        "AND a.p_partkey < b.p_partkey " +
        "WHERE levenshtein(a.p_name, b.p_name) <= 3 ORDER BY part_a, part_b"),
+    "q_llm_repetition" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+       "g AS (SELECT doc_id, " +
+       "CASE WHEN len(tk) >= 3 THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] " +
+       "for i in range(1, len(tk) - 1)] ELSE [] END AS tri, " +
+       "CASE WHEN len(tk) >= 2 THEN [tk[i] || ' ' || tk[i+1] " +
+       "for i in range(1, len(tk))] ELSE [] END AS bi FROM t), " +
+       "base AS (SELECT doc_id, CAST(len(tri) AS BIGINT) AS n_tri, " +
+       "CASE WHEN len(tri) > 0 THEN 1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri) " +
+       "ELSE 0.0 END AS dup_tri_frac FROM g), " +
+       "bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM (SELECT doc_id, unnest(bi) AS bg FROM g) GROUP BY doc_id, bg), " +
+       "tb AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_share FROM bgc GROUP BY doc_id) " +
+       "SELECT base.doc_id, n_tri, dup_tri_frac, COALESCE(top_bigram_share, 0.0) AS top_bigram_share " +
+       "FROM base LEFT JOIN tb ON tb.doc_id = base.doc_id ORDER BY base.doc_id"),
     "q_llm_pii_mask" ->
       ("SELECT c_custkey, regexp_replace(c_name, '[0-9]+', '<NUM>', 'g') AS masked_name, " +
        "CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS BIGINT) AS n_digit_runs, " +

@@ -56,7 +56,10 @@ object ScaleProbe {
 
     val queries = Seq(
       "q_llm_minhash_neardup", "q_llm_simhash_neardup", "q_llm_exact_dedup",
-      "q_llm_norm_dedup", "q_llm_tfidf", "q_llm_token_stats", "q_join_asof")
+      "q_llm_norm_dedup", "q_llm_tfidf", "q_llm_token_stats", "q_join_asof",
+      // r3 additions — all linear by design (prefix sum, narrow maps,
+      // partial-agg shuffles)
+      "q_llm_pack_shards", "q_llm_repetition")
 
     for (k <- multipliers) {
       val dir = Files.createTempDirectory(s"graft_scale_x$k").toString
