@@ -83,4 +83,37 @@ class PlanSpec extends AnyFunSuite {
     val plan = df.queryExecution.optimizedPlan.toString
     assert(plan.contains(s"<= ${graft.queries.Llm.MaxShingleDf}"), "df cap filter missing from plan")
   }
+
+  test("pack_shards: per-doc data never passes a single-partition exchange") {
+    // The two-level prefix sum promises: the intra-bucket window is
+    // PARTITIONED (windowspecdefinition carries the bkt partition key),
+    // and the only SinglePartition exchange feeds the tiny bucket-totals
+    // cumsum, which returns via broadcast.
+    val p = finalPlan("q_llm_pack_shards")
+    assert(p.contains("windowspecdefinition(bkt"), "intra window lost its partition key")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "bucket offsets must come back via broadcast")
+    // the single-partition exchange exists exactly once (bucket totals);
+    // count only the final AQE plan — the string repeats it under
+    // "== Initial Plan =="
+    val finalSection = p.split("== Initial Plan ==")(0)
+    val n = "Exchange SinglePartition".r.findAllIn(finalSection).size
+    assert(n <= 1, s"$n single-partition exchanges — per-doc data is collapsing")
+  }
+
+  test("dedup_keep_best resolves the survivor with an aggregate, not a window") {
+    // max(struct(quality, tiebreak)) is order-independent and partial-
+    // aggregable; a window form would force a per-cluster sort.
+    val df = SparkEntry.queries("q_llm_dedup_keep_best")(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("max(struct"), "survivor selection should be max(struct)")
+  }
+
+  test("pii_mask plans as a narrow map (no shuffle before the output sort)") {
+    val p = finalPlan("q_llm_pii_mask")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    // rangepartitioning for the final orderBy appears in both the final
+    // and the initial AQE plan rendering; nothing else may shuffle
+    assert(!p.contains("hashpartitioning"), "unexpected shuffle in a narrow map")
+  }
 }
