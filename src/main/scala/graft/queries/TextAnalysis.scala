@@ -174,6 +174,27 @@ object TextAnalysis {
         .orderBy($"part_a", $"part_b")
     }),
 
+    // Tokenizer-training primitive: the first BPE merge step — count
+    // adjacent symbol (char) pairs across the corpus weighted by word
+    // frequency, emit the top candidates. Shape: the word-frequency
+    // aggregate collapses the corpus to its vocabulary FIRST (tiny at
+    // any scale — this is why BPE training is feasible at 100 TB), so
+    // the char-pair explode runs over distinct words only. (r3)
+    "q_llm_bpe_pairs" -> ((s, d) => {
+      import s.implicits._
+      val words = Tables.documents(s, d)
+        .select(explode(toks(lower($"text"))).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("wc"))
+      val pairs = words.select($"wc", explode(
+        when(length($"w") >= 2, transform(sequence(lit(1), length($"w") - 1),
+          i => concat($"w".substr(i, lit(1)), $"w".substr(i + 1, lit(1)))))
+          // guard: Spark sequence(1, 0) REVERSES instead of emptying
+          .otherwise(array().cast(ArrayType(StringType)))).as("pair"))
+      pairs.groupBy($"pair").agg(sum($"wc").as("cnt"))
+        .orderBy($"cnt".desc, $"pair".asc)
+        .limit(20)
+    }),
+
     // Repetition quality signals (the Gopher-rule family): duplicate
     // trigram fraction + top-bigram share per doc. The n-gram counts
     // are per-row narrow ops; the top-bigram share is two partial-agg
@@ -292,6 +313,14 @@ object TextAnalysis {
        "FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_type = b.p_type " +
        "AND a.p_partkey < b.p_partkey " +
        "WHERE levenshtein(a.p_name, b.p_name) <= 3 ORDER BY part_a, part_b"),
+    "q_llm_bpe_pairs" ->
+      ("WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents), " +
+       "wf AS (SELECT w, COUNT(*) AS wc FROM w GROUP BY w), " +
+       "p AS (SELECT wc, unnest(CASE WHEN length(w) >= 2 THEN " +
+       "[substring(w, i, 1) || substring(w, i + 1, 1) for i in range(1, length(w))] " +
+       "ELSE [] END) AS pair FROM wf) " +
+       "SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM p GROUP BY pair " +
+       "ORDER BY cnt DESC, pair ASC LIMIT 20"),
     "q_llm_repetition" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
        "g AS (SELECT doc_id, " +
