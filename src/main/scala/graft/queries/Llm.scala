@@ -419,6 +419,34 @@ object Llm {
         .orderBy($"shard")
     }),
 
+    // Embedding QC: distance of each vector to its label centroid —
+    // the outlier scan that catches mislabeled/corrupt vectors before
+    // training. Centroids are a per-(label, dim) aggregate under the
+    // DECIMAL(38,6) exact-sum discipline (order-independent under AQE),
+    // assembled into a tiny per-label array and broadcast back; the
+    // per-row distance is a narrow fused fold. Linear: one shuffle on
+    // (label, dim), one broadcast join — no pair join at all. (r3)
+    "q_llm_embed_outlier" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val dims = e.select($"label", posexplode($"embedding"))
+        .toDF("label", "pos", "v")
+      val cent = dims.groupBy($"label", $"pos")
+        .agg((graft.Determinism.sumd($"v".cast(DoubleType)) /
+          count(lit(1))).as("c"))
+      val carr = cent.groupBy($"label")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+          x => x("c")).as("cv"))
+      e.join(broadcast(carr), "label")
+        .select($"vec_id", $"label",
+          round(sqrt(aggregate(
+            zip_with($"embedding".cast("array<double>"), $"cv",
+              (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x)), 6).as("dist"))
+        .orderBy($"dist".desc, $"vec_id".asc)
+        .limit(50)
+    }),
+
     // Multimodal pairing: text ↔ vector by id, text predicate then
     // vector-derived predicate.
     "q_llm_multimodal_join" -> ((s, d) => {
@@ -607,6 +635,15 @@ object Llm {
        "SELECT same_label, COUNT(*) AS n_pairs, " +
        "CAST(SUM(CAST(cs AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_cs " +
        "FROM p GROUP BY same_label ORDER BY same_label"),
+    "q_llm_embed_outlier" ->
+      ("WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+       "d AS (SELECT label, unnest(v) AS val, unnest(range(1, len(v) + 1)) AS pos FROM e), " +
+       "cent AS (SELECT label, pos, CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS c " +
+       "FROM d GROUP BY label, pos), " +
+       "cv AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label) " +
+       "SELECT vec_id, e.label AS label, " +
+       "round(sqrt(list_sum(list_transform(list_zip(v, cv), p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS dist " +
+       "FROM e JOIN cv ON e.label = cv.label ORDER BY dist DESC, vec_id ASC LIMIT 50"),
     "q_llm_multimodal_join" ->
       ("WITH j AS (SELECT doc_id, source, n_chars, label, " +
        "round(sqrt(list_sum(list_transform(list_zip(embedding, embedding), " +

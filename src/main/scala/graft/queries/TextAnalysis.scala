@@ -195,6 +195,53 @@ object TextAnalysis {
         .limit(20)
     }),
 
+    // Context-window chunking: split each doc into overlapping
+    // fixed-token windows (window=32, stride=24) — the sequence-length
+    // preprocessing step between cleaning and tokenization. Narrow
+    // per-row explode (each row yields ceil(n/stride) chunks), no
+    // shuffle before the output sort; chunk identity is (doc_id,
+    // chunk_id) and the content hash makes chunks joinable/dedupable
+    // downstream. (r3)
+    "q_llm_window_chunks" -> ((s, d) => {
+      import s.implicits._
+      val W = 32
+      val S = 24
+      Tables.documents(s, d)
+        .select($"doc_id", toks($"text").as("tk"))
+        .select($"doc_id", $"tk",
+          explode(sequence(lit(1), size($"tk"), lit(S))).as("st"))
+        .select($"doc_id",
+          (($"st" - 1) / S).cast(LongType).as("chunk_id"),
+          size(slice($"tk", $"st", lit(W))).cast(LongType).as("n_tok"),
+          md5(concat_ws(" ", slice($"tk", $"st", lit(W)))).as("chunk_hash"))
+        .orderBy($"doc_id", $"chunk_id")
+    }),
+
+    // Per-doc cross-entropy under the corpus unigram LM (nats/token) —
+    // the cheap perplexity-style quality filter. The LM itself is the
+    // term-count aggregate (vocab-sized, broadcast); the per-doc score
+    // is a (doc,term) partial agg joined to the broadcast LM. Log-probs
+    // are rounded to 6dp per term, the per-doc sum runs through the
+    // DECIMAL(38,6) exact-sum discipline (order-independent under AQE).
+    // Two linear shuffles on term / (doc_id, term) — scales. (r3)
+    "q_llm_unigram_lm" -> ((s, d) => {
+      import s.implicits._
+      val terms = Tables.documents(s, d)
+        .select($"doc_id", explode(toks(lower($"text"))).as("term"))
+      val vocab = terms.groupBy($"term").agg(count(lit(1)).as("cnt"))
+      val tot = vocab.agg(sum($"cnt").cast(DoubleType).as("t_total"))
+      val lm = vocab.crossJoin(broadcast(tot))
+        .select($"term", round(log($"cnt" / $"t_total"), 6).as("logp"))
+      terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        .join(broadcast(lm), "term")
+        .groupBy($"doc_id")
+        .agg(
+          sum($"tf").cast(LongType).as("n_tok"),
+          round(-(sum(graft.Determinism.dec($"logp" * $"tf")).cast(DoubleType)) /
+            sum($"tf"), 6).as("xent_nats"))
+        .orderBy($"doc_id")
+    }),
+
     // Repetition quality signals (the Gopher-rule family): duplicate
     // trigram fraction + top-bigram share per doc. The n-gram counts
     // are per-row narrow ops; the top-bigram share is two partial-agg
@@ -321,6 +368,22 @@ object TextAnalysis {
        "ELSE [] END) AS pair FROM wf) " +
        "SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM p GROUP BY pair " +
        "ORDER BY cnt DESC, pair ASC LIMIT 20"),
+    "q_llm_window_chunks" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+       "c AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1, 24)) AS st FROM t) " +
+       "SELECT doc_id, CAST((st - 1) // 24 AS BIGINT) AS chunk_id, " +
+       "CAST(len(tk[st:st+31]) AS BIGINT) AS n_tok, " +
+       "md5(array_to_string(tk[st:st+31], ' ')) AS chunk_hash " +
+       "FROM c ORDER BY doc_id, chunk_id"),
+    "q_llm_unigram_lm" ->
+      ("WITH terms AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents), " +
+       "v AS (SELECT term, COUNT(*) AS cnt FROM terms GROUP BY term), " +
+       "tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS t_total FROM v), " +
+       "lm AS (SELECT term, round(ln(cnt / t_total), 6) AS logp FROM v CROSS JOIN tot), " +
+       "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term) " +
+       "SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok, " +
+       "round(-CAST(SUM(CAST(logp * tf AS DECIMAL(38,6))) AS DOUBLE) / SUM(tf), 6) AS xent_nats " +
+       "FROM tf JOIN lm ON tf.term = lm.term GROUP BY doc_id ORDER BY doc_id"),
     "q_llm_repetition" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
        "g AS (SELECT doc_id, " +

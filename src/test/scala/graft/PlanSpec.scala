@@ -116,4 +116,24 @@ class PlanSpec extends AnyFunSuite {
     // and the initial AQE plan rendering; nothing else may shuffle
     assert(!p.contains("hashpartitioning"), "unexpected shuffle in a narrow map")
   }
+
+  test("window_chunks is a narrow per-row explode (no shuffle before the output sort)") {
+    val p = finalPlan("q_llm_window_chunks")
+    assert(p.contains("Generate"), "chunk explode should be a Generate")
+    assert(!p.contains("hashpartitioning"), "unexpected shuffle in a narrow explode")
+  }
+
+  test("unigram_lm joins the LM via broadcast, never shuffling docs on the LM side") {
+    val p = finalPlan("q_llm_unigram_lm")
+    assert(p.contains("BroadcastHashJoin"), "vocab LM must broadcast (it is vocab-sized)")
+    assert(!p.contains("SortMergeJoin"), "doc-side must not shuffle for the LM join")
+  }
+
+  test("embed_outlier has no pair join: centroids broadcast back, top-k via TakeOrdered") {
+    val p = finalPlan("q_llm_embed_outlier")
+    assert(p.contains("BroadcastHashJoin"), "per-label centroid arrays must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-k outliers should not globally sort")
+    assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop"),
+      "no pair/shuffle join in a linear centroid scan")
+  }
 }
