@@ -130,6 +130,44 @@ object Projections {
         .orderBy($"event_id")
     }),
 
+    // SCD2 history reconstruction from the CDC event log: each event
+    // opens a validity interval for its key, closed by the key's next
+    // event (the query-engine view of the reference's append-only
+    // location_instances history, main.go:212-223). One shuffle on the
+    // key for the per-key lead() — windows stay partitioned, nothing
+    // global. Event-time follows the ms-truncation discipline. (r3)
+    "q_cdc_scd2" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"valid_from_ms", $"event_id")
+      Tables.events(s, d)
+        .select($"event_id", $"user_id", $"value",
+          msEpoch($"ts").as("valid_from_ms"))
+        .withColumn("valid_to_ms", lead($"valid_from_ms", 1).over(w))
+        .withColumn("is_current", $"valid_to_ms".isNull)
+        .orderBy($"event_id")
+    }),
+
+    // Latest-state snapshot per key from the CDC event log — the
+    // materialized view a CDC engine maintains. Deliberately an
+    // order-independent max(struct) aggregate keyed by the unique
+    // (event-time, event_id) prefix, NOT a row_number window: partial
+    // aggregation combines map-side, safe under AQE, no per-key sort
+    // at 100 TB. (r3)
+    "q_cdc_snapshot" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"user_id",
+          struct(msEpoch($"ts").as("ms"), $"event_id", $"value", $"event_type").as("st"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"), max($"st").as("w"))
+        .select($"user_id", $"n_events",
+          $"w.event_id".as("last_event_id"), $"w.ms".as("last_ms"),
+          $"w.value".as("last_value"), $"w.event_type".as("last_type"))
+        .orderBy($"user_id")
+    }),
+
     // WKT point construction — lon first, C-style %f six-decimal
     // formatting, exactly the reference's fmt.Sprintf (main.go:210).
     "q_geo_wkt_point" -> ((s, d) => {
@@ -167,6 +205,21 @@ object Projections {
        "CAST(printf('%.6f', value) AS DOUBLE) AS latitude, " +
        "CAST(printf('%.6f', value * 2.0) AS DOUBLE) AS longitude " +
        "FROM events ORDER BY event_id"),
+    "q_cdc_scd2" ->
+      ("WITH e AS (SELECT event_id, user_id, value, " +
+       "epoch_ms(date_trunc('milliseconds', ts)) AS valid_from_ms FROM events) " +
+       "SELECT event_id, user_id, value, valid_from_ms, " +
+       "lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY valid_from_ms, event_id) AS valid_to_ms, " +
+       "lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY valid_from_ms, event_id) IS NULL AS is_current " +
+       "FROM e ORDER BY event_id"),
+    "q_cdc_snapshot" ->
+      ("WITH e AS (SELECT user_id, event_id, value, event_type, " +
+       "epoch_ms(date_trunc('milliseconds', ts)) AS ms FROM events), " +
+       "r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ms DESC, event_id DESC) AS rn " +
+       "FROM e), c AS (SELECT user_id, COUNT(*) AS n_events FROM e GROUP BY user_id) " +
+       "SELECT r.user_id, n_events, event_id AS last_event_id, ms AS last_ms, " +
+       "value AS last_value, event_type AS last_type " +
+       "FROM r JOIN c ON r.user_id = c.user_id WHERE rn = 1 ORDER BY r.user_id"),
     "q_geo_wkt_point" ->
       ("SELECT event_id, printf('POINT(%f %f)', value * 2.0, value) AS geo_point " +
        "FROM events ORDER BY event_id")

@@ -129,6 +129,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "doc-side must not shuffle for the LM join")
   }
 
+  test("cdc_snapshot resolves latest state with an aggregate, not a window") {
+    // max(struct(ms, event_id, …)) partial-aggregates map-side; a
+    // row_number form would shuffle-and-sort every key's full history.
+    val df = SparkEntry.queries("q_cdc_snapshot")(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("max(st"), "latest-state should be max(struct)")
+    assert(!plan.contains("row_number"), "no window in the snapshot path")
+  }
+
   test("embed_outlier has no pair join: centroids broadcast back, top-k via TakeOrdered") {
     val p = finalPlan("q_llm_embed_outlier")
     assert(p.contains("BroadcastHashJoin"), "per-label centroid arrays must broadcast")
