@@ -54,17 +54,30 @@ object ScaleProbe {
       }.reduce(_ unionByName _)
     }
 
+    def scaledEmbeddings(k: Int): DataFrame = {
+      // id shift only: per-copy vectors are identical, which is fine —
+      // none of the probed embedding ops pair vectors across rows
+      // (centroid scan is a per-(label,dim) aggregate)
+      val base = graft.Tables.embeddings(spark, src)
+      (0 until k).map { c =>
+        base.withColumn("vec_id", col("vec_id") + lit(c * 10000000L))
+      }.reduce(_ unionByName _)
+    }
+
     val queries = Seq(
       "q_llm_minhash_neardup", "q_llm_simhash_neardup", "q_llm_exact_dedup",
       "q_llm_norm_dedup", "q_llm_tfidf", "q_llm_token_stats", "q_join_asof",
       // r3 additions — all linear by design (prefix sum, narrow maps,
-      // partial-agg shuffles)
-      "q_llm_pack_shards", "q_llm_repetition")
+      // partial-agg shuffles, broadcast-LM joins, per-key windows)
+      "q_llm_pack_shards", "q_llm_repetition", "q_llm_bpe_pairs",
+      "q_llm_window_chunks", "q_llm_unigram_lm", "q_llm_embed_outlier",
+      "q_cdc_scd2", "q_cdc_snapshot")
 
     for (k <- multipliers) {
       val dir = Files.createTempDirectory(s"graft_scale_x$k").toString
       scaledDocs(k).write.mode("overwrite").parquet(s"$dir/documents.parquet")
       scaledEvents(k).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      scaledEmbeddings(k).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       for (q <- queries) {
         // fresh timing per (k, q); cold caches dominate equally per k
         val t0 = System.nanoTime()
