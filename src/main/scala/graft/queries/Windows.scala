@@ -133,6 +133,48 @@ object Windows {
         .filter($"rn" <= 3)
         .select($"o_orderpriority", $"rn", $"o_orderkey", $"o_totalprice")
         .orderBy($"o_orderpriority", $"rn")
+    }),
+
+    // Time-series resample + gap-fill: 6-hour buckets per user over the
+    // user's own active span, missing buckets carried forward from the
+    // last observed value. The grid explode is narrow (one row per
+    // bucket per user); the forward-fill window is PARTITIONED by user
+    // — nothing global. Bucket arithmetic stays in exact territory: ms
+    // < 2^53, and a correctly-rounded double division only lands on an
+    // integer for exact multiples, so floor() agrees across engines.
+    // (r3)
+    "q_ts_resample" -> ((s, d) => {
+      import s.implicits._
+      val B = 21600000.0
+      val e = Tables.events(s, d).select($"user_id",
+        floor(msEpoch($"ts") / B).cast("long").as("hr"), $"value")
+      val agg = e.groupBy($"user_id", $"hr")
+        .agg(sumd($"value").as("v"), count(lit(1)).as("n"))
+      val grid = e.groupBy($"user_id").agg(min($"hr").as("h0"), max($"hr").as("h1"))
+        .select($"user_id", explode(sequence($"h0", $"h1")).as("hr"))
+      val w = Window.partitionBy($"user_id").orderBy($"hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(agg, Seq("user_id", "hr"), "left")
+        .select($"user_id", $"hr", coalesce($"n", lit(0L)).as("n_events"),
+          last($"v", ignoreNulls = true).over(w).as("v_ff"))
+        .orderBy($"user_id", $"hr")
+    }),
+
+    // Cohort retention: users grouped by first-active week, activity
+    // counted per week-age. Two linear aggregates and one broadcast-
+    // able join on user_id — the standard product-analytics query,
+    // shuffle-bounded by the distinct (user, week) relation. (r3)
+    "q_ts_retention" -> ((s, d) => {
+      import s.implicits._
+      val W = 604800000.0
+      val e = Tables.events(s, d)
+        .select($"user_id", floor(msEpoch($"ts") / W).cast("long").as("wk"))
+        .distinct()
+      val cohort = e.groupBy($"user_id").agg(min($"wk").as("cohort"))
+      e.join(cohort, "user_id")
+        .groupBy($"cohort", ($"wk" - $"cohort").as("age"))
+        .agg(countDistinct($"user_id").as("active"))
+        .orderBy($"cohort", $"age")
     })
   )
 
@@ -190,6 +232,22 @@ object Windows {
       ("SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (" +
        "SELECT o_orderpriority, o_orderkey, o_totalprice, " +
        "ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn " +
-       "FROM orders) WHERE rn <= 3 ORDER BY o_orderpriority, rn")
+       "FROM orders) WHERE rn <= 3 ORDER BY o_orderpriority, rn"),
+    "q_ts_resample" ->
+      ("WITH e AS (SELECT user_id, CAST(floor(epoch_ms(date_trunc('milliseconds', ts)) / 21600000.0) AS BIGINT) AS hr, value FROM events), " +
+       "agg AS (SELECT user_id, hr, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v, COUNT(*) AS n FROM e GROUP BY user_id, hr), " +
+       "span AS (SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1 FROM e GROUP BY user_id), " +
+       "grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS hr FROM span), " +
+       "j AS (SELECT g.user_id, g.hr, COALESCE(n, 0) AS n_events, v FROM grid g " +
+       "LEFT JOIN agg a ON g.user_id = a.user_id AND g.hr = a.hr) " +
+       "SELECT user_id, hr, CAST(n_events AS BIGINT) AS n_events, " +
+       "last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff " +
+       "FROM j ORDER BY user_id, hr"),
+    "q_ts_retention" ->
+      ("WITH e AS (SELECT DISTINCT user_id, CAST(floor(epoch_ms(date_trunc('milliseconds', ts)) / 604800000.0) AS BIGINT) AS wk FROM events), " +
+       "c AS (SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY user_id) " +
+       "SELECT cohort, wk - cohort AS age, COUNT(DISTINCT e.user_id) AS active " +
+       "FROM e JOIN c ON e.user_id = c.user_id GROUP BY cohort, wk - cohort ORDER BY cohort, age")
   )
 }
