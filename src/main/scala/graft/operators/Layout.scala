@@ -51,4 +51,16 @@ object Layout {
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile.toString)
       .parquet(path)
+
+  /** Columnar-format interchange via ORC (datasource bundled with
+    * spark-sql): the escape hatch for exchanging tables with
+    * ORC-native warehouses. Same scan machinery as parquet — column
+    * pruning and predicate pushdown reach the ORC reader (ReadSchema /
+    * PushedFilters in the plan); OrcInterchangeSpec pins roundtrip
+    * content equality and the pushdown. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }
