@@ -80,6 +80,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("DedupClusters: union-find emits every member under adversarial edge orders (r02 row-loss regression)") {
+    import graft.operators.DedupClusters
+    // The r02 driver run lost 8 of 47 members: emission iterated a live
+    // keySet VIEW while find() path-compressed the map, and deep parent
+    // chains only form under some shuffle-fetch arrival orders. Pin the
+    // fix (array snapshot before emission) across orders that build
+    // deep chains: descending, interleaved strides, and seeded shuffles.
+    val chain = (1L until 200L).map(i => (i, i + 1))
+    val orders = Seq(
+      chain.reverse,
+      chain.sortBy { case (a, _) => a % 7 },
+      new scala.util.Random(42).shuffle(chain),
+      new scala.util.Random(7).shuffle(chain))
+    for (edges <- orders) {
+      val out = DedupClusters.resolve(spark, edges.toDF("doc_a", "doc_b"), 1000000L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      assert(out.length == 200, s"lost members: ${out.length} of 200")
+      assert(out.forall(_._2 == 1L), "wrong canonical label")
+    }
+  }
+
   test("IdempotentSink skips replayed batchIds") {
     import graft.streaming.{IdempotentSink, Pipeline}
     val seen = new java.util.concurrent.atomic.AtomicInteger(0)
