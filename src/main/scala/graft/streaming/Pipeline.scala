@@ -122,6 +122,22 @@ object Pipeline {
     fixes.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("id")
 
+  /** Incrementally-maintained latest-state snapshot per key — the
+    * streaming form of q_cdc_snapshot, same order-independent
+    * max(struct) aggregate keyed by the unique (ms, event_id) prefix,
+    * so arrival order across micro-batches cannot change the result
+    * (StreamingPipelineSpec proves stream == batch). `events` needs
+    * user_id, ms, event_id, value, event_type. */
+  def snapshotState(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"),
+        struct(col("ms"), col("event_id"), col("value"), col("event_type")).as("st"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("st")).as("w"))
+      .select(col("user_id"), col("n_events"),
+        col("w.event_id").as("last_event_id"), col("w.ms").as("last_ms"),
+        col("w.value").as("last_value"), col("w.event_type").as("last_type"))
+
   /** Stream-stream interval join: each fix is enriched with the device
     * status events observed in the lag window [fix.ts − maxLag,
     * fix.ts]. Both sides carry watermarks AND the join condition bounds

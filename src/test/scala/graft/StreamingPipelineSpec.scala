@@ -139,6 +139,28 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(ok.count() + dlq.count() == raw.count())
   }
 
+  test("incremental snapshot over micro-batches == batch q_cdc_snapshot aggregate") {
+    val in = MemoryStream[(Long, Long, Long, Double, String)]
+    // (user_id, ms, event_id, value, event_type); the LATEST state for
+    // user 1 arrives in the FIRST batch — replacement must not occur,
+    // and user 2's later state in batch 2 must win. Order-independence
+    // of max(struct) is exactly what makes this safe across batches.
+    in.addData((1L, 100L, 5L, 1.5, "view"), (2L, 50L, 1L, 9.0, "click"))
+    val q = Pipeline.snapshotState(
+        in.toDF.toDF("user_id", "ms", "event_id", "value", "event_type"))
+      .writeStream.format("memory").queryName("snap_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    in.addData((1L, 90L, 4L, 7.0, "error"), (2L, 60L, 2L, 3.0, "view"))
+    q.processAllAvailable()
+    val got = spark.table("snap_out").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getString(5)))).toMap
+    q.stop()
+    assert(got(1L) == ((2L, 5L, 100L, 1.5, "view")))  // batch-1 state survives
+    assert(got(2L) == ((2L, 2L, 60L, 3.0, "view")))   // batch-2 state wins
+  }
+
   test("exactly-once: restart from checkpoint does not re-deliver") {
     val dbz = (i: Int) =>
       s"""{"payload":{"after":{"id":"E$i","latitude":1.0,"longitude":2.0},"op":"c"}}"""
