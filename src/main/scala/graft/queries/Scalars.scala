@@ -185,6 +185,19 @@ object Scalars {
         .orderBy($"vec_id", $"pos")
     }),
 
+    // Bitwise family — exact integer ops, identical on any engine. (r3)
+    "q_fn_bitwise" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_id",
+          $"event_id".bitwiseAND(lit(255L)).as("lo_byte"),
+          $"event_id".bitwiseOR(lit(4096L)).as("with_flag"),
+          $"event_id".bitwiseXOR($"user_id").as("xored"),
+          shiftleft($"event_id", 3).as("shl3"),
+          bit_count($"event_id").cast(LongType).as("bits"))
+        .orderBy($"event_id")
+    }),
+
     "q_fn_map" -> ((s, d) => {
       import s.implicits._
       val m = map(
@@ -274,6 +287,10 @@ object Scalars {
     "q_fn_map" ->
       ("SELECT event_id, 'k,type' AS ks, event_type AS type_val, " +
        "json_extract_string(props, '$.k') AS k_val, CAST(2 AS BIGINT) AS n_vals " +
-       "FROM events ORDER BY event_id")
+       "FROM events ORDER BY event_id"),
+    "q_fn_bitwise" ->
+      ("SELECT event_id, event_id & 255 AS lo_byte, event_id | 4096 AS with_flag, " +
+       "xor(event_id, user_id) AS xored, event_id << 3 AS shl3, " +
+       "CAST(bit_count(event_id) AS BIGINT) AS bits FROM events ORDER BY event_id")
   )
 }
