@@ -58,9 +58,22 @@ object SqlSurface {
     "WHERE n_big > (SELECT AVG(n_big) FROM big) " +
     "ORDER BY c_custkey"
 
+  /** Correlated EXISTS / NOT EXISTS in one statement — Spark rewrites
+    * both to semi/anti joins (decorrelation), so this also pins that
+    * the SQL surface reaches the same plans as q_join_semi/anti. */
+  val existsCorrelatedSql: String =
+    "SELECT c_custkey, c_name, " +
+    "EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+    "AND o.o_totalprice > 400000.0) AS has_big, " +
+    "NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AS no_orders " +
+    "FROM customer c ORDER BY c_custkey"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_revenue_by_nation" -> ((s, d) => {
       registerAll(s, d); s.sql(revenueByNationSql)
+    }),
+    "q_sql_exists_correlated" -> ((s, d) => {
+      registerAll(s, d); s.sql(existsCorrelatedSql)
     }),
     "q_sql_cte_subquery" -> ((s, d) => {
       registerAll(s, d); s.sql(cteSubquerySql)
@@ -75,6 +88,7 @@ object SqlSurface {
 
   val oracle: Map[String, String] = Map(
     "q_sql_revenue_by_nation" -> revenueByNationSql,
+    "q_sql_exists_correlated" -> existsCorrelatedSql,
     "q_sql_cte_subquery" -> cteSubquerySql,
     "q_sql_tpch_q3ish" -> q3Sql,
     "q_sql_tpch_q10ish" -> q10Sql
