@@ -210,6 +210,20 @@ object Aggregations {
       wide.unpivot(Array($"l_returnflag"), Array($"F", $"O"), "status", "sum_qty")
         .filter($"sum_qty".isNotNull)
         .orderBy($"l_returnflag", $"status")
+    }),
+
+    // Deterministic per-group mode (argmax): most frequent event_type
+    // per user, ties broken by the larger type string — the same
+    // order-independent max(struct) shape as q_cdc_snapshot, so it
+    // partial-aggregates map-side instead of sorting each group. (r3)
+    "q_agg_mode" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("c"))
+        .groupBy($"user_id")
+        .agg(max(struct($"c", $"event_type")).as("w"))
+        .select($"user_id", $"w.event_type".as("mode_type"), $"w.c".as("mode_n"))
+        .orderBy($"user_id")
     })
   )
 
@@ -283,6 +297,10 @@ object Aggregations {
        "UNION ALL SELECT l_returnflag, 'O' AS status, " +
        "CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS sum_qty " +
        "FROM lineitem GROUP BY l_returnflag) WHERE sum_qty IS NOT NULL " +
-       "ORDER BY l_returnflag, status")
+       "ORDER BY l_returnflag, status"),
+    "q_agg_mode" ->
+      ("WITH c AS (SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY user_id, event_type), " +
+       "r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY c DESC, event_type DESC) AS rn FROM c) " +
+       "SELECT user_id, event_type AS mode_type, c AS mode_n FROM r WHERE rn = 1 ORDER BY user_id")
   )
 }
