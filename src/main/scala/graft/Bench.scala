@@ -25,7 +25,10 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    def sec(v: Double): String = f"$v%.3f"
+    // explicit ROOT locale: the f-interpolator honors the JVM default
+    // locale, and a comma-decimal default (e.g. de_DE) would emit
+    // "49,900" and corrupt both the stdout line and BENCH_FULL.json
+    def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Diagnostic second pass over the slowest queries: separates
     // one-shot cost (plan analysis + codegen + JIT + cache fill) from

@@ -34,7 +34,7 @@ object Scratch {
     time("2 explode")(ex.count())
     val dfc = ex.groupBy($"sh").agg(count(lit(1)).as("df"))
     time("3 dfc")(dfc.count())
-    val exCapped = ex.join(dfc.filter($"df" <= 32).select($"sh"), "sh")
+    val exCapped = ex.join(dfc.filter($"df" <= graft.queries.Llm.MaxShingleDf).select($"sh"), "sh")
     time("4 exCapped")(exCapped.count())
     val pairs = exCapped.as("a").join(exCapped.as("b"),
         $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")

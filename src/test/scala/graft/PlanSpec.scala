@@ -111,7 +111,6 @@ class PlanSpec extends AnyFunSuite {
 
   test("pii_mask plans as a narrow map (no shuffle before the output sort)") {
     val p = finalPlan("q_llm_pii_mask")
-    val exchanges = "Exchange".r.findAllIn(p).size
     // rangepartitioning for the final orderBy appears in both the final
     // and the initial AQE plan rendering; nothing else may shuffle
     assert(!p.contains("hashpartitioning"), "unexpected shuffle in a narrow map")
@@ -123,10 +122,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning"), "unexpected shuffle in a narrow explode")
   }
 
-  test("unigram_lm joins the LM via broadcast, never shuffling docs on the LM side") {
-    val p = finalPlan("q_llm_unigram_lm")
-    assert(p.contains("BroadcastHashJoin"), "vocab LM must broadcast (it is vocab-sized)")
-    assert(!p.contains("SortMergeJoin"), "doc-side must not shuffle for the LM join")
+  test("tfidf/unigram_lm: vocab-sized join is unhinted (AQE-sized), yet broadcasts at bench scale") {
+    // The df/LM relation is vocabulary-cardinality: tiny here, 10⁸–10⁹
+    // rows on a 100 TB corpus. A forced broadcast() hint would OOM at
+    // real scale, so the join must carry NO broadcast hint — the only
+    // permitted hint is on the single-row global-total aggregate, which
+    // is 1 row at any scale. AQE must still CHOOSE broadcast at bench
+    // scale from the measured runtime size (proves we lost no perf).
+    for (q <- Seq("q_llm_tfidf", "q_llm_unigram_lm")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val hinted = "strategy=broadcast".r
+        .findAllIn(df.queryExecution.optimizedPlan.toString).size
+      assert(hinted <= 1,
+        s"$q: only the 1-row total may carry a broadcast hint, found $hinted")
+      val p = finalPlan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: AQE should still pick broadcast for the tiny vocab at bench scale")
+    }
   }
 
   test("cdc_snapshot resolves latest state with an aggregate, not a window") {
