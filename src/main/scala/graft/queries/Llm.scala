@@ -71,6 +71,15 @@ object Llm {
     * with corpus size — real Zipfian corpora don't). */
   val MaxShingleDf = 12
 
+  /** Per-label sample cap for q_llm_pairwise_label_sim: at most this
+    * many vectors per label enter the pair scan (smallest md5-hash
+    * rank, deterministic). Vectors ≤ labels × cap and pairs ≤
+    * C(labels·cap, 2) at ANY corpus size — a true constant bound, where
+    * a rate-based sample (the r3 mod-2 filter) only divided the O(n²)
+    * pair count by a constant. 64 keeps every vector at sf0.01
+    * (≤59/label) and binds at sf0.1 (~200/label → 64). */
+  val PairSimCap = 64
+
   /** The trigram-Jaccard near-dup pairs with exact scores (threshold
     * 0.2) — shared by q_llm_ngram_jaccard (keeps the rounded score)
     * and the cluster-resolution query (keeps the pair).
@@ -341,16 +350,25 @@ object Llm {
     }),
 
     // Embedding-quality check: avg intra-label vs inter-label cosine.
-    // A global statistic, so at scale it is a SAMPLED estimator: a
-    // deterministic hash-sample of vectors (md5-derived, mirrored in
-    // the oracle) bounds the pair count regardless of corpus size, and
-    // the pair join is the same block-partitioned equi-join as
+    // A global statistic, so at scale it is a SAMPLED estimator with a
+    // SIZE-INVARIANT bound: per label, keep the PairSimCap vectors with
+    // the smallest md5-derived hash (deterministic, mirrored in the
+    // oracle) — at most labels × PairSimCap vectors survive no matter
+    // how large the corpus is, so the pair count is a constant
+    // C(L·cap, 2), not a fraction of O(n²) (VERDICT r3 item 2; a
+    // mod-k filter only divides the quadratic by k²). The rank filter
+    // compiles to WindowGroupLimit: a partial per-partition top-cap
+    // precedes the label shuffle, so no full per-label sort either.
+    // The pair join is the same block-partitioned equi-join as
     // q_llm_embed_neardup (no BNLJ / full-table broadcast).
     "q_llm_pairwise_label_sim" -> ((s, d) => {
       import s.implicits._
+      import org.apache.spark.sql.expressions.Window
       val G = 8
       val e = Tables.embeddings(s, d)
-        .filter(pmod(h32($"vec_id".cast(StringType), 7), lit(2)) === 0)
+        .withColumn("rn", row_number().over(Window.partitionBy($"label")
+          .orderBy(h32($"vec_id".cast(StringType), 7), $"vec_id")))
+        .filter($"rn" <= PairSimCap)
         .select($"vec_id", $"label", $"embedding",
           VecOps.norm(s, $"embedding").as("nrm"),
           pmod($"vec_id", lit(G)).cast(IntegerType).as("blk"))
@@ -625,8 +643,10 @@ object Llm {
        "FROM e a JOIN e b ON a.vec_id < b.vec_id) " +
        "SELECT vec_a, vec_b, cs FROM p WHERE cs >= 0.35 ORDER BY vec_a, vec_b"),
     "q_llm_pairwise_label_sim" ->
-      ("WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings " +
-       "WHERE " + sqlH32("CAST(vec_id AS VARCHAR)", 7) + " % 2 = 0), " +
+      ("WITH r AS (SELECT vec_id, label, embedding, ROW_NUMBER() OVER (PARTITION BY label " +
+       "ORDER BY " + sqlH32("CAST(vec_id AS VARCHAR)", 7) + ", vec_id) AS rn FROM embeddings), " +
+       "e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM r " +
+       "WHERE rn <= " + PairSimCap + "), " +
        "p AS (SELECT a.label = b.label AS same_label, " +
        "list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / " +
        "(sqrt(list_sum(list_transform(list_zip(a.v, a.v), p -> p[1] * p[2]))) * " +

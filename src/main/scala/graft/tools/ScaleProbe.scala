@@ -84,6 +84,12 @@ object ScaleProbe {
         val n = graft.SparkEntry.queries(q)(spark, dir).count()
         println(f"SCALE x$k $q rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f")
       }
+      // pairwise_label_sim: the evidence is the PAIR COUNT, not the
+      // 2-row output — the per-label cap must hold it constant as the
+      // corpus grows (a rate sample would grow it k²×)
+      val pairs = graft.SparkEntry.queries("q_llm_pairwise_label_sim")(spark, dir)
+        .agg(sum(col("n_pairs"))).collect()(0).getLong(0)
+      println(s"SCALE x$k q_llm_pairwise_label_sim PAIR_COUNT=$pairs")
     }
     spark.stop()
   }

@@ -122,6 +122,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning"), "unexpected shuffle in a narrow explode")
   }
 
+  test("pairwise_label_sim's per-label cap compiles to WindowGroupLimit (no full per-label sort)") {
+    // the rank<=cap filter must push down as a partial per-partition
+    // top-cap before the label shuffle — that is what makes the
+    // size-invariant sample itself scale
+    val p = finalPlan("q_llm_pairwise_label_sim")
+    assert(p.contains("WindowGroupLimit"), "rank filter should push down as WindowGroupLimit")
+  }
+
   test("tfidf/unigram_lm: vocab-sized join is unhinted (AQE-sized), yet broadcasts at bench scale") {
     // The df/LM relation is vocabulary-cardinality: tiny here, 10⁸–10⁹
     // rows on a 100 TB corpus. A forced broadcast() hint would OOM at
