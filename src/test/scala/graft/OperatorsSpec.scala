@@ -72,12 +72,27 @@ class OperatorsSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels(100000L) == expected) // single-partition union-find
     assert(labels(2L) == expected)      // multi-partition min-label propagation
-    // a >50-diameter chain must fail loudly, not return wrong labels
+    // hitting the round bound must fail loudly, not return wrong labels
+    // (force it with maxRounds=1 — path halving makes any natural graph
+    // converge long before the real bound of 50)
     val longChain = (1L to 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val e = intercept[IllegalStateException] {
-      DedupClusters.resolve(spark, longChain, 2L).collect()
+      DedupClusters.resolveWithRounds(spark, longChain, 2L, maxRounds = 1)._1.collect()
     }
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("DedupClusters: pointer jumping converges a diameter-200 chain in O(log n) rounds") {
+    import graft.operators.DedupClusters
+    // Pure min-label propagation needs ~diameter rounds (this graph
+    // would throw at the 50-round bound); the jump step (path halving)
+    // makes it logarithmic. log2(200) ≈ 7.6 → well under 10 rounds.
+    val chain = (1L to 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = DedupClusters.resolveWithRounds(spark, chain, 8L)
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.length == 201, s"lost members: ${out.length} of 201")
+    assert(out.forall(_._2 == 1L), "wrong canonical label")
+    assert(rounds <= 10, s"took $rounds rounds — pointer jumping not effective")
   }
 
   test("DedupClusters: union-find emits every member under adversarial edge orders (r02 row-loss regression)") {
