@@ -160,14 +160,28 @@ object TextAnalysis {
         .orderBy($"doc_id")
     }),
 
-    // Edit-distance near-dup over part names, blocked by (brand, type)
-    // — the blocking join is the scale pattern: candidate pairs only
-    // within blocks, never the full cross product.
+    // Edit-distance near-dup over part names — blocked candidate join,
+    // never the full cross product. (brand, type) alone is a FIXED
+    // domain, so its block sizes grow linearly with data and in-block
+    // pairs quadratically (VERDICT r3 item 4); the blocking key
+    // therefore also carries a name-length bucket (width 4). That stays
+    // EXACT for the ≤3 threshold: lev(a,b) ≤ 3 forces
+    // |len(a)−len(b)| ≤ 3, and with width-4 buckets that bounds the
+    // bucket distance to 1 — the a-side probes its own and both
+    // adjacent buckets via a 3-way explode, so every qualifying pair
+    // meets in exactly one (probe, bucket) cell (b's bucket is unique).
+    // 3× replication of one side buys blocks that spread across the
+    // length distribution instead of pooling per fixed (brand, type).
     "q_llm_edit_distance" -> ((s, d) => {
       import s.implicits._
-      val p = Tables.part(s, d).select($"p_partkey", $"p_brand", $"p_type", $"p_name")
-      p.as("a").join(p.as("b"),
+      val LB = 4
+      val p = Tables.part(s, d).select($"p_partkey", $"p_brand", $"p_type", $"p_name",
+        floor(length($"p_name") / LB).cast(IntegerType).as("lbkt"))
+      val probe = p.withColumn("pbkt",
+        explode(array($"lbkt" - 1, $"lbkt", $"lbkt" + 1)))
+      probe.as("a").join(p.as("b"),
           $"a.p_brand" === $"b.p_brand" && $"a.p_type" === $"b.p_type" &&
+          $"a.pbkt" === $"b.lbkt" &&
           $"a.p_partkey" < $"b.p_partkey" &&
           // free prune: |len(a)−len(b)| > 3 ⟹ lev > 3, skips the
           // O(len²) levenshtein for most in-block pairs

@@ -64,6 +64,19 @@ object ScaleProbe {
       }.reduce(_ unionByName _)
     }
 
+    def scaledPart(k: Int): DataFrame = {
+      // brand carries a per-copy suffix: brand is part of the
+      // edit-distance blocking key, so blocks never cross copies —
+      // per-copy pair structure is preserved and output grows exactly
+      // k×, not k²× (suffixing p_name instead would make every
+      // cross-copy name an edit-distance-1 neighbor)
+      val base = graft.Tables.part(spark, src)
+      (0 until k).map { c =>
+        base.withColumn("p_partkey", col("p_partkey") + lit(c * 10000000L))
+          .withColumn("p_brand", concat(col("p_brand"), lit(s"_$c")))
+      }.reduce(_ unionByName _)
+    }
+
     val queries = Seq(
       "q_llm_minhash_neardup", "q_llm_simhash_neardup", "q_llm_exact_dedup",
       "q_llm_norm_dedup", "q_llm_tfidf", "q_llm_token_stats", "q_join_asof",
@@ -71,13 +84,16 @@ object ScaleProbe {
       // partial-agg shuffles, broadcast-LM joins, per-key windows)
       "q_llm_pack_shards", "q_llm_repetition", "q_llm_bpe_pairs",
       "q_llm_window_chunks", "q_llm_unigram_lm", "q_llm_embed_outlier",
-      "q_cdc_scd2", "q_cdc_snapshot")
+      "q_cdc_scd2", "q_cdc_snapshot",
+      // r4: blocked + length-bucketed — must grow sub-quadratically
+      "q_llm_edit_distance")
 
     for (k <- multipliers) {
       val dir = Files.createTempDirectory(s"graft_scale_x$k").toString
       scaledDocs(k).write.mode("overwrite").parquet(s"$dir/documents.parquet")
       scaledEvents(k).write.mode("overwrite").parquet(s"$dir/events.parquet")
       scaledEmbeddings(k).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      scaledPart(k).write.mode("overwrite").parquet(s"$dir/part.parquet")
       for (q <- queries) {
         // fresh timing per (k, q); cold caches dominate equally per k
         val t0 = System.nanoTime()
