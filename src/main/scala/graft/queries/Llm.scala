@@ -80,6 +80,41 @@ object Llm {
     * (≤59/label) and binds at sf0.1 (~200/label → 64). */
   val PairSimCap = 64
 
+  /** Bucket sizing for the G²-block exact pair join: G is chosen so
+    * each bucket side holds ~BlockTargetRows vectors no matter how
+    * large the corpus is — a constant G lets bucket sides grow
+    * linearly with n, re-centralizing the quadratic work into
+    * oversized tasks (VERDICT r3 item 3). n comes from a count() of
+    * the input: the same cheap statistics job AQE runs, once per
+    * query. Results are G-invariant — every unordered pair meets in
+    * exactly one bucket for ANY G ≥ 1 (BlockPairSpec proves both).
+    * The cap bounds the explode replication factor (G per side) and
+    * the G² bucket count; at the cap, per-bucket sides grow again —
+    * the honest residual cost of an EXACT quadratic operator, which
+    * at that size should be the ANN path (see BASELINE.md crossover
+    * table). */
+  val BlockTargetRows = 2000L
+  val MaxBlocks = 512
+  def adaptiveBlocks(n: Long): Int =
+    math.min(MaxBlocks.toLong, math.max(2L, (n + BlockTargetRows - 1) / BlockTargetRows)).toInt
+
+  /** Block-partitioned exact pair join shared by q_llm_embed_neardup
+    * and q_llm_pairwise_label_sim: each side is replicated G ways onto
+    * a (block_a, block_b) bucket key, the join is a shuffled EQUI-join
+    * over G² evenly-sized buckets (no BroadcastNestedLoopJoin, no
+    * full-table broadcast — survives sides that exceed executor
+    * memory), and each unordered pair meets in exactly one bucket.
+    * Input needs a vec_id column; output is the aliased a/b join. */
+  def blockPairJoin(e: DataFrame, g: Int): DataFrame = {
+    val withBlk = e.withColumn("blk", pmod(col("vec_id"), lit(g)).cast(IntegerType))
+    val aSide = withBlk.withColumn("bp",
+      explode(array((0 until g).map(j => col("blk") * g + lit(j)): _*)))
+    val bSide = withBlk.withColumn("bp",
+      explode(array((0 until g).map(i => lit(i * g) + col("blk")): _*)))
+    aSide.as("a").join(bSide.as("b"),
+      col("a.bp") === col("b.bp") && col("a.vec_id") < col("b.vec_id"))
+  }
+
   /** The trigram-Jaccard near-dup pairs with exact scores (threshold
     * 0.2) — shared by q_llm_ngram_jaccard (keeps the rounded score)
     * and the cluster-resolution query (keeps the pair).
@@ -330,19 +365,16 @@ object Llm {
     // exactly one bucket. Sub-quadratic *approximate* retrieval on
     // realistically-similar data (cos >= 0.7) is operators.AnnLsh /
     // AnnIvf (recall-tested). Norms are computed once per vector; the
-    // pair loop is one fused codegen dot per pair.
+    // pair loop is one fused codegen dot per pair. G adapts to the
+    // input size (bucket sides stay ~BlockTargetRows — VERDICT r3
+    // item 3); see adaptiveBlocks and the BASELINE.md crossover table
+    // for where the ANN path overtakes this exact form.
     "q_llm_embed_neardup" -> ((s, d) => {
       import s.implicits._
-      val G = 8
       val e = Tables.embeddings(s, d).select($"vec_id", $"embedding",
-        VecOps.norm(s, $"embedding").as("nrm"),
-        pmod($"vec_id", lit(G)).cast(IntegerType).as("blk"))
-      val aSide = e.withColumn("bp",
-        explode(array((0 until G).map(j => $"blk" * G + lit(j)): _*)))
-      val bSide = e.withColumn("bp",
-        explode(array((0 until G).map(i => lit(i * G) + $"blk"): _*)))
-      aSide.as("a").join(bSide.as("b"),
-          $"a.bp" === $"b.bp" && $"a.vec_id" < $"b.vec_id")
+        VecOps.norm(s, $"embedding").as("nrm"))
+      val G = adaptiveBlocks(e.count())
+      blockPairJoin(e, G)
         .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
           round(VecOps.dot(s, $"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm"), 6).as("cs"))
         .filter($"cs" >= 0.35)
@@ -364,20 +396,17 @@ object Llm {
     "q_llm_pairwise_label_sim" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
+      // constant G: the capped input is ≤ labels × PairSimCap rows by
+      // construction, so bucket sides are already bounded — no count
+      // needed (unlike embed_neardup, whose input is the full corpus)
       val G = 8
       val e = Tables.embeddings(s, d)
         .withColumn("rn", row_number().over(Window.partitionBy($"label")
           .orderBy(h32($"vec_id".cast(StringType), 7), $"vec_id")))
         .filter($"rn" <= PairSimCap)
         .select($"vec_id", $"label", $"embedding",
-          VecOps.norm(s, $"embedding").as("nrm"),
-          pmod($"vec_id", lit(G)).cast(IntegerType).as("blk"))
-      val aSide = e.withColumn("bp",
-        explode(array((0 until G).map(j => $"blk" * G + lit(j)): _*)))
-      val bSide = e.withColumn("bp",
-        explode(array((0 until G).map(i => lit(i * G) + $"blk"): _*)))
-      aSide.as("a").join(bSide.as("b"),
-          $"a.bp" === $"b.bp" && $"a.vec_id" < $"b.vec_id")
+          VecOps.norm(s, $"embedding").as("nrm"))
+      blockPairJoin(e, G)
         .select(($"a.label" === $"b.label").as("same_label"),
           (VecOps.dot(s, $"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm")).as("cs"))
         .groupBy($"same_label")
