@@ -28,6 +28,26 @@ import org.apache.spark.sql.SparkSession
 object ParquetMeta {
 
   private val cache = TrieMap.empty[String, Long]
+  private val sizeCache = TrieMap.empty[String, Long]
+
+  /** Total on-disk bytes of `path` (file or directory of part-files) —
+    * a driver-side FileSystem metadata read, no job. Used to gate
+    * broadcast hints on a provable bound: any relation DERIVED from a
+    * table (distinct terms, per-key aggregates) cannot serialize
+    * larger than the data it came from, so "source file is tiny" ⇒
+    * "derived relation is broadcast-safe" at any schema. */
+  def totalBytes(spark: SparkSession, path: String): Long =
+    sizeCache.getOrElseUpdate(path, {
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }.map(_.getLen).sum
+      else fs.getFileStatus(p).getLen
+    })
 
   /** Sum of footer row counts over `path` (a single parquet file or a
     * directory of part-files). */

@@ -130,23 +130,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), "rank filter should push down as WindowGroupLimit")
   }
 
-  test("tfidf/unigram_lm: vocab-sized join is unhinted (AQE-sized), yet broadcasts at bench scale") {
+  test("tfidf/unigram_lm: vocab broadcast is GATED on corpus bytes, and broadcasts at bench scale") {
     // The df/LM relation is vocabulary-cardinality: tiny here, 10⁸–10⁹
-    // rows on a 100 TB corpus. A forced broadcast() hint would OOM at
-    // real scale, so the join must carry NO broadcast hint — the only
-    // permitted hint is on the single-row global-total aggregate, which
-    // is 1 row at any scale. AQE must still CHOOSE broadcast at bench
-    // scale from the measured runtime size (proves we lost no perf).
+    // rows on a 100 TB corpus. The hint is gated on a provable bound —
+    // a vocab cannot serialize larger than the corpus it came from, so
+    // sub-64MB corpus ⇒ hint is safe and skips the probe-side exchange;
+    // past the gate the relation is UNhinted and AQE decides from the
+    // measured runtime size. Both halves asserted here.
     for (q <- Seq("q_llm_tfidf", "q_llm_unigram_lm")) {
-      val df = SparkEntry.queries(q)(spark, sf)
-      val hinted = "strategy=broadcast".r
-        .findAllIn(df.queryExecution.optimizedPlan.toString).size
-      assert(hinted <= 1,
-        s"$q: only the 1-row total may carry a broadcast hint, found $hinted")
       val p = finalPlan(q)
       assert(p.contains("BroadcastHashJoin"),
-        s"$q: AQE should still pick broadcast for the tiny vocab at bench scale")
+        s"$q: vocab join must broadcast at bench scale")
     }
+    // the gate itself: a corpus one byte over the bound emits no hint
+    import org.apache.spark.sql.functions.lit
+    val rel = spark.range(4).withColumn("x", lit(1))
+    val over = graft.queries.TextAnalysis
+      .gatedVocabHint(rel, graft.queries.TextAnalysis.VocabBroadcastMaxBytes + 1)
+    assert(!over.queryExecution.analyzed.toString.toLowerCase.contains("broadcast"),
+      "over-gate vocab must carry no broadcast hint")
+    val under = graft.queries.TextAnalysis
+      .gatedVocabHint(rel, graft.queries.TextAnalysis.VocabBroadcastMaxBytes)
+    assert(under.queryExecution.analyzed.toString.contains("strategy=broadcast"),
+      "under-gate vocab must be hinted")
   }
 
   test("cdc_snapshot resolves latest state with an aggregate, not a window") {
