@@ -85,17 +85,18 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("pack_shards: per-doc data never passes a single-partition exchange") {
-    // The two-level prefix sum promises: the intra-bucket window is
-    // PARTITIONED (windowspecdefinition carries the bkt partition key),
-    // and the only SinglePartition exchange feeds the tiny bucket-totals
-    // cumsum, which returns via broadcast.
+    // PrefixSum's recursive scan promises: the per-doc window is
+    // PARTITIONED (windowspecdefinition carries the _ps_bkt key), only
+    // the ≤fanout-row TOP level crosses a single-partition window, and
+    // offsets come back through unhinted joins AQE broadcasts at bench
+    // scale.
     val p = finalPlan("q_llm_pack_shards")
-    assert(p.contains("windowspecdefinition(bkt"), "intra window lost its partition key")
+    assert(p.contains("windowspecdefinition(_ps_bkt"), "intra window lost its partition key")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
-      "bucket offsets must come back via broadcast")
-    // the single-partition exchange exists exactly once (bucket totals);
-    // count only the final AQE plan — the string repeats it under
-    // "== Initial Plan =="
+      "AQE should broadcast the tiny offsets relation at bench scale")
+    // the single-partition exchange exists exactly once (the top
+    // level); count only the final AQE plan — the string repeats it
+    // under "== Initial Plan =="
     val finalSection = p.split("== Initial Plan ==")(0)
     val n = "Exchange SinglePartition".r.findAllIn(finalSection).size
     assert(n <= 1, s"$n single-partition exchanges — per-doc data is collapsing")
