@@ -19,12 +19,15 @@ import org.apache.spark.sql.DataFrame
   * AFTER inner.write returns, non-atomically — a crash in between
   * re-delivers that one batch on restart, so this class alone is
   * at-least-once in exactly that window. True exactly-once requires
-  * the sink's write and the ledger commit to share one transaction
-  * (JDBC: a _committed_batches table updated in the same transaction
-  * as the data — the classic transactional outbox), or an inner sink
-  * that is itself idempotent per (batchId, row). The file ledger is
-  * the right shape for tests and for object-store sinks whose "write"
-  * is an atomic rename.
+  * the sink's write and the ledger commit to share one transaction —
+  * that variant is implemented: [[JdbcOutboxSink]] commits the data
+  * rows and a (batch_id, part_id) ledger row atomically per
+  * partition (the classic transactional outbox; JdbcSinkSpec kills a
+  * task inside the window this class cannot close and proves zero
+  * duplicates). Alternatively an inner sink that is itself idempotent
+  * per (batchId, row) needs no ledger at all ([[JdbcUpsertSink]]).
+  * The file ledger remains the right shape for tests and for
+  * object-store sinks whose "write" is an atomic rename.
   */
 final class IdempotentSink(inner: RowSink, ledgerDir: String) extends RowSink {
   override def write(batch: DataFrame, batchId: Long): Unit = {
