@@ -50,7 +50,12 @@ object PrefixSum {
   // level the input's own ord column IS the previous level's bucket id
   private def level(df: DataFrame, ord: String, value: String, out: String,
       idBound: Long, fanout: Long, lvl: Int): DataFrame = {
-    if (idBound < fanout) {
+    // the recursion maps idBound to idBound/fanout + 1, whose fixed
+    // point is 2 at fanout=2 — so recurse ONLY when the bound actually
+    // shrinks, else a strict size test never terminates there
+    // (ADVICE r5); fanout >= 3 plans are unchanged by this guard
+    val nextBound = idBound / fanout + 1
+    if (idBound < fanout || nextBound >= idBound) {
       df.withColumn(out,
         sum(col(value)).over(Window.orderBy(col(ord))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -65,7 +70,7 @@ object PrefixSum {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       val totals = withBkt.groupBy(col(bkt)).agg(sum(col(value)).as(btotC))
       val offsets = level(totals, bkt, btotC, bcumC,
-          idBound / fanout + 1, fanout, lvl + 1)
+          nextBound, fanout, lvl + 1)
         .select(col(bkt), (col(bcumC) - col(btotC)).as(offC))
       intra.join(offsets, bkt)
         .withColumn(out, col(offC) + col(intraC))

@@ -16,13 +16,17 @@ object TextAnalysis {
   private def toks(c: Column): Column = split(c, " ")
 
   /** Broadcast gate for vocabulary-sized relations (the df(term) /
-    * unigram-LM aggregates). The bound is provable, not guessed: a
-    * distinct-term relation cannot serialize larger than the corpus
-    * text it was extracted from, so when the documents parquet is under
-    * `VocabBroadcastMaxBytes` ON DISK the derived vocab is
-    * broadcast-safe at ANY vocabulary shape (64 MB compressed ⇒
-    * ≲256 MB raw at typical ~4× text codecs — comfortably inside a
-    * single executor). Above the gate NO hint is emitted and AQE picks
+    * unigram-LM aggregates). The bound is a CONSERVATIVE HEURISTIC
+    * anchored on a real invariant: a distinct-term relation's TEXT
+    * cannot serialize larger than the corpus it was extracted from, so
+    * when the documents parquet is under `VocabBroadcastMaxBytes` ON
+    * DISK (64 MB compressed ⇒ ≲256 MB raw at typical ~4× text codecs)
+    * the derived vocab's payload fits an executor with margin. The
+    * in-memory broadcast hash relation additionally pays per-row
+    * object overhead the on-disk bound doesn't see — on a pathological
+    * tiny-term vocabulary that overhead dominates, which is why the
+    * gate is set far below the broadcast ceiling rather than at it
+    * (ADVICE r5). Above the gate NO hint is emitted and AQE picks
     * broadcast vs shuffle from the aggregate's measured runtime size —
     * on a 100 TB corpus the 10⁸–10⁹-row vocab takes the shuffle path,
     * which costs nothing extra there because the probe side is already

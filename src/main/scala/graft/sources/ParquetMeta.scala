@@ -2,7 +2,7 @@ package graft.sources
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.SparkSession
@@ -30,6 +30,30 @@ object ParquetMeta {
   private val cache = TrieMap.empty[String, Long]
   private val sizeCache = TrieMap.empty[String, Long]
 
+  /** All data files under `path`, RECURSING into subdirectories — a
+    * Hive-partitioned layout (`date=.../part-*.parquet`) has zero
+    * top-level files, and a non-recursive listing would silently
+    * return 0 bytes / 0 rows, which downstream gates read as "tiny ⇒
+    * broadcast-safe": the exact OOM they exist to prevent (ADVICE r5).
+    * Hidden files AND hidden directories (`_`/`.` prefix: _SUCCESS,
+    * _delta_log, .staging) are skipped at every level. Zero data files
+    * is a loud error, never a zero. */
+  private def dataFiles(fs: FileSystem, p: Path): Seq[FileStatus] = {
+    def visible(name: String) =
+      !name.startsWith("_") && !name.startsWith(".")
+    def walk(st: FileStatus): Seq[FileStatus] =
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq
+          .filter(c => visible(c.getPath.getName)).flatMap(walk)
+      else Seq(st)
+    val root = fs.getFileStatus(p)
+    val files = walk(root)
+    require(files.nonEmpty,
+      s"no data files under $p — refusing to report 0 from metadata " +
+        "(a size-gated caller would treat it as broadcast-safe)")
+    files
+  }
+
   /** Total on-disk bytes of `path` (file or directory of part-files) —
     * a driver-side FileSystem metadata read, no job. Used to gate
     * broadcast hints on a provable bound: any relation DERIVED from a
@@ -41,12 +65,7 @@ object ParquetMeta {
       val conf = spark.sessionState.newHadoopConf()
       val p = new Path(path)
       val fs = p.getFileSystem(conf)
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter { st =>
-          val n = st.getPath.getName
-          st.isFile && !n.startsWith("_") && !n.startsWith(".")
-        }.map(_.getLen).sum
-      else fs.getFileStatus(p).getLen
+      dataFiles(fs, p).map(_.getLen).sum
     })
 
   /** Sum of footer row counts over `path` (a single parquet file or a
@@ -56,14 +75,7 @@ object ParquetMeta {
       val conf = spark.sessionState.newHadoopConf()
       val p = new Path(path)
       val fs = p.getFileSystem(conf)
-      val files =
-        if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).filter { st =>
-            val n = st.getPath.getName
-            st.isFile && !n.startsWith("_") && !n.startsWith(".")
-          }.toSeq
-        else Seq(fs.getFileStatus(p))
-      files.map { st =>
+      dataFiles(fs, p).map { st =>
         val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
         try r.getRecordCount finally r.close()
       }.sum

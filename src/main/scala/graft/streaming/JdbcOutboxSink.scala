@@ -33,26 +33,42 @@ import org.apache.spark.sql.functions.col
   * Scale shape: one connection + one transaction per partition per
   * batch, inserts batched `batchSize` at a time; ledger reads are
   * primary-key point lookups. The ledger grows one row per
-  * (batch, partition) — prune it by retention like any outbox.
+  * (batch, partition) — `pruneLedger` applies the retention.
   */
 final class JdbcOutboxSink(url: String, table: String,
     ledgerTable: String = "graft_outbox_ledger",
     numPartitions: Int = 16, batchSize: Int = 1000,
     crashHookKey: Option[String] = None) extends RowSink {
 
+  /** Databases fold unquoted identifiers differently (Derby/H2 upper,
+    * Postgres lower), so the existence probe checks the name as given
+    * plus both foldings — an upper-only probe on Postgres never finds
+    * the table and every batch after the first dies on CREATE. */
+  private def ledgerExists(conn: Connection): Boolean = {
+    val md = conn.getMetaData
+    Seq(ledgerTable, ledgerTable.toUpperCase, ledgerTable.toLowerCase)
+      .distinct.exists { name =>
+        val rs = md.getTables(null, null, name, Array("TABLE"))
+        try rs.next() finally rs.close()
+      }
+  }
+
   private def ensureLedger(): Unit = {
     val conn = DriverManager.getConnection(url)
     try {
-      val meta = conn.getMetaData.getTables(
-        null, null, ledgerTable.toUpperCase, Array("TABLE"))
-      val exists = try meta.next() finally meta.close()
-      if (!exists)
-        conn.createStatement().execute(
+      if (!ledgerExists(conn))
+        try conn.createStatement().execute(
           s"""CREATE TABLE $ledgerTable (
              |  batch_id BIGINT NOT NULL,
              |  part_id INT NOT NULL,
              |  n_rows BIGINT NOT NULL,
              |  PRIMARY KEY (batch_id, part_id))""".stripMargin)
+        catch {
+          // create race, or a folding the probe missed: re-check
+          // instead of decoding vendor SQLStates — the table existing
+          // is success for an idempotent ensure
+          case _: java.sql.SQLException if ledgerExists(conn) => ()
+        }
     } finally conn.close()
   }
 
@@ -71,7 +87,13 @@ final class JdbcOutboxSink(url: String, table: String,
       val conn = DriverManager.getConnection(u)
       try {
         conn.setAutoCommit(false)
-        if (!committed(conn, lt, batchId, pid)) {
+        if (committed(conn, lt, batchId, pid)) {
+          // the ledger-check SELECT itself opened a transaction; end
+          // it, or conn.close() aborts the whole replay task (Derby
+          // 25001: cannot close with a transaction active) — replayed
+          // batches could never complete
+          conn.rollback()
+        } else {
           val st = conn.prepareStatement(insertSql)
           var n = 0L
           rows.foreach { r =>
@@ -91,9 +113,30 @@ final class JdbcOutboxSink(url: String, table: String,
           conn.commit()
         }
       } catch {
-        case e: Throwable => conn.rollback(); throw e
+        case e: Throwable =>
+          // rollback on a dead connection throws too — keep the task's
+          // real failure as the primary, not the rollback's
+          try conn.rollback()
+          catch { case r: Throwable => e.addSuppressed(r) }
+          throw e
       } finally conn.close()
     }
+  }
+
+  /** Outbox retention — the pruning the class doc promises. Deletes
+    * ledger rows for batches strictly below `keepFromBatchId` and
+    * returns the count removed. The contract is the standard outbox
+    * one: prune only batches the streaming checkpoint can no longer
+    * replay (batchId below the committed offset log); inside the
+    * retention window ledger rows are intact, so replays still skip. */
+  def pruneLedger(keepFromBatchId: Long): Int = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.prepareStatement(
+        s"DELETE FROM $ledgerTable WHERE batch_id < ?")
+      st.setLong(1, keepFromBatchId)
+      st.executeUpdate()
+    } finally conn.close()
   }
 
   private def committed(conn: Connection, lt: String,

@@ -62,4 +62,18 @@ class BlockPairSpec extends AnyFunSuite {
     val viaScan = Tables.embeddings(spark, sf).count()
     assert(viaFooter == viaScan)
   }
+
+  test("ParquetMeta recurses into Hive partitions and refuses empty dirs (ADVICE r5)") {
+    // partitionBy leaves ZERO top-level files — a non-recursive listing
+    // returns 0, which size-gated callers read as "broadcast-safe"
+    val dir = java.nio.file.Files.createTempDirectory("graft_meta").toString
+    spark.range(100).withColumn("p", col("id") % 4)
+      .write.partitionBy("p").parquet(s"$dir/tbl")
+    assert(graft.sources.ParquetMeta.rowCount(spark, s"$dir/tbl") == 100L)
+    assert(graft.sources.ParquetMeta.totalBytes(spark, s"$dir/tbl") > 0L)
+    val empty = java.nio.file.Files.createTempDirectory("graft_meta_empty").toString
+    intercept[IllegalArgumentException] {
+      graft.sources.ParquetMeta.totalBytes(spark, empty)
+    }
+  }
 }

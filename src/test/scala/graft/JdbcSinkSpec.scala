@@ -128,6 +128,13 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(spark.read.jdbc(url, "outbox_data", props).count() == 100)
     sink.write(batch.filter($"k" <= 10), 8L) // a NEW batch still appends
     assert(spark.read.jdbc(url, "outbox_data", props).count() == 110)
+
+    // retention (VERDICT r5 item 6): prune ledger rows below batch 8;
+    // batch 8, inside the retention window, must still skip on replay
+    assert(sink.pruneLedger(8L) > 0, "batch-7 ledger rows not pruned")
+    sink.write(batch.filter($"k" <= 10), 8L)
+    assert(spark.read.jdbc(url, "outbox_data", props).count() == 110,
+      "a batch inside the retention window re-delivered after pruning")
   }
 
   test("PostGIS boundary: the reference's exact INSERT template executes against the sink") {

@@ -39,6 +39,12 @@ class PrefixSumSpec extends AnyFunSuite {
     assert(run(idBound = 1L, fanout = 4L) == expected)
   }
 
+  test("fanout 2 terminates and is exact (ADVICE r5: idBound/f+1 has fixed point 2)") {
+    // before the <= base case, ANY idBound >= 2 at fanout 2 recursed
+    // forever at plan-construction time
+    assert(run(idBound = 64L, fanout = 2L) == expected)
+  }
+
   test("values survive arbitrary input partitioning") {
     val df = rows.toDF("id", "v").repartition(13, $"v")
     val got = PrefixSum.inclusive(df, "id", "v", "cum", idBound = 10000L, fanout = 8L)
