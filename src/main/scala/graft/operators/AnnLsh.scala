@@ -70,6 +70,37 @@ object AnnLsh {
       .limit(k)
   }
 
+  /** ALL-PAIRS approximate near-duplicate retrieval — the ANN
+    * counterpart of the exact `Llm.blockPairJoin` threshold scan, and
+    * the path the BASELINE.md crossover table measures against it.
+    * Candidates are pairs sharing any (table, bucket); each candidate
+    * is exact-cosine reranked, so precision is 1.0 by construction and
+    * only RECALL is approximate (a true pair whose vectors collide in
+    * no table is missed — probability falls exponentially with
+    * `tables` for high-cosine pairs).
+    *
+    * Scale shape: the self-join is an EQUI-join keyed by (t, bucket) —
+    * a bucket-keyed shuffle, never all-pairs; work is Σ bucket², i.e.
+    * sub-quadratic whenever the buckets actually split the corpus.
+    * dropDuplicates before the rerank pays one (vec_a, vec_b) shuffle
+    * to evaluate each surviving pair's cosine once, not once per
+    * colliding table. */
+  def neardupPairs(spark: SparkSession, emb: DataFrame, threshold: Double,
+      tables: Int = 16, bits: Int = 6): DataFrame = {
+    val b = bucketize(spark, emb, tables, bits)
+    b.as("a").join(b.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .dropDuplicates("vec_a", "vec_b")
+      .withColumn("cs",
+        VecOps.dot(spark, col("ea"), col("eb")) /
+          (VecOps.norm(spark, col("ea")) * VecOps.norm(spark, col("eb"))))
+      .filter(col("cs") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cs"))
+  }
+
   /** Exact brute-force top-k (the correctness baseline to measure
     * recall against). */
   def bruteTopK(spark: SparkSession, emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {

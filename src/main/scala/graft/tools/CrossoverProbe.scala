@@ -1,0 +1,96 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measures the exact-vs-ANN crossover the embed_neardup docs cite
+  * (VERDICT r5 item 2): the exact G²-bucket pair scan
+  * (q_llm_embed_neardup, O(n²) by declared semantics) against the
+  * LSH-bucketed all-pairs path (operators.AnnLsh.neardupPairs) on the
+  * SAME scaled corpus at the SAME 0.35 operating point, with recall.
+  *
+  * Scaled copies perturb vectors deterministically (dimension rotation
+  * by 7·copy + sign flips from xxhash64(copy, dim)) so cross-copy
+  * cosines are pseudo-random instead of 1.0 — a plain id-shift would
+  * make every vector an exact duplicate of its k−1 copies and measure
+  * a k²-inflated pair output, not a k×-larger corpus.
+  *
+  * Output, one line per scale k:
+  *   CROSSOVER xk n=… exact_t=…s exact_pairs=… ann_t=…s ann_pairs=…
+  *             recall=… cand_frac=…
+  * where cand_frac = LSH candidate pairs ÷ exact pair evaluations
+  * (n·(n−1)/2) — the work ratio that decides the crossover — and
+  * recall is |ann ∩ exact| / |exact| at threshold 0.35.
+  */
+object CrossoverProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val multipliers =
+      if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 2, 4, 8)
+    // default config matches AnnLsh's; override to map the recall/cost
+    // trade (more tables / fewer bits → more collisions → higher
+    // recall, more candidates)
+    val tables = sys.env.get("GRAFT_LSH_TABLES").map(_.toInt).getOrElse(16)
+    val bits = sys.env.get("GRAFT_LSH_BITS").map(_.toInt).getOrElse(6)
+
+    def scaledEmb(k: Int): DataFrame = {
+      val base = graft.Tables.embeddings(spark, src)
+      (0 until k).map { c =>
+        if (c == 0) base
+        else base.select(
+          (col("vec_id") + lit(c * 10000000L)).as("vec_id"),
+          transform(sequence(lit(0), lit(63)), i =>
+            (element_at(col("embedding"), pmod(i + lit(7 * c), lit(64)) + 1) *
+              when(pmod(xxhash64(lit(c), i), lit(2)) === 0, 1.0).otherwise(-1.0))
+              .cast("float")).as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+    }
+
+    for (k <- multipliers) {
+      val dir = Files.createTempDirectory(s"graft_xover_x$k").toString
+      scaledEmb(k).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val n = graft.sources.ParquetMeta.rowCount(spark, s"$dir/embeddings.parquet")
+      val emb = graft.Tables.embeddings(spark, dir)
+
+      // exact path: the REAL query (adaptive G from footers included)
+      val t0 = System.nanoTime()
+      val exact = graft.SparkEntry.queries("q_llm_embed_neardup")(spark, dir)
+        .select(col("vec_a"), col("vec_b")).cache()
+      val exactPairs = exact.count()
+      val exactT = (System.nanoTime() - t0) / 1e9
+
+      // ANN path on the same corpus, same threshold
+      val t1 = System.nanoTime()
+      val ann = graft.operators.AnnLsh
+        .neardupPairs(spark, emb, 0.35, tables, bits)
+        .select(col("vec_a"), col("vec_b")).cache()
+      val annPairs = ann.count()
+      val annT = (System.nanoTime() - t1) / 1e9
+
+      val hit = ann.join(exact, Seq("vec_a", "vec_b")).count()
+      val recall = if (exactPairs == 0) 1.0 else hit.toDouble / exactPairs
+      // candidate volume BEFORE the cosine rerank — the work the LSH
+      // buckets actually save vs the n(n-1)/2 exact evaluations
+      val b = graft.operators.AnnLsh.bucketize(spark, emb, tables, bits)
+      val cands = b.as("a").join(b.as("b"),
+          col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id"), col("b.vec_id")).distinct().count()
+      val candFrac = cands.toDouble / (n.toDouble * (n - 1) / 2)
+      exact.unpersist(); ann.unpersist()
+      println(f"CROSSOVER x$k n=$n exact_t=$exactT%.2fs exact_pairs=$exactPairs " +
+        f"ann_t=$annT%.2fs ann_pairs=$annPairs recall=$recall%.3f cand_frac=$candFrac%.3f")
+    }
+    spark.stop()
+  }
+}

@@ -3,8 +3,10 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Dev utility: run one named SparkEntry query, print timing and
-  * optionally the formatted plan.
-  * Usage: runMain graft.tools.RunQ <queryName> [sfDir] [explain]
+  * optionally the formatted plan. `pre=q1,q2` runs other queries
+  * untimed first — for attributing one-shot cost to session warmth
+  * (JIT/codegen budget) vs the query's own plan.
+  * Usage: runMain graft.tools.RunQ <queryName> [sfDir] [explain] [pre=q1,q2]
   */
 object RunQ {
   def main(args: Array[String]): Unit = {
@@ -20,6 +22,11 @@ object RunQ {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(name)
+    args.find(_.startsWith("pre=")).foreach { p =>
+      p.drop(4).split(',').filter(_.nonEmpty).foreach { q =>
+        graft.SparkEntry.queries(q)(spark, sfDir).count()
+      }
+    }
     if (doExplain) fn(spark, sfDir).explain("formatted")
     // warm-up pass then timed pass
     val t0 = System.nanoTime(); val n0 = fn(spark, sfDir).count()

@@ -60,6 +60,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(full == brute)
   }
 
+  test("AnnLsh.neardupPairs: precision 1.0 by construction, deterministic, recall measured") {
+    // the all-pairs ANN path the BASELINE.md crossover table measures
+    // against the exact G²-bucket scan (q_llm_embed_neardup)
+    val emb = Tables.embeddings(spark, sf)
+    val exact = SparkEntry.queries("q_llm_embed_neardup")(spark, sf)
+      .select($"vec_a", $"vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def annPairs() = graft.operators.AnnLsh
+      .neardupPairs(spark, emb, 0.35).select($"vec_a", $"vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = annPairs()
+    assert(ann == annPairs()) // hash-derived hyperplanes → deterministic
+    // exact rerank means every returned pair truly clears the threshold
+    assert(ann.subsetOf(exact), "a returned pair is not a true near-dup")
+    // the 0.35 operating point is documented HARD for sign-LSH on this
+    // corpus (near-orthogonal vectors); assert a floor well under the
+    // measured ~0.6, not a promise the data can't keep
+    val recall = if (exact.isEmpty) 1.0 else ann.size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall=$recall (|exact|=${exact.size})")
+  }
+
   test("DedupClusters: distributed propagation path == union-find path; non-convergence throws") {
     import graft.operators.DedupClusters
     // components: {1,2,3,4} (chain), {10,11}, {20,21,22} (triangle)
