@@ -2,36 +2,99 @@ package graft.operators
 
 import graft.functions.VecOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF-style ANN: coarse quantizer + probe-limited exact search — the
   * second scale path the mandate names (alongside AnnLsh).
   *
-  * The coarse quantizer here is the per-label centroid (labels act as
-  * the inverted lists; a production build replaces them with k-means
-  * cells — the plan shape is identical): assign the query to its
-  * `nprobe` nearest centroids, then rerank exactly (fused dot kernel)
-  * only within those lists. At 100 TB the lists are hash-partitioned
-  * by cell id, so a query touches `nprobe` partitions instead of all.
+  * The coarse quantizer is a hash-seeded distributed k-means (VERDICT
+  * r6 item 4: the previous build used per-LABEL centroids, but labels
+  * don't exist on a real corpus). It is deterministic and seedless end
+  * to end, so every executor — and every rerun — produces the same
+  * cells:
+  *   - init: the `k` vectors with the smallest (xxhash64(vec_id),
+  *     vec_id) become the seed centroids (no RNG, no stored model);
+  *   - assign: each vector goes to its max-cosine centroid, ties to
+  *     the smallest cell id (min(struct(-cos, cell)) — total order);
+  *   - update: centroids are recomputed with DECIMAL partial sums
+  *     (the q_llm_embed_outlier trick) — decimal addition is exact and
+  *     order-independent, so shuffle arrival order can never wiggle a
+  *     low bit and flip a near-tie assignment on the next round;
+  *   - a fixed iteration count, not a convergence loop: each round is
+  *     one broadcast join (k centroid rows) + two shuffles, and Lloyd
+  *     on a sample converges in a handful of rounds — at 100 TB the
+  *     quantizer would be trained on a sample and applied corpus-wide,
+  *     which is exactly this plan shape (train = iterate on a small
+  *     DF; apply = one broadcast-join assignment pass).
+  *
+  * Search: rank cell centroids by cosine to the query, probe the
+  * `nprobe` nearest lists, exact-rerank (fused dot kernel) only within
+  * them. At 100 TB the lists are hash-partitioned by cell id, so a
+  * query touches `nprobe` partitions instead of all. `nprobe` = number
+  * of cells recovers brute force exactly (every vector lives in
+  * exactly one cell), pinned by AnnIvfSpec.
   */
 object AnnIvf {
 
-  /** Per-label centroid vectors via posexplode + positional average —
-    * one shuffle keyed (label, pos), rebuilt into ordered arrays. */
-  def centroids(emb: DataFrame): DataFrame =
-    emb.select(col("label"), posexplode(col("embedding")))
-      .groupBy(col("label"), col("pos"))
-      .agg(avg(col("col")).as("v"))
-      .groupBy(col("label"))
+  /** (vec_id, embedding, cell) after `iters` Lloyd rounds over `k`
+    * hash-seeded cells. Deterministic by construction (see class doc). */
+  def assignCells(spark: SparkSession, emb: DataFrame, k: Int,
+      iters: Int = 2): DataFrame = {
+    // seed centroids: k smallest (xxhash64(vec_id), vec_id) — a window
+    // over a k-row limit, so the rank itself never shuffles real data
+    var cents = emb
+      .select(col("vec_id"), col("embedding"), xxhash64(col("vec_id")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .withColumn("cell",
+        row_number().over(Window.orderBy(col("h"), col("vec_id"))) - 1)
+      .select(col("cell"), col("embedding").as("centroid"))
+    var assigned = assign(spark, emb, cents)
+    var it = 0
+    while (it < iters) {
+      cents = centroidsOf(assigned)
+      assigned = assign(spark, emb, cents)
+      it += 1
+    }
+    assigned
+  }
+
+  /** Nearest-centroid assignment: one broadcast join (k rows) + a
+    * vec_id-keyed argmax — min(struct(-cos, cell)) is a total order,
+    * so ties break to the smallest cell id deterministically. */
+  private def assign(spark: SparkSession, emb: DataFrame,
+      cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .withColumn("cs",
+        VecOps.dot(spark, col("embedding"), col("centroid")) /
+          (VecOps.norm(spark, col("embedding")) *
+            VecOps.norm(spark, col("centroid"))))
+      .groupBy(col("vec_id"))
+      .agg(
+        min(struct(negate(col("cs")), col("cell"))).as("m"),
+        // every row in the group carries the same embedding value, so
+        // first() is deterministic here despite its general contract
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), col("m.cell").as("cell"))
+
+  /** Per-cell centroids via posexplode + positional DECIMAL average —
+    * exact, order-independent sums; one shuffle keyed (cell, pos). */
+  private def centroidsOf(assigned: DataFrame): DataFrame =
+    assigned.select(col("cell"), posexplode(col("embedding")))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(col("col").cast("decimal(27,10)")) /
+        count(lit(1))).as("v"))
+      .groupBy(col("cell"))
       .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
-      .select(col("label").as("c_label"),
+      .select(col("cell"),
         expr("transform(pv, x -> cast(x.v as float))").as("centroid"))
 
-  /** Top-k neighbors of `queryVecId`, probing the `nprobe` nearest
-    * label lists. */
+  /** Top-k neighbors of `queryVecId`, probing the `nprobe` nearest of
+    * `cells` k-means lists. */
   def topK(spark: SparkSession, emb: DataFrame, queryVecId: Long, k: Int,
-      nprobe: Int = 3): DataFrame = {
-    val cents = centroids(emb).cache()
+      nprobe: Int = 3, cells: Int = 8, iters: Int = 2): DataFrame = {
+    val assigned = assignCells(spark, emb, cells, iters).cache()
+    val cents = centroidsOf(assigned)
     val q = emb.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("qv"))
     // rank centroids by cosine to the query
@@ -39,17 +102,17 @@ object AnnIvf {
       .withColumn("ccs",
         VecOps.dot(spark, col("centroid"), col("qv")) /
           (VecOps.norm(spark, col("centroid")) * VecOps.norm(spark, col("qv"))))
-      .orderBy(col("ccs").desc, col("c_label").asc)
+      .orderBy(col("ccs").desc, col("cell").asc)
       .limit(nprobe)
-      .select(col("c_label"))
+      .select(col("cell").as("p_cell"))
     // exact rerank within the probed lists only
-    emb.filter(col("vec_id") =!= queryVecId)
-      .join(broadcast(probed), col("label") === col("c_label"))
+    assigned.filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(probed), col("cell") === col("p_cell"))
       .crossJoin(broadcast(q))
       .withColumn("cs",
         VecOps.dot(spark, col("embedding"), col("qv")) /
           (VecOps.norm(spark, col("embedding")) * VecOps.norm(spark, col("qv"))))
-      .select(col("vec_id"), col("label"), col("cs"))
+      .select(col("vec_id"), col("cell"), col("cs"))
       .orderBy(col("cs").desc, col("vec_id").asc)
       .limit(k)
   }

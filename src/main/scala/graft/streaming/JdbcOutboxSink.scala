@@ -43,12 +43,27 @@ final class JdbcOutboxSink(url: String, table: String,
   /** Databases fold unquoted identifiers differently (Derby/H2 upper,
     * Postgres lower), so the existence probe checks the name as given
     * plus both foldings — an upper-only probe on Postgres never finds
-    * the table and every batch after the first dies on CREATE. */
-  private def ledgerExists(conn: Connection): Boolean = {
+    * the table and every batch after the first dies on CREATE.
+    *
+    * getTables takes a LIKE pattern, and '_' (present in the default
+    * ledger name) matches any character — unescaped, a table named
+    * e.g. graftXoutboxYledger makes the probe report existence, CREATE
+    * is skipped, and every ledger insert dies on a missing table. The
+    * driver's own escape string guards the metacharacters. */
+  private[streaming] def ledgerExists(conn: Connection): Boolean = {
     val md = conn.getMetaData
+    val esc = Option(md.getSearchStringEscape).filter(_.nonEmpty)
+    def literal(name: String): String = esc match {
+      case Some(e) => name.flatMap {
+        case c @ ('_' | '%') => e + c
+        case c if e.length == 1 && c == e.head => e + c
+        case c => c.toString
+      }
+      case None => name
+    }
     Seq(ledgerTable, ledgerTable.toUpperCase, ledgerTable.toLowerCase)
       .distinct.exists { name =>
-        val rs = md.getTables(null, null, name, Array("TABLE"))
+        val rs = md.getTables(null, null, literal(name), Array("TABLE"))
         try rs.next() finally rs.close()
       }
   }
@@ -132,10 +147,15 @@ final class JdbcOutboxSink(url: String, table: String,
   def pruneLedger(keepFromBatchId: Long): Int = {
     val conn = DriverManager.getConnection(url)
     try {
-      val st = conn.prepareStatement(
-        s"DELETE FROM $ledgerTable WHERE batch_id < ?")
-      st.setLong(1, keepFromBatchId)
-      st.executeUpdate()
+      // a retention job can start before the stream's first write —
+      // no ledger yet means nothing to prune, not an error
+      if (!ledgerExists(conn)) 0
+      else {
+        val st = conn.prepareStatement(
+          s"DELETE FROM $ledgerTable WHERE batch_id < ?")
+        st.setLong(1, keepFromBatchId)
+        st.executeUpdate()
+      }
     } finally conn.close()
   }
 

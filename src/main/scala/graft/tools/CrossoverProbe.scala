@@ -42,14 +42,21 @@ object CrossoverProbe {
     val tables = sys.env.get("GRAFT_LSH_TABLES").map(_.toInt).getOrElse(16)
     val bits = sys.env.get("GRAFT_LSH_BITS").map(_.toInt).getOrElse(6)
 
+    // dims from the corpus itself, not a 64 literal — against a corpus
+    // with another dimensionality the hardcoded rotation made
+    // element_at return nulls and silently corrupted the measurement
+    val dims = graft.Tables.embeddings(spark, src)
+      .select(size(col("embedding"))).head().getInt(0)
+    require(dims > 0, s"empty embedding column in $src")
+
     def scaledEmb(k: Int): DataFrame = {
       val base = graft.Tables.embeddings(spark, src)
       (0 until k).map { c =>
         if (c == 0) base
         else base.select(
           (col("vec_id") + lit(c * 10000000L)).as("vec_id"),
-          transform(sequence(lit(0), lit(63)), i =>
-            (element_at(col("embedding"), pmod(i + lit(7 * c), lit(64)) + 1) *
+          transform(sequence(lit(0), lit(dims - 1)), i =>
+            (element_at(col("embedding"), pmod(i + lit(7 * c), lit(dims)) + 1) *
               when(pmod(xxhash64(lit(c), i), lit(2)) === 0, 1.0).otherwise(-1.0))
               .cast("float")).as("embedding"),
           col("label"))

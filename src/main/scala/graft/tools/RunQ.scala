@@ -10,9 +10,14 @@ import org.apache.spark.sql.SparkSession
   */
 object RunQ {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val doExplain = args.contains("explain")
+    // flags ('explain', 'pre=…') are freely positionable per the usage
+    // line — strip them before positional assignment, or
+    // `RunQ q pre=a,b` silently takes 'pre=a,b' as the data directory
+    val (flags, positional) =
+      args.partition(a => a == "explain" || a.startsWith("pre="))
+    val name = positional(0)
+    val sfDir = if (positional.length > 1) positional(1) else "/root/testdata/sf0.1"
+    val doExplain = flags.contains("explain")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -22,7 +27,7 @@ object RunQ {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(name)
-    args.find(_.startsWith("pre=")).foreach { p =>
+    flags.find(_.startsWith("pre=")).foreach { p =>
       p.drop(4).split(',').filter(_.nonEmpty).foreach { q =>
         graft.SparkEntry.queries(q)(spark, sfDir).count()
       }

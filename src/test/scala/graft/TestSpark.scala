@@ -16,4 +16,22 @@ object TestSpark {
     s
   }
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Run `body` with SQL conf overrides, restoring the previous values
+    * after (the session is shared across suites — leaks would couple
+    * tests). Primary use: `"spark.sql.codegen.fallback" -> "false"`,
+    * which turns Spark's silent interpreted fallback on a codegen
+    * compile failure into a hard error — the only way a test can
+    * ASSERT a path compiles (VERDICT r6 item 3: an interpreted
+    * projection at 100 TB is a silent multiplier). */
+  def withSQLConf[T](pairs: (String, String)*)(body: => T): T = {
+    val conf = spark.conf
+    val saved = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
