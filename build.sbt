@@ -9,6 +9,16 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// DuckDB's JDBC driver (the correctness oracle's engine) already sits
+// in the pre-warmed coursier cache — surface it on the TEST classpath
+// only, so the outbox suite can run against a lowercase-identifier
+// database (the Postgres folding the reference's connector targets).
+// Located by glob on the local cache: nothing is resolved, zero
+// egress; the suite assume-skips when the jar is absent.
+Test / unmanagedJars ++= {
+  val cache = file(sys.props("user.home")) / ".cache" / "coursier"
+  if (cache.exists) (cache ** "duckdb_jdbc-*.jar").classpath.toSeq else Seq.empty
+}
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -49,7 +49,15 @@ final class JdbcOutboxSink(url: String, table: String,
     * ledger name) matches any character — unescaped, a table named
     * e.g. graftXoutboxYledger makes the probe report existence, CREATE
     * is skipped, and every ledger insert dies on a missing table. The
-    * driver's own escape string guards the metacharacters. */
+    * driver's own escape string guards the metacharacters where the
+    * driver has one (DuckDB's returns null — no escape syntax at all),
+    * and the rows that come back are re-checked against the EXACT name
+    * so a wildcard match of some other table can never count.
+    *
+    * The type filter lists both spellings of "plain table": JDBC's
+    * conventional "TABLE" (Derby, Postgres) and information_schema's
+    * "BASE TABLE" (DuckDB) — filtering on "TABLE" alone makes the
+    * probe blind on DuckDB and every ensure dies re-CREATE-ing. */
   private[streaming] def ledgerExists(conn: Connection): Boolean = {
     val md = conn.getMetaData
     val esc = Option(md.getSearchStringEscape).filter(_.nonEmpty)
@@ -63,8 +71,14 @@ final class JdbcOutboxSink(url: String, table: String,
     }
     Seq(ledgerTable, ledgerTable.toUpperCase, ledgerTable.toLowerCase)
       .distinct.exists { name =>
-        val rs = md.getTables(null, null, literal(name), Array("TABLE"))
-        try rs.next() finally rs.close()
+        val rs = md.getTables(null, null, literal(name),
+          Array("TABLE", "BASE TABLE"))
+        try {
+          var found = false
+          while (!found && rs.next())
+            found = rs.getString("TABLE_NAME") == name
+          found
+        } finally rs.close()
       }
   }
 

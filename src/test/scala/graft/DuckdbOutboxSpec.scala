@@ -1,0 +1,116 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The transactional outbox against a database whose stored ledger
+  * identifier is LOWERCASE (VERDICT r6 item 5). Derby upper-folds
+  * unquoted identifiers, so the r6 case-folding probe fix had only
+  * ever executed its upper branch; DuckDB preserves identifier case as
+  * written, and the sink's DDL spells the ledger name lowercase, so
+  * the stored identifier here is lowercase — the same stored form
+  * Postgres's lower-folding produces for the reference's connector
+  * target. Running the suite here caught two real cross-DB metadata
+  * differences Derby could not: DuckDB's getTables reports type
+  * "BASE TABLE" (not "TABLE"), and its getSearchStringEscape is null
+  * (no LIKE-escape syntax — exact-name re-check is the only wildcard
+  * defense). The driver jar comes from the local coursier cache (it is
+  * the correctness oracle's engine); assume-skips if absent (same
+  * pattern as KafkaSmokeSpec).
+  *
+  * numPartitions=2 (not 4): DuckDB uses optimistic concurrency; plain
+  * concurrent INSERT transactions are safe, but keeping the task count
+  * low bounds retry noise on a small test table.
+  */
+class DuckdbOutboxSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def driverAvailable: Boolean =
+    try { Class.forName("org.duckdb.DuckDBDriver"); true }
+    catch { case _: Throwable => false }
+
+  private def freshUrl(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_duck")
+    s"jdbc:duckdb:$dir/outbox.db"
+  }
+
+  test("lowercase DDL stores a lowercase identifier here (the premise of this suite)") {
+    assume(driverAvailable, "duckdb_jdbc not on the test classpath")
+    val conn = java.sql.DriverManager.getConnection(freshUrl())
+    try {
+      // DuckDB preserves case as written (unlike Derby's upper-fold);
+      // the sink's DDL is lowercase, so its ledger lands lowercase —
+      // the stored form the probe's lower branch must find
+      conn.createStatement().execute("CREATE TABLE fold_probe (x INT)")
+      val rs = conn.createStatement().executeQuery(
+        "SELECT table_name FROM information_schema.tables " +
+        "WHERE table_name = 'fold_probe'")
+      assert(rs.next(), "lowercase DDL did not store a lowercase identifier")
+      // and it is NOT also visible upper-folded
+      val rs2 = conn.createStatement().executeQuery(
+        "SELECT table_name FROM information_schema.tables " +
+        "WHERE table_name = 'FOLD_PROBE'")
+      assert(!rs2.next())
+    } finally conn.close()
+  }
+
+  test("outbox crash between data insert and ledger commit is exactly-once on a lower-folding DB") {
+    assume(driverAvailable, "duckdb_jdbc not on the test classpath")
+    import spark.implicits._
+    val url = freshUrl()
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute("CREATE TABLE outbox_data (k INT, v DOUBLE)")
+    // the LIKE-wildcard trap (ADVICE r6): a table whose name matches
+    // the ledger's under unescaped '_' wildcards — before the escape
+    // fix the probe saw it, skipped CREATE, and every ledger insert
+    // died on a missing table
+    conn.createStatement().execute("CREATE TABLE graftXoutboxYledger (x INT)")
+    conn.close()
+
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val hookKey = "duck-outbox-crash-once"
+    graft.streaming.JdbcOutboxSink.crashHooks(hookKey) = (_, pid) =>
+      if (pid == 1 && crashed.compareAndSet(false, true))
+        throw new RuntimeException("injected crash: after data, before ledger")
+    val sink = new graft.streaming.JdbcOutboxSink(url, "outbox_data",
+      numPartitions = 2, crashHookKey = Some(hookKey))
+    val batch = (1 to 100).map(i => (i, i * 0.5)).toDF("k", "v")
+
+    intercept[Exception] { sink.write(batch, 3L) }
+    assert(crashed.get, "crash hook never fired")
+    def count(): Long = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery("SELECT count(*) FROM outbox_data")
+        rs.next(); rs.getLong(1)
+      } finally c.close()
+    }
+    assert(count() < 100, "crashed partition's rows leaked past rollback")
+
+    sink.write(batch, 3L) // restart replays the same batchId
+    assert(count() == 100)
+    sink.write(batch, 3L) // full replay: every partition's ledger row skips
+    assert(count() == 100)
+    sink.write(batch.filter($"k" <= 10), 4L) // a NEW batch still appends
+    assert(count() == 110)
+
+    // the ledger landed under the LOWERCASE folding and the probe
+    // (as-given + both foldings, wildcards escaped) found it on replay
+    val c2 = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = c2.createStatement().executeQuery(
+        "SELECT table_name FROM information_schema.tables " +
+        "WHERE table_name = 'graft_outbox_ledger'")
+      assert(rs.next(), "ledger not stored lowercase")
+    } finally c2.close()
+
+    assert(sink.pruneLedger(4L) > 0)
+    sink.write(batch.filter($"k" <= 10), 4L) // inside retention: still skips
+    assert(count() == 110)
+  }
+
+  test("pruneLedger before any write returns 0 instead of throwing (ADVICE r6)") {
+    assume(driverAvailable, "duckdb_jdbc not on the test classpath")
+    val sink = new graft.streaming.JdbcOutboxSink(freshUrl(), "never_written")
+    assert(sink.pruneLedger(100L) == 0)
+  }
+}
