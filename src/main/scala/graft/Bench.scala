@@ -17,6 +17,25 @@ object Bench {
     Tables.names.foreach { t =>
       try Tables.t(spark, sfDir, t).count() catch { case _: Throwable => () }
     }
+    // Warmup phase (VERDICT r6 item 1): a handful of representative
+    // queries run once, untimed, before the timed pass. The r6 RunQ
+    // controlled experiment (BASELINE.md) measured ~90% of a cold
+    // query's one-shot cost as SESSION warmth — JIT, codegen budget,
+    // shuffle/broadcast machinery — not the query's own plan, which
+    // made the single-pass total swing 2× with machine load. Warming
+    // one plan per family (scan, SMJ join, multi-join SQL, hash agg,
+    // window, scalar-heavy projection) pays that once, outside the
+    // measurement. None of these touch the cached shingle/pair/ANN
+    // relations (Llm/TextAnalysis/DedupClusters/AnnIvf), so no timed
+    // query reads a cache this phase filled — every timed plan still
+    // does its own work.
+    val warmupQueries = Seq("q_scan_parquet", "q_join_inner_smj",
+      "q_sql_revenue_by_nation", "q_agg_hash", "q_win_rownum", "q_fn_string")
+      .filter(SparkEntry.queries.contains)
+    warmupQueries.foreach { name =>
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    }
     // name-sorted: Map iteration order shifts whenever the query set
     // changes, which reshuffles which query pays shared-cache warmup —
     // stable ordering keeps per-query numbers comparable across rounds
@@ -49,9 +68,11 @@ object Bench {
     // map in r01/r02 → parsed:null); the stdout line stays under that
     // window: total + the slow set inline, with an explicit rollup of
     // what was elided so nothing is silently dropped.
+    val warmupJson = warmupQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson = results.map { case (k, v) => "\"" + k + "\":" + sec(v) }
       .mkString("{\"metric\":\"total\",\"value\":" + sec(total) +
         ",\"unit\":\"sec\",\"sf\":\"" + sfDir + "\",\"rewarm\":" + rewarmJson +
+        ",\"warmup\":" + warmupJson +
         ",\"queries\":{", ",", "}}")
     val fullPath = Paths.get("BENCH_FULL.json").toAbsolutePath
     Files.writeString(fullPath, fullJson + "\n")
@@ -63,7 +84,7 @@ object Bench {
     println(s"""{"metric":"total","value":${sec(total)},"unit":"sec",""" +
       s""""n_queries":${results.size},"queries":$qs,""" +
       s""""fast_n":${fast.size},"fast_sec":${sec(fast.map(_._2).sum)},""" +
-      s""""rewarm":$rewarmJson,""" +
+      s""""rewarm":$rewarmJson,"warmup":$warmupJson,""" +
       s""""full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
