@@ -79,7 +79,7 @@ object AnnIvf {
 
   /** Per-cell centroids via posexplode + positional DECIMAL average —
     * exact, order-independent sums; one shuffle keyed (cell, pos). */
-  private def centroidsOf(assigned: DataFrame): DataFrame =
+  def centroidsOf(assigned: DataFrame): DataFrame =
     assigned.select(col("cell"), posexplode(col("embedding")))
       .groupBy(col("cell"), col("pos"))
       .agg((sum(col("col").cast("decimal(27,10)")) /
@@ -90,12 +90,23 @@ object AnnIvf {
         expr("transform(pv, x -> cast(x.v as float))").as("centroid"))
 
   /** Top-k neighbors of `queryVecId`, probing the `nprobe` nearest of
-    * `cells` k-means lists. */
+    * `cells` k-means lists. One-shot convenience: trains the quantizer
+    * inline (and caches the assignment for the duration of this
+    * query's lineage). For repeated queries against one corpus, train
+    * once with [[assignCells]]/[[centroidsOf]] and use [[topKWith]] —
+    * that is the production shape (index built once, queried many
+    * times). */
   def topK(spark: SparkSession, emb: DataFrame, queryVecId: Long, k: Int,
       nprobe: Int = 3, cells: Int = 8, iters: Int = 2): DataFrame = {
     val assigned = assignCells(spark, emb, cells, iters).cache()
-    val cents = centroidsOf(assigned)
-    val q = emb.filter(col("vec_id") === queryVecId)
+    topKWith(spark, assigned, centroidsOf(assigned), queryVecId, k, nprobe)
+  }
+
+  /** Probe-limited search against a PRE-TRAINED index: `assigned` from
+    * [[assignCells]], `cents` from [[centroidsOf]]. */
+  def topKWith(spark: SparkSession, assigned: DataFrame, cents: DataFrame,
+      queryVecId: Long, k: Int, nprobe: Int): DataFrame = {
+    val q = assigned.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("qv"))
     // rank centroids by cosine to the query
     val probed = cents.crossJoin(broadcast(q))

@@ -90,6 +90,13 @@ class OperatorsSpec extends AnyFunSuite {
     // partition the corpus, so the union of all lists is the corpus
     val full = AnnIvf.topK(spark, emb, 0L, 10, nprobe = 8).collect().map(_.getLong(0)).toSet
     assert(full == brute)
+    // the train-once/query-many path (production shape) is the same
+    // search: topKWith over a pre-trained index == one-shot topK
+    val assigned = AnnIvf.assignCells(spark, emb, 8).cache()
+    val pre = AnnIvf.topKWith(spark, assigned, AnnIvf.centroidsOf(assigned),
+      0L, 10, 3).collect().map(_.getLong(0)).toSeq
+    assert(pre == ivf1)
+    assigned.unpersist()
     }
   }
 
