@@ -297,6 +297,52 @@ object Llm {
         .orderBy($"doc_a", $"doc_b")
     }),
 
+    // Corpus-level (per-SOURCE) MinHash sketch — dataset dedup beyond
+    // pairwise (SURVEY §7.3 "MinHash sketch Aggregator" row, closed by
+    // COMPOSITION per the preference order: per-doc fused signature
+    // kernel + slot-wise min() — min over doc-mins ≡ min over all the
+    // source's shingles, so a plain partial-aggregable MIN per slot is
+    // the whole sketch. One narrow kernel pass, ONE shuffle keyed by
+    // source with map-side partials; at 100 TB the output is
+    // |sources| × 16 longs — a corpus fingerprint cheap enough to
+    // recompute per crawl snapshot and diff across snapshots.
+    "q_llm_source_minhash" -> ((s, d) => {
+      import s.implicits._
+      val sigs = Tables.documents(s, d)
+        .select($"source", TextKernels.triShingles(s, $"text").as("shingles"))
+        .filter(size($"shingles") > 0)
+        .select($"source", TextKernels.minhashSig(s, $"shingles").as("sig"))
+      sigs.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          (0 until 16).map(i => min(element_at($"sig", i + 1)).as(s"s$i")): _*)
+        .orderBy($"source")
+    }),
+
+    // Pairwise SOURCE similarity from the sketches: matching slots / 16
+    // estimates the Jaccard similarity of the two sources' shingle
+    // SETS (each slot matches with probability J) — the "is crawl B
+    // mostly a re-crawl of A?" question answered from fingerprints
+    // alone, never comparing documents. The |sources|² pair join is a
+    // broadcast of an aggregate relation with one row per source.
+    "q_llm_source_similarity" -> ((s, d) => {
+      import s.implicits._
+      val sig = Tables.documents(s, d)
+        .select($"source", TextKernels.triShingles(s, $"text").as("shingles"))
+        .filter(size($"shingles") > 0)
+        .select($"source", TextKernels.minhashSig(s, $"shingles").as("sig"))
+        .groupBy($"source")
+        .agg((0 until 16).map(i => min(element_at($"sig", i + 1)).as(s"s$i")).head,
+          (0 until 16).map(i => min(element_at($"sig", i + 1)).as(s"s$i")).tail: _*)
+      val matches = (0 until 16)
+        .map(i => when(col(s"a.s$i") === col(s"b.s$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      sig.as("a").join(broadcast(sig.as("b")), $"a.source" < $"b.source")
+        .select($"a.source".as("source_a"), $"b.source".as("source_b"),
+          matches.cast("long").as("matching_slots"),
+          round(matches.cast(DoubleType) / 16.0, 6).as("est_jaccard"))
+        .orderBy($"source_a", $"source_b")
+    }),
+
     // n-gram Jaccard near-dup: capped shingle-share candidates (see
     // MaxShingleDf) + exact-Jaccard verify over full shingle sets.
     "q_llm_ngram_jaccard" -> ((s, d) => {
@@ -538,6 +584,24 @@ object Llm {
   private def sqlH32(x: String, salt: Int): String =
     s"CAST(('0x' || substr(md5(($x) || '#$salt'), 1, 8)) AS BIGINT)"
 
+  /** Source-carrying variant of [[shCte]] + per-SOURCE signature: the
+    * slot-wise min over a source's docs equals the min over ALL the
+    * source's shingles (min associativity), so the twin needs no
+    * per-doc intermediate. Yields CTEs `sh(doc_id, source, shingles)`,
+    * `ex(source, x)` and `ssig(source, s0..s15)`. */
+  private val sourceSigCte =
+    "WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents), " +
+    "sh0 AS (SELECT doc_id, source, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
+    "for i in range(1, len(toks) - 1)]) AS shingles FROM t), " +
+    "sh AS (SELECT * FROM sh0 WHERE len(shingles) > 0), " +
+    "ex AS (SELECT source, unnest(shingles) AS x FROM sh), " +
+    "ssig AS (SELECT source, " +
+    (0 until 16).map { i =>
+      val j = i / 4; val k = i % 4
+      s"min(CAST(('0x' || substr(md5(x || '#$j'), ${1 + 8 * k}, 8)) AS BIGINT)) AS s$i"
+    }.mkString(", ") +
+    " FROM ex GROUP BY source) "
+
   /** SQL twin of [[minhashVerified]]'s candidate generation: sig slots,
     * 4 bands, distinct band-share pairs. Expects `sh` from [[shCte]];
     * yields CTEs `sig(doc_id, shingles, s0..s15)` and
@@ -615,6 +679,22 @@ object Llm {
        "FROM cand JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b) " +
        "SELECT doc_a, doc_b, round(est, 6) AS est_jaccard, round(jaccard, 6) AS jaccard " +
        "FROM v WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"),
+    "q_llm_source_minhash" ->
+      (sourceSigCte +
+       ", nd AS (SELECT source, COUNT(*) AS n_docs FROM sh GROUP BY source) " +
+       "SELECT ssig.source, n_docs, " + (0 until 16).map(i => s"s$i").mkString(", ") +
+       " FROM ssig JOIN nd USING(source) ORDER BY ssig.source"),
+    "q_llm_source_similarity" ->
+      (sourceSigCte +
+       "SELECT a.source AS source_a, b.source AS source_b, " +
+       "CAST((" + (0 until 16).map(i =>
+         s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END").mkString(" + ") +
+       ") AS BIGINT) AS matching_slots, " +
+       "round(CAST((" + (0 until 16).map(i =>
+         s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END").mkString(" + ") +
+       ") AS DOUBLE) / 16.0, 6) AS est_jaccard " +
+       "FROM ssig a JOIN ssig b ON a.source < b.source " +
+       "ORDER BY source_a, source_b"),
     "q_llm_ngram_jaccard" ->
       (shCte + ", " + ngramPairSql +
        "SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM v WHERE jaccard >= 0.2 " +
