@@ -138,6 +138,27 @@ object Pipeline {
         col("w.event_id").as("last_event_id"), col("w.ms").as("last_ms"),
         col("w.value").as("last_value"), col("w.event_type").as("last_type"))
 
+  /** Streaming corpus fingerprint: per-source running MinHash sketch
+    * over a document stream — the incremental form of
+    * q_llm_source_minhash (r7). min() is order-insensitive and
+    * partial-aggregable, so the sketch maintains itself across
+    * micro-batches with state bounded at ONE row of 16 longs per
+    * source regardless of document volume — the continuous-crawl
+    * fingerprint a 100 TB ingest keeps live instead of recomputing.
+    * StreamingPipelineSpec proves stream-over-micro-batches == the
+    * batch aggregation over the union. `docs` needs source, text. */
+  def streamingSourceSketch(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import graft.functions.TextKernels
+    docs
+      .select(col("source"), TextKernels.triShingles(s, col("text")).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("source"), TextKernels.minhashSig(s, col("shingles")).as("sig"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        (0 until 16).map(i => min(element_at(col("sig"), i + 1)).as(s"s$i")): _*)
+  }
+
   /** Stream-stream interval join: each fix is enriched with the device
     * status events observed in the lag window [fix.ts − maxLag,
     * fix.ts]. Both sides carry watermarks AND the join condition bounds

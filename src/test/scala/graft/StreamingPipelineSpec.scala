@@ -146,6 +146,30 @@ class StreamingPipelineSpec extends AnyFunSuite {
       s"dedup state not evicted: $after keys live after watermark passed them all")
   }
 
+  test("streaming source sketch over micro-batches == batch aggregation over the union") {
+    // the incremental corpus fingerprint (r7): min() partials make the
+    // running sketch arrival-order-independent, state one row/source
+    val in = MemoryStream[(String, String)]
+    val q = Pipeline.streamingSourceSketch(in.toDF.toDF("source", "text"))
+      .writeStream.format("memory").queryName("sketch_out")
+      .outputMode("complete").start()
+    val b1 = Seq(("crawlA", "alpha beta gamma delta"), ("crawlB", "one two three four"))
+    val b2 = Seq(("crawlA", "beta gamma delta epsilon"), ("crawlB", "x"), // "x": no shingles, dropped
+      ("crawlC", "lorem ipsum dolor sit"))
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    val stream = spark.table("sketch_out").collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    q.stop()
+    val batch = Pipeline.streamingSourceSketch((b1 ++ b2).toDF("source", "text"))
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(stream == batch)
+    assert(stream.keySet == Set("crawlA", "crawlB", "crawlC"))
+    assert(stream("crawlB").head == 1L) // the shingle-less doc never counted
+  }
+
   test("dropDuplicatesWithinWatermark dedups by natural key") {
     val in = MemoryStream[(Timestamp, String, Double)]
     val fixes = in.toDF.toDF("ts", "id", "speed")
