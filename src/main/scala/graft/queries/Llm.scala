@@ -343,6 +343,25 @@ object Llm {
         .orderBy($"source_a", $"source_b")
     }),
 
+    // Cross-SOURCE near-dup pairs (r7): the document-level answer to
+    // the sketch queries above — which near-dup pairs STRADDLE two
+    // sources (content leaked/re-crawled between them). Reuses the
+    // cached pair pipeline; the source labels come from two joins
+    // against the (doc_id, source) projection, which AQE broadcasts
+    // at any scale where documents' key column fits (the pair relation
+    // is the post-threshold near-dup mass — tiny by construction).
+    "q_llm_source_overlap" -> ((s, d) => {
+      import s.implicits._
+      val src = Tables.documents(s, d).select($"doc_id", $"source")
+      ngramPairScores(s, d)
+        .join(src.select($"doc_id".as("doc_a"), $"source".as("source_a")), "doc_a")
+        .join(src.select($"doc_id".as("doc_b"), $"source".as("source_b")), "doc_b")
+        .filter($"source_a" =!= $"source_b")
+        .select($"source_a", $"source_b", $"doc_a", $"doc_b",
+          round($"jaccard", 6).as("jaccard"))
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
     // n-gram Jaccard near-dup: capped shingle-share candidates (see
     // MaxShingleDf) + exact-Jaccard verify over full shingle sets.
     "q_llm_ngram_jaccard" -> ((s, d) => {
@@ -698,6 +717,14 @@ object Llm {
     "q_llm_ngram_jaccard" ->
       (shCte + ", " + ngramPairSql +
        "SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM v WHERE jaccard >= 0.2 " +
+       "ORDER BY doc_a, doc_b"),
+    "q_llm_source_overlap" ->
+      (shCte + ", " + ngramPairSql +
+       "SELECT da.source AS source_a, db.source AS source_b, doc_a, doc_b, " +
+       "round(jaccard, 6) AS jaccard " +
+       "FROM v JOIN documents da ON da.doc_id = doc_a " +
+       "JOIN documents db ON db.doc_id = doc_b " +
+       "WHERE jaccard >= 0.2 AND da.source <> db.source " +
        "ORDER BY doc_a, doc_b"),
     "q_llm_dedup_clusters" ->
       ("WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +

@@ -17,9 +17,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * the correctness oracle's engine); assume-skips if absent (same
   * pattern as KafkaSmokeSpec).
   *
-  * numPartitions=2 (not 4): DuckDB uses optimistic concurrency; plain
-  * concurrent INSERT transactions are safe, but keeping the task count
-  * low bounds retry noise on a small test table.
+  * numPartitions=1: DuckDB's optimistic concurrency can abort one of
+  * two CONCURRENT append transactions with a write-write conflict
+  * (observed as a rare full-suite flake at numPartitions=2; in
+  * production Spark's task retries absorb such transient aborts, but
+  * the test JVM runs with maxFailures=1). This suite exists to
+  * exercise identifier folding and metadata probing — the Derby suite
+  * keeps the multi-partition concurrency coverage.
   */
 class DuckdbOutboxSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -69,10 +73,10 @@ class DuckdbOutboxSpec extends AnyFunSuite {
     val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
     val hookKey = "duck-outbox-crash-once"
     graft.streaming.JdbcOutboxSink.crashHooks(hookKey) = (_, pid) =>
-      if (pid == 1 && crashed.compareAndSet(false, true))
+      if (pid == 0 && crashed.compareAndSet(false, true))
         throw new RuntimeException("injected crash: after data, before ledger")
     val sink = new graft.streaming.JdbcOutboxSink(url, "outbox_data",
-      numPartitions = 2, crashHookKey = Some(hookKey))
+      numPartitions = 1, crashHookKey = Some(hookKey))
     val batch = (1 to 100).map(i => (i, i * 0.5)).toDF("k", "v")
 
     intercept[Exception] { sink.write(batch, 3L) }

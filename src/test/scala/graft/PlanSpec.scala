@@ -58,6 +58,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"))
   }
 
+  test("q_llm_source_minhash sketch is one partial-aggregated shuffle, no pair join") {
+    // the corpus-sketch claim (r7): slot-wise min() partials combine
+    // map-side, so the plan is kernel maps + ONE source-keyed exchange
+    val p = finalPlan("q_llm_source_minhash")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_min"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoop"),
+      "sketch must not pair-join documents")
+  }
+
   test("whole-stage codegen is active on the scan-filter-project path") {
     // executedPlan.toString marks codegen stages with "*(n)" prefixes
     assert("""\*\(\d+\)""".r.findFirstIn(finalPlan("q_filter_basic")).isDefined)
