@@ -54,6 +54,38 @@ class ScaleLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed join partition (skew=true) — the salting-free join-skew path") {
+    // SaltedAgg covers AGGREGATION skew by construction; JOIN skew is
+    // AQE's OptimizeSkewedJoin at runtime — the 100 TB posture SURVEY
+    // §4.3 names. Thresholds are lowered so the effect is provable at
+    // test scale; at production scale the defaults (256 MB) do the
+    // same split. The assertion is the skew=true marker on the SMJ in
+    // the final adaptive plan.
+    import spark.implicits._
+    TestSpark.withSQLConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "20KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "20KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+      // one pathological key carrying ~99% of the left side
+      val left = ((1 to 60000).map(i => (1L, s"payload_value_$i")) ++
+        (1 to 300).map(i => ((i % 50) + 2L, s"p$i"))).toDF("k", "v")
+      val right = (1L to 60L).map(k => (k, k * 10)).toDF("k", "w")
+      val j = left.join(right, "k")
+      // collect on THIS df (count() would plan a separate execution
+      // and leave j's AQE plan unexecuted)
+      val n = j.collect().length
+      assert(n == 60000 + 300) // every left row matches exactly one right row
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"no skew split in final plan:\n${plan.take(3000)}")
+    }
+  }
+
   test("writeSized bounds both file count and records per file") {
     import graft.operators.Layout
     val dir = java.nio.file.Files.createTempDirectory("graft_sized").toString
