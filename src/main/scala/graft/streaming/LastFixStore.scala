@@ -26,16 +26,17 @@ object LastFixStore {
       deviceId: String, ts: Timestamp, latitude: Double, longitude: Double,
       nFixes: Long, movedDeg: Double)
 
-  private def update(
-      deviceId: String, fixes: Iterator[Fix],
-      state: GroupState[FixUpdate]): Iterator[FixUpdate] = {
+  /** The store's semantics, shared by BOTH state-API wirings (the
+    * GroupState form below and [[LastFixStoreTws]]): fold a batch of
+    * fixes (any arrival order) over the previous state; only newer
+    * fixes advance — out-of-order older ones are ignored, mirroring
+    * "latest fix wins". */
+  private[streaming] def fold(deviceId: String, fixes: Iterator[Fix],
+      prev: Option[FixUpdate]): (Option[FixUpdate], Seq[FixUpdate]) = {
     val sorted = fixes.toSeq.sortBy(_.ts.getTime)
-    if (sorted.isEmpty) return Iterator.empty
-    var cur = state.getOption.orNull
+    var cur = prev.orNull
     val out = Seq.newBuilder[FixUpdate]
     sorted.foreach { f =>
-      // only advance on newer fixes (out-of-order older ones ignored,
-      // mirroring "latest fix wins")
       if (cur == null || f.ts.getTime >= cur.ts.getTime) {
         val moved =
           if (cur == null) 0.0
@@ -45,8 +46,15 @@ object LastFixStore {
         out += cur
       }
     }
-    state.update(cur)
-    out.result().iterator
+    (Option(cur), out.result())
+  }
+
+  private def update(
+      deviceId: String, fixes: Iterator[Fix],
+      state: GroupState[FixUpdate]): Iterator[FixUpdate] = {
+    val (next, out) = fold(deviceId, fixes, state.getOption)
+    next.foreach(state.update)
+    out.iterator
   }
 
   /** Wire the store over a stream (or batch Dataset in tests run it
@@ -56,5 +64,47 @@ object LastFixStore {
     import spark.implicits._
     fixes.groupByKey(_.deviceId)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+}
+
+/** The SAME store on Spark 4's transformWithState — the successor
+  * state API (SPARK-40434 arbitrary stateful processing v2): typed
+  * state cells on a StatefulProcessorHandle, RocksDB-backed state
+  * store, per-state TTL support, composable timers. Semantics are
+  * byte-identical to [[LastFixStore]] (both delegate to
+  * `LastFixStore.fold`); LastFixStoreSpec runs the same scenario
+  * through both wirings and asserts identical output. A new build
+  * would pick this API; the GroupState form stays as the
+  * widest-compatibility wiring.
+  */
+object LastFixStoreTws {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+  import LastFixStore.{Fix, FixUpdate}
+
+  private class Processor extends StatefulProcessor[String, Fix, FixUpdate] {
+    @transient private var state: ValueState[FixUpdate] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[FixUpdate](
+        "lastFix", Encoders.product[FixUpdate], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Fix],
+        timerValues: TimerValues): Iterator[FixUpdate] = {
+      val prev = if (state.exists()) Some(state.get()) else None
+      val (next, out) = LastFixStore.fold(key, rows, prev)
+      next.foreach(state.update)
+      out.iterator
+    }
+  }
+
+  /** transformWithState requires the RocksDB state store provider —
+    * set `spark.sql.streaming.stateStore.providerClass` to
+    * `org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`
+    * on the session running the query. */
+  def apply(spark: SparkSession, fixes: Dataset[Fix]): Dataset[FixUpdate] = {
+    import spark.implicits._
+    fixes.groupByKey(_.deviceId)
+      .transformWithState(new Processor, TimeMode.None(), OutputMode.Append())
   }
 }
