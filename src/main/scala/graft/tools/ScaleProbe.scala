@@ -86,7 +86,12 @@ object ScaleProbe {
       "q_llm_window_chunks", "q_llm_unigram_lm", "q_llm_embed_outlier",
       "q_cdc_scd2", "q_cdc_snapshot",
       // r4: blocked + length-bucketed — must grow sub-quadratically
-      "q_llm_edit_distance")
+      "q_llm_edit_distance",
+      // r7: corpus sketches — output pinned at |sources| rows (and
+      // |sources|² pairs) no matter how large the corpus grows; the
+      // runtime is one kernel pass + one source-keyed partial-agg
+      // shuffle, so growth must stay linear
+      "q_llm_source_minhash", "q_llm_source_similarity")
 
     for (k <- multipliers) {
       val dir = Files.createTempDirectory(s"graft_scale_x$k").toString
