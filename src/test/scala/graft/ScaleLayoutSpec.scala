@@ -86,6 +86,46 @@ class ScaleLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter prunes the big side of a selective shuffle join") {
+    // The third leg of the at-scale join posture: partition pruning
+    // (static), AQE skew split (runtime re-plan), and HERE runtime
+    // filtering — a selective predicate on the small side is turned
+    // into a bloom filter applied to the BIG side's scan, so most of
+    // the 100 TB side is dropped before it ever reaches the join
+    // shuffle. Thresholds are lowered to make injection provable at
+    // test scale; at production scale the defaults (creation side
+    // < 10 MB, application side > 10 GB) target exactly this shape.
+    TestSpark.withSQLConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB") {
+      val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity"))
+      val ord = Tables.orders(spark, sf)
+        .filter(col("o_totalprice") > lit(400000.0))
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val n = j.collect().length
+      val plan = j.queryExecution.executedPlan.toString
+      // injected filter sits on the application side BEFORE its
+      // Exchange (pruning pre-shuffle), built by bloom_filter_agg on
+      // the filtered creation side
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter on the application side:\n${plan.take(3000)}")
+      val filterIdx = plan.indexOf("might_contain")
+      val exchangeIdx = plan.indexOf("Exchange hashpartitioning(l_orderkey")
+      assert(exchangeIdx >= 0 && filterIdx > exchangeIdx,
+        "bloom filter must prune below the application-side shuffle")
+      // semantics unchanged: same result as the unfiltered-plan join
+      val expected = Tables.lineitem(spark, sf).as("l")
+        .join(Tables.orders(spark, sf).as("o"),
+          col("l.l_orderkey") === col("o.o_orderkey"))
+        .filter(col("o.o_totalprice") > 400000.0).count()
+      assert(n.toLong == expected, s"$n vs $expected")
+    }
+  }
+
   test("writeSized bounds both file count and records per file") {
     import graft.operators.Layout
     val dir = java.nio.file.Files.createTempDirectory("graft_sized").toString
