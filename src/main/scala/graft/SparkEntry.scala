@@ -53,6 +53,7 @@ object SparkEntry {
       (StreamTwins.queries, StreamTwins.oracle),
       (Llm.queries, Llm.oracle),
       (TextAnalysis.queries, TextAnalysis.oracle),
+      (Profiling.queries, Profiling.oracle),
       (SqlSurface.queries, SqlSurface.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */

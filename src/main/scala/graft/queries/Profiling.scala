@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.Determinism.{sqlSumd, sumd}
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** SURVEY §2.12 — data profiling: the ANALYZE-shaped operators a
+  * 100 TB pipeline runs before anything else touches a new table
+  * (stats for the optimizer, data-quality gates, schema drift checks).
+  * The reference has no profiling at all — its one "stat" is a log
+  * line per insert (main.go:228) — so this family is mandate-driven
+  * (M), designed Spark-first.
+  *
+  * Scale shapes:
+  *  - q_profile_table: ONE pass over the table computes every
+  *    column's stats (count/nulls/distinct/min/max/sum) in a single
+  *    global aggregate — partial-aggregable, so executors each scan
+  *    their split once and ship constant-size partials. The exact
+  *    multi-column COUNT(DISTINCT) plans via Expand (k× row
+  *    replication for k profiled columns); at 100 TB the documented
+  *    swap is approx_count_distinct (q_agg_approx_distinct pins the
+  *    HLL path) — exact here because the oracle must hash-match.
+  *  - q_profile_histogram: equi-width histogram = groupBy on a
+  *    bounded-cardinality derived key; one shuffle of (bucket,
+  *    partial) pairs, never rows.
+  *  - q_profile_topvalues: per-column frequent values (the categorical
+  *    histogram CBO wants) = per-column partial-agg groupBy unioned in
+  *    long form, then a rank over the tiny (value, count) relation.
+  */
+object Profiling {
+
+  /** Numeric lineitem columns profiled by q_profile_table. */
+  private val numCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Per-column stats in long form, one row per profiled column.
+    "q_profile_table" -> ((s, d) => {
+      val aggExprs = count(lit(1)).as("n_rows") +: numCols.flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c"),
+        sumd(col(c)).as(s"sum_$c")))
+      Tables.lineitem(s, d)
+        .agg(aggExprs.head, aggExprs.tail: _*)
+        .select(expr(
+          s"stack(${numCols.length}, " + numCols.map(c =>
+            s"'$c', n_rows, nn_$c, nd_$c, min_$c, max_$c, sum_$c").mkString(", ") +
+            ") as (col_name, n_rows, n_nonnull, n_distinct, min_v, max_v, sum_v)"))
+        .orderBy("col_name")
+    }),
+
+    // Equi-width histogram of l_extendedprice (width 5000), with
+    // explicit bucket edges and an exact-decimal per-bucket sum.
+    "q_profile_histogram" -> ((s, d) => {
+      val w = 5000.0
+      Tables.lineitem(s, d)
+        .groupBy(floor(col("l_extendedprice") / w).cast(LongType).as("bucket"))
+        .agg(count(lit(1)).as("n"), sumd(col("l_extendedprice")).as("sum_price"))
+        .select(col("bucket"), (col("bucket") * w).as("lo_edge"),
+          ((col("bucket") + 1) * w).as("hi_edge"), col("n"), col("sum_price"))
+        .orderBy("bucket")
+    }),
+
+    // Top-3 most frequent values per categorical column (count desc,
+    // value asc tiebreak — deterministic).
+    "q_profile_topvalues" -> ((s, d) => {
+      val catCols = Seq("l_returnflag", "l_linestatus")
+      val li = Tables.lineitem(s, d)
+      val long = catCols.map(c =>
+        li.groupBy(col(c).as("value")).agg(count(lit(1)).as("n"))
+          .select(lit(c).as("col_name"), col("value"), col("n")))
+        .reduce(_ unionByName _)
+      long
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("col_name")).orderBy(col("n").desc, col("value").asc))
+          .cast(LongType))
+        .filter(col("rk") <= 3)
+        .select("col_name", "value", "n", "rk")
+        .orderBy("col_name", "rk")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_profile_table" ->
+      (numCols.map(c =>
+        s"SELECT '$c' AS col_name, COUNT(*) AS n_rows, COUNT($c) AS n_nonnull, " +
+          s"COUNT(DISTINCT $c) AS n_distinct, MIN($c) AS min_v, MAX($c) AS max_v, " +
+          s"${sqlSumd(c)} AS sum_v FROM lineitem").mkString(" UNION ALL ") +
+        " ORDER BY col_name"),
+    "q_profile_histogram" ->
+      ("WITH b AS (SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket, " +
+        "l_extendedprice FROM lineitem) " +
+        "SELECT bucket, bucket * 5000.0 AS lo_edge, (bucket + 1) * 5000.0 AS hi_edge, " +
+        "COUNT(*) AS n, " + sqlSumd("l_extendedprice") + " AS sum_price " +
+        "FROM b GROUP BY bucket ORDER BY bucket"),
+    "q_profile_topvalues" ->
+      ("WITH long AS (" +
+        "SELECT 'l_returnflag' AS col_name, l_returnflag AS value, COUNT(*) AS n FROM lineitem GROUP BY 2 " +
+        "UNION ALL " +
+        "SELECT 'l_linestatus', l_linestatus, COUNT(*) FROM lineitem GROUP BY 2), " +
+        "r AS (SELECT col_name, value, n, " +
+        "row_number() OVER (PARTITION BY col_name ORDER BY n DESC, value ASC) AS rk FROM long) " +
+        "SELECT col_name, value, n, rk FROM r WHERE rk <= 3 ORDER BY col_name, rk")
+  )
+}
