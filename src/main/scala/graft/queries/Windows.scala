@@ -160,6 +160,35 @@ object Windows {
         .orderBy($"user_id", $"hr")
     }),
 
+    // Per-user z-score anomaly scan — the data-QC gate a training
+    // pipeline runs over every numeric feed. First/second moments per
+    // user are EXACT decimal sums (partial-aggregable: one shuffle of
+    // constant-size partials), so mean/var/z are identical doubles on
+    // both engines and the |z| > 2 comparison can't flake at the
+    // boundary. The stats relation is |users| rows — AQE broadcasts
+    // it when small; nothing forces a broadcast at scale. var == 0
+    // groups are excluded on BOTH sides before z is formed (no NaN —
+    // Spark and DuckDB disagree on NaN comparison semantics). (r7)
+    "q_ts_anomaly" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .filter($"value".isNotNull)
+        .select($"user_id", $"event_id", $"value")
+      val st = e.groupBy($"user_id").agg(
+        count(lit(1)).as("n"),
+        sumd($"value").as("sx"),
+        sumd($"value" * $"value").as("sxx"))
+        .filter($"n" >= 2)
+      e.join(st, "user_id")
+        .withColumn("meanv", $"sx" / $"n")
+        .withColumn("varv", ($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1))
+        .filter($"varv" > 0)
+        .withColumn("z", ($"value" - $"meanv") / sqrt($"varv"))
+        .filter(abs($"z") > 2.0)
+        .select($"user_id", $"event_id", $"value", round($"z", 6).as("z"))
+        .orderBy($"user_id", $"event_id")
+    }),
+
     // Cohort retention: users grouped by first-active week, activity
     // counted per week-age. Two linear aggregates and one broadcast-
     // able join on user_id — the standard product-analytics query,
@@ -244,6 +273,15 @@ object Windows {
        "last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr " +
        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff " +
        "FROM j ORDER BY user_id, hr"),
+    "q_ts_anomaly" ->
+      ("WITH e AS (SELECT user_id, event_id, value FROM events WHERE value IS NOT NULL), " +
+       "st AS (SELECT user_id, COUNT(*) AS n, " + sqlSumd("value") + " AS sx, " +
+       sqlSumd("value * value") + " AS sxx FROM e GROUP BY user_id HAVING COUNT(*) >= 2), " +
+       "j AS (SELECT e.user_id, event_id, value, sx / n AS meanv, " +
+       "(sxx - sx * sx / n) / (n - 1) AS varv FROM e JOIN st ON e.user_id = st.user_id) " +
+       "SELECT user_id, event_id, value, round((value - meanv) / sqrt(varv), 6) AS z " +
+       "FROM j WHERE varv > 0 AND abs((value - meanv) / sqrt(varv)) > 2.0 " +
+       "ORDER BY user_id, event_id"),
     "q_ts_retention" ->
       ("WITH e AS (SELECT DISTINCT user_id, CAST(floor(epoch_ms(date_trunc('milliseconds', ts)) / 604800000.0) AS BIGINT) AS wk FROM events), " +
        "c AS (SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY user_id) " +
