@@ -362,6 +362,61 @@ object Llm {
         .orderBy($"doc_a", $"doc_b")
     }),
 
+    // Incremental corpus dedup (r7): the operation a continuous-crawl
+    // pipeline actually runs — an INCOMING batch checked against the
+    // BASE corpus, never base-vs-base. Batch construction is
+    // deterministic from the corpus itself: doc_id%5==0 docs arrive
+    // as near-dups (two appended tokens; J=(n-2)/n on n shingles),
+    // doc_id%5==1 as genuinely new (upper-cased: case-sensitive
+    // shingles share nothing). Both sides get the fused
+    // shingle→MinHash(16)→4-band treatment; candidates come from the
+    // CROSS-side band equi-join with the incoming side broadcast —
+    // at 100 TB the base corpus never shuffles (narrow kernel pass +
+    // broadcast-hash probe), the incoming batch being small is the
+    // premise of incremental ingest. Verified matches (exact J ≥ 0.5
+    // over full shingle sets) fold to a per-incoming-doc verdict:
+    // status, match count, best match (min id), best Jaccard.
+    "q_llm_incr_dedup" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"text")
+      val inc = docs.filter($"doc_id" % 5 === 0)
+          .select(($"doc_id" + 1000000L).as("inc_id"),
+            concat($"text", lit(" zz yy")).as("text"))
+        .unionByName(docs.filter($"doc_id" % 5 === 1)
+          .select(($"doc_id" + 2000000L).as("inc_id"), upper($"text").as("text")))
+      def sig(df: DataFrame, id: String): DataFrame = df
+        .select(col(id), TextKernels.triShingles(s, col("text")).as("shingles"))
+        .filter(size(col("shingles")) > 0)
+        .select(col(id), col("shingles"),
+          TextKernels.minhashSig(s, col("shingles")).as("sg"))
+      def bands(df: DataFrame, id: String): DataFrame = df
+        .select(col(id), explode(array((0 until 4).map(b =>
+          concat_ws("_", lit(b.toString),
+            element_at(col("sg"), 4 * b + 1).cast(StringType),
+            element_at(col("sg"), 4 * b + 2).cast(StringType),
+            element_at(col("sg"), 4 * b + 3).cast(StringType),
+            element_at(col("sg"), 4 * b + 4).cast(StringType))): _*)).as("band"))
+      val bSig = sig(docs, "doc_id").cache()
+      val iSig = sig(inc, "inc_id").cache()
+      val cand = bands(bSig, "doc_id")
+        .join(broadcast(bands(iSig, "inc_id")), "band")
+        .select($"inc_id", $"doc_id").distinct()
+      val ver = cand
+        .join(iSig.select($"inc_id", $"shingles".as("sh_i")), "inc_id")
+        .join(bSig.select($"doc_id", $"shingles".as("sh_b")), "doc_id")
+        .withColumn("n_int", size(array_intersect($"sh_i", $"sh_b")).cast(DoubleType))
+        .withColumn("j", $"n_int" / (size($"sh_i") + size($"sh_b") - $"n_int"))
+        .filter($"j" >= 0.5)
+      val m = ver.groupBy($"inc_id").agg(count(lit(1)).as("n_matches"),
+        min($"doc_id").as("best_match"), max($"j").as("best_j"))
+      iSig.select($"inc_id").join(m, Seq("inc_id"), "left")
+        .select($"inc_id",
+          when($"n_matches".isNotNull, lit("dup")).otherwise(lit("new")).as("status"),
+          coalesce($"n_matches", lit(0L)).as("n_matches"),
+          $"best_match", round($"best_j", 6).as("best_jaccard"))
+        .orderBy($"inc_id")
+    }),
+
     // n-gram Jaccard near-dup: capped shingle-share candidates (see
     // MaxShingleDf) + exact-Jaccard verify over full shingle sets.
     "q_llm_ngram_jaccard" -> ((s, d) => {
@@ -621,6 +676,19 @@ object Llm {
     }.mkString(", ") +
     " FROM ex GROUP BY source) "
 
+  /** 16 MinHash signature slots over a shingle-list column — slot i
+    * uses salt i/4 and md5-hex substring i%4 (the kernel's layout). */
+  private def sqlSigSlots(shCol: String): String = (0 until 16).map { i =>
+    val j = i / 4; val k = i % 4
+    s"list_min(list_transform($shCol, x -> " +
+      s"CAST(('0x' || substr(md5(x || '#$j'), ${1 + 8 * k}, 8)) AS BIGINT))) AS s$i"
+  }.mkString(", ")
+
+  /** The 4 band strings over slot columns s0..s15. */
+  private val sqlBandList = "[" + (0 until 4).map(b =>
+    s"'$b' || '_' || CAST(s${4 * b} AS VARCHAR) || '_' || CAST(s${4 * b + 1} AS VARCHAR) || '_' || " +
+      s"CAST(s${4 * b + 2} AS VARCHAR) || '_' || CAST(s${4 * b + 3} AS VARCHAR)").mkString(", ") + "]"
+
   /** SQL twin of [[minhashVerified]]'s candidate generation: sig slots,
     * 4 bands, distinct band-share pairs. Expects `sh` from [[shCte]];
     * yields CTEs `sig(doc_id, shingles, s0..s15)` and
@@ -714,6 +782,32 @@ object Llm {
        ") AS DOUBLE) / 16.0, 6) AS est_jaccard " +
        "FROM ssig a JOIN ssig b ON a.source < b.source " +
        "ORDER BY source_a, source_b"),
+    "q_llm_incr_dedup" ->
+      ("WITH inc AS (SELECT doc_id + 1000000 AS inc_id, text || ' zz yy' AS text " +
+       "FROM documents WHERE doc_id % 5 = 0 " +
+       "UNION ALL SELECT doc_id + 2000000, upper(text) FROM documents WHERE doc_id % 5 = 1), " +
+       "bt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+       "bsh0 AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
+       "for i in range(1, len(toks) - 1)]) AS shingles FROM bt), " +
+       "bsh AS (SELECT * FROM bsh0 WHERE len(shingles) > 0), " +
+       "it AS (SELECT inc_id, string_split(text, ' ') AS toks FROM inc), " +
+       "ish0 AS (SELECT inc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
+       "for i in range(1, len(toks) - 1)]) AS shingles FROM it), " +
+       "ish AS (SELECT * FROM ish0 WHERE len(shingles) > 0), " +
+       "bsig AS (SELECT doc_id, shingles, " + sqlSigSlots("shingles") + " FROM bsh), " +
+       "isig AS (SELECT inc_id, shingles, " + sqlSigSlots("shingles") + " FROM ish), " +
+       "bbands AS (SELECT doc_id, unnest(" + sqlBandList + ") AS band FROM bsig), " +
+       "ibands AS (SELECT inc_id, unnest(" + sqlBandList + ") AS band FROM isig), " +
+       "cand AS (SELECT DISTINCT inc_id, doc_id FROM ibands JOIN bbands USING(band)), " +
+       "v AS (SELECT cand.inc_id, cand.doc_id, " +
+       "CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) / " +
+       "(len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS j " +
+       "FROM cand JOIN isig x ON x.inc_id = cand.inc_id JOIN bsig y ON y.doc_id = cand.doc_id), " +
+       "m AS (SELECT inc_id, COUNT(*) AS n_matches, MIN(doc_id) AS best_match, MAX(j) AS best_j " +
+       "FROM v WHERE j >= 0.5 GROUP BY inc_id) " +
+       "SELECT i.inc_id, CASE WHEN m.n_matches IS NOT NULL THEN 'dup' ELSE 'new' END AS status, " +
+       "COALESCE(m.n_matches, 0) AS n_matches, m.best_match, round(m.best_j, 6) AS best_jaccard " +
+       "FROM ish i LEFT JOIN m USING(inc_id) ORDER BY inc_id"),
     "q_llm_ngram_jaccard" ->
       (shCte + ", " + ngramPairSql +
        "SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM v WHERE jaccard >= 0.2 " +

@@ -68,6 +68,16 @@ class PlanSpec extends AnyFunSuite {
       "sketch must not pair-join documents")
   }
 
+  test("incr_dedup probes the base corpus with a broadcast of the incoming bands") {
+    // the incremental-ingest claim (r7): the base corpus side never
+    // shuffles for candidate generation — the incoming batch's band
+    // relation is the broadcast side of the band equi-join
+    val p = finalPlan("q_llm_incr_dedup")
+    assert(p.contains("BroadcastHashJoin"),
+      "incoming bands must broadcast-probe the base bands")
+    assert(!p.contains("BroadcastNestedLoop"), "no cartesian fallback")
+  }
+
   test("whole-stage codegen is active on the scan-filter-project path") {
     // executedPlan.toString marks codegen stages with "*(n)" prefixes
     assert("""\*\(\d+\)""".r.findFirstIn(finalPlan("q_filter_basic")).isDefined)
