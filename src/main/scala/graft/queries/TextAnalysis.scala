@@ -242,6 +242,43 @@ object TextAnalysis {
         .limit(20)
     }),
 
+    // BPE merge APPLICATION (r7) — the step that closes the tokenizer-
+    // training loop bpe_pairs opened: pick the winning adjacent pair,
+    // merge it greedily left-to-right in every vocabulary word
+    // (literal `replace` — the standard BPE non-overlapping scan), and
+    // recount adjacent TOKEN pairs over the re-segmented vocabulary
+    // (= BPE iteration 2's input). Everything distributed stays
+    // vocabulary-sized: the corpus collapses to (word, count) first,
+    // the winner is a 1-row broadcast, the merge is a narrow map —
+    // iterating k merges is k such passes with only the 1-row winner
+    // crossing the driver boundary.
+    "q_llm_bpe_apply" -> ((s, d) => {
+      import s.implicits._
+      val words = Tables.documents(s, d)
+        .select(explode(toks(lower($"text"))).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("wc"))
+      val pairs = words.select($"wc", explode(
+        when(length($"w") >= 2, transform(sequence(lit(1), length($"w") - 1),
+          i => concat($"w".substr(i, lit(1)), $"w".substr(i + 1, lit(1)))))
+          .otherwise(array().cast(ArrayType(StringType)))).as("pair"))
+        .groupBy($"pair").agg(sum($"wc").as("cnt"))
+      val top1 = pairs.orderBy($"cnt".desc, $"pair".asc).limit(1)
+        .select($"pair".as("mp"))
+      val merged = words.crossJoin(broadcast(top1))
+        .withColumn("w2", expr("replace(w, mp, chr(1))"))
+      def tokAt(i: Column) = {
+        val ch = $"w2".substr(i, lit(1))
+        when(ch === expr("chr(1)"), $"mp").otherwise(ch)
+      }
+      merged.select($"wc", explode(
+        when(length($"w2") >= 2, transform(sequence(lit(1), length($"w2") - 1),
+          i => concat(tokAt(i), tokAt(i + 1))))
+          .otherwise(array().cast(ArrayType(StringType)))).as("pair"))
+        .groupBy($"pair").agg(sum($"wc").as("cnt"))
+        .orderBy($"cnt".desc, $"pair".asc)
+        .limit(20)
+    }),
+
     // Context-window chunking: split each doc into overlapping
     // fixed-token windows (window=32, stride=24) — the sequence-length
     // preprocessing step between cleaning and tokenization. Narrow
@@ -419,6 +456,21 @@ object TextAnalysis {
        "[substring(w, i, 1) || substring(w, i + 1, 1) for i in range(1, length(w))] " +
        "ELSE [] END) AS pair FROM wf) " +
        "SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM p GROUP BY pair " +
+       "ORDER BY cnt DESC, pair ASC LIMIT 20"),
+    "q_llm_bpe_apply" ->
+      ("WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents), " +
+       "wf AS (SELECT w, COUNT(*) AS wc FROM w GROUP BY w), " +
+       "p AS (SELECT wc, unnest(CASE WHEN length(w) >= 2 THEN " +
+       "[substring(w, i, 1) || substring(w, i + 1, 1) for i in range(1, length(w))] " +
+       "ELSE [] END) AS pair FROM wf), " +
+       "pc AS (SELECT pair, SUM(wc) AS cnt FROM p GROUP BY pair), " +
+       "top1 AS (SELECT pair AS mp FROM pc ORDER BY cnt DESC, pair ASC LIMIT 1), " +
+       "m AS (SELECT wc, mp, replace(w, mp, chr(1)) AS w2 FROM wf CROSS JOIN top1), " +
+       "np AS (SELECT wc, unnest(CASE WHEN length(w2) >= 2 THEN " +
+       "[(CASE WHEN substring(w2, i, 1) = chr(1) THEN mp ELSE substring(w2, i, 1) END) || " +
+       "(CASE WHEN substring(w2, i + 1, 1) = chr(1) THEN mp ELSE substring(w2, i + 1, 1) END) " +
+       "for i in range(1, length(w2))] ELSE [] END) AS pair FROM m) " +
+       "SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM np GROUP BY pair " +
        "ORDER BY cnt DESC, pair ASC LIMIT 20"),
     "q_llm_window_chunks" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
