@@ -159,6 +159,55 @@ object Pipeline {
         (0 until 16).map(i => min(element_at(col("sig"), i + 1)).as(s"s$i")): _*)
   }
 
+  /** Streaming incremental near-dedup (r7): the stream-static form of
+    * q_llm_incr_dedup — an incoming document stream probed against the
+    * STATIC base corpus's MinHash band index (stream-static equi-join,
+    * natively supported in append mode). Completely STATELESS: each
+    * incoming doc is fully processed within its own micro-batch, and
+    * the usual candidate dedup (a pair can collide in several bands)
+    * is done row-locally instead of with a stateful distinct — both
+    * sides carry their 16 signature slots, so "this is the FIRST
+    * matching band" is a plain column predicate (band strings embed
+    * the band index, so only same-index bands ever join). Emits one
+    * verified match row (inc_id, doc_id, jaccard ≥ threshold) per
+    * (incoming, base) pair. Per trigger the work is the incoming
+    * batch's kernel pass + one equi-join probe; at scale callers
+    * persist the base band index once — the base side never rebuilds
+    * per trigger from anything but that relation. Works identically
+    * on a batch `incoming` (the spec proves stream == batch).
+    * `incoming` needs (inc_id, text); `base` needs (doc_id, text). */
+  def streamingIncrDedup(incoming: DataFrame, base: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val s = base.sparkSession
+    import graft.functions.TextKernels
+    def sig(df: DataFrame, id: String, p: String) = df
+      .select(col(id), TextKernels.triShingles(s, col("text")).as(p + "sh"))
+      .filter(size(col(p + "sh")) > 0)
+      .select(col(id), col(p + "sh"),
+        TextKernels.minhashSig(s, col(p + "sh")).as(p + "sg"))
+    def bandStr(sg: String, b: Int) = concat_ws("_", lit(b.toString) +:
+      (0 until 4).map(k => element_at(col(sg), 4 * b + k + 1).cast("string")): _*)
+    val bBands = sig(base, "doc_id", "b_")
+      .select(col("doc_id"), col("b_sh"), col("b_sg"),
+        explode(array((0 until 4).map(b => bandStr("b_sg", b)): _*)).as("band"))
+    val iBands = sig(incoming, "inc_id", "i_")
+      .select(col("inc_id"), col("i_sh"), col("i_sg"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("bidx"), bandStr("i_sg", b).as("band"))): _*)).as("ib"))
+      .select(col("inc_id"), col("i_sh"), col("i_sg"),
+        col("ib.bidx").as("bidx"), col("ib.band").as("band"))
+    def slotsEq(b: Int) = (0 until 4).map(k =>
+      element_at(col("i_sg"), 4 * b + k + 1) === element_at(col("b_sg"), 4 * b + k + 1))
+      .reduce(_ && _)
+    val firstBand = when(slotsEq(0), 0).when(slotsEq(1), 1).when(slotsEq(2), 2).otherwise(3)
+    val nInt = size(array_intersect(col("i_sh"), col("b_sh"))).cast("double")
+    iBands.join(bBands, "band")
+      .filter(firstBand === col("bidx"))
+      .withColumn("jaccard", nInt / (size(col("i_sh")) + size(col("b_sh")) - nInt))
+      .filter(col("jaccard") >= threshold)
+      .select(col("inc_id"), col("doc_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Stream-stream interval join: each fix is enriched with the device
     * status events observed in the lag window [fix.ts − maxLag,
     * fix.ts]. Both sides carry watermarks AND the join condition bounds

@@ -170,6 +170,41 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(stream("crawlB").head == 1L) // the shingle-less doc never counted
   }
 
+  test("streaming incremental dedup: stateless stream-static band probe == batch") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "pack my box with five dozen liquor jugs right now"),
+      (3L, "completely different words entirely unrelated to anything else here")
+    ).toDF("doc_id", "text")
+    val b1 = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today extra"), // near-dup of 1
+      (101L, "nothing in common with any base document at all whatsoever"))
+    val b2 = Seq(
+      (102L, "pack my box with five dozen liquor jugs right now")) // exact dup of 2: ALL 4 bands match
+    val in = MemoryStream[(Long, String)]
+    val q = Pipeline.streamingIncrDedup(in.toDF.toDF("inc_id", "text"), base)
+      .writeStream.format("memory").queryName("incr_out")
+      .outputMode("append").start()
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    // stateless: no state operators at all (the row-local first-band
+    // predicate replaced the stateful distinct)
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "stream-static incr dedup must hold zero state")
+    val stream = spark.table("incr_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    q.stop()
+    val batch = Pipeline.streamingIncrDedup((b1 ++ b2).toDF("inc_id", "text"), base)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(stream == batch)
+    // the exact dup collides in all 4 bands yet emits exactly ONE row
+    assert(stream.map(t => (t._1, t._2)) == Seq((100L, 1L), (102L, 2L)))
+    assert(stream.find(_._1 == 102L).get._3 == 1.0)
+  }
+
   test("dropDuplicatesWithinWatermark dedups by natural key") {
     val in = MemoryStream[(Timestamp, String, Double)]
     val fixes = in.toDF.toDF("ts", "id", "speed")
