@@ -168,6 +168,38 @@ object Projections {
         .orderBy($"user_id")
     }),
 
+    // Snapshot table diff (r7): the CDC-RECONCILIATION operator —
+    // classify every key across two table versions as added/removed/
+    // changed/same. This is what validates a CDC-maintained replica
+    // (the reference's raw→derived table pair, main.go:212-223)
+    // against a fresh source snapshot. The "new version" is derived
+    // deterministically: %10==3 deleted, %10==5 modified, %10==7
+    // cloned as inserts. Row identity is md5 over the compared
+    // columns, so the diff is ONE full-outer equi-join on the key +
+    // a 4-group partial agg; with both snapshots bucketed on the key
+    // (Layout.writeBucketed) the join shuffles nothing at any scale.
+    "q_cdc_table_diff" -> ((s, d) => {
+      import s.implicits._
+      val old = Tables.documents(s, d).select($"doc_id", $"lang", $"source", $"n_chars")
+      val nw = old.filter($"doc_id" % 10 =!= 3)
+        .withColumn("n_chars",
+          when($"doc_id" % 10 === 5, $"n_chars" + 1).otherwise($"n_chars"))
+        .unionByName(old.filter($"doc_id" % 10 === 7)
+          .select(($"doc_id" + 1000000L).as("doc_id"), $"lang", $"source", $"n_chars"))
+      def rh(df: org.apache.spark.sql.DataFrame) = df.withColumn("rh",
+        md5(concat_ws("|", $"lang", $"source", $"n_chars".cast("string"))))
+      rh(old).select($"doc_id", $"rh".as("rh_old"))
+        .join(rh(nw).select($"doc_id", $"rh".as("rh_new")), Seq("doc_id"), "full")
+        .withColumn("status",
+          when($"rh_old".isNull, lit("added"))
+            .when($"rh_new".isNull, lit("removed"))
+            .when($"rh_old" =!= $"rh_new", lit("changed"))
+            .otherwise(lit("same")))
+        .groupBy($"status")
+        .agg(count(lit(1)).as("n"), min($"doc_id").as("min_key"), max($"doc_id").as("max_key"))
+        .orderBy($"status")
+    }),
+
     // WKT point construction — lon first, C-style %f six-decimal
     // formatting, exactly the reference's fmt.Sprintf (main.go:210).
     "q_geo_wkt_point" -> ((s, d) => {
@@ -220,6 +252,20 @@ object Projections {
        "SELECT r.user_id, n_events, event_id AS last_event_id, ms AS last_ms, " +
        "value AS last_value, event_type AS last_type " +
        "FROM r JOIN c ON r.user_id = c.user_id WHERE rn = 1 ORDER BY r.user_id"),
+    "q_cdc_table_diff" ->
+      ("WITH old AS (SELECT doc_id, lang, source, n_chars FROM documents), " +
+       "nw AS (SELECT doc_id, lang, source, " +
+       "CASE WHEN doc_id % 10 = 5 THEN n_chars + 1 ELSE n_chars END AS n_chars " +
+       "FROM old WHERE doc_id % 10 <> 3 " +
+       "UNION ALL SELECT doc_id + 1000000, lang, source, n_chars FROM old WHERE doc_id % 10 = 7), " +
+       "o AS (SELECT doc_id, md5(lang || '|' || source || '|' || CAST(n_chars AS VARCHAR)) AS rh_old FROM old), " +
+       "n AS (SELECT doc_id, md5(lang || '|' || source || '|' || CAST(n_chars AS VARCHAR)) AS rh_new FROM nw), " +
+       "j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, rh_old, rh_new " +
+       "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id) " +
+       "SELECT CASE WHEN rh_old IS NULL THEN 'added' WHEN rh_new IS NULL THEN 'removed' " +
+       "WHEN rh_old <> rh_new THEN 'changed' ELSE 'same' END AS status, " +
+       "COUNT(*) AS n, MIN(doc_id) AS min_key, MAX(doc_id) AS max_key " +
+       "FROM j GROUP BY 1 ORDER BY status"),
     "q_geo_wkt_point" ->
       ("SELECT event_id, printf('POINT(%f %f)', value * 2.0, value) AS geo_point " +
        "FROM events ORDER BY event_id")

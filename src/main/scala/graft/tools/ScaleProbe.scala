@@ -91,7 +91,15 @@ object ScaleProbe {
       // |sources|² pairs) no matter how large the corpus grows; the
       // runtime is one kernel pass + one source-keyed partial-agg
       // shuffle, so growth must stay linear
-      "q_llm_source_minhash", "q_llm_source_similarity")
+      "q_llm_source_minhash", "q_llm_source_similarity",
+      // r7 late additions: incr_dedup's incoming batch is derived from
+      // the corpus (doc_id%5), so batch and base both grow k× while
+      // copies stay shingle-disjoint — verdicts must grow EXACTLY k×
+      // (a cross-copy band collision would break the line); anomaly is
+      // per-user stats (users disjoint per copy → k×); bpe_apply's
+      // vocabulary grows k× (suffixed tokens) and everything downstream
+      // is vocab-sized
+      "q_llm_incr_dedup", "q_ts_anomaly", "q_llm_bpe_apply")
 
     for (k <- multipliers) {
       val dir = Files.createTempDirectory(s"graft_scale_x$k").toString
