@@ -160,6 +160,38 @@ object Windows {
         .orderBy($"user_id", $"hr")
     }),
 
+    // Conversion funnel (r7): per-user staged view→click→purchase,
+    // each stage's timestamp the MIN event strictly after the previous
+    // stage. Three conditional-min aggregates — all partial-aggregable,
+    // no windows, no per-user sort — then one global fold to stage
+    // counts + exact integer-sum average stage-to-stage latency.
+    // The product-analytics query every event pipeline serves.
+    "q_ts_funnel" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .select($"user_id", msEpoch($"ts").as("ms"), $"event_type")
+      val v = e.groupBy($"user_id")
+        .agg(min(when($"event_type" === "view", $"ms")).as("t_view"))
+      val c = e.join(v, "user_id")
+        .groupBy($"user_id", $"t_view")
+        .agg(min(when($"event_type" === "click" && $"ms" > $"t_view", $"ms")).as("t_click"))
+      val p = e.join(c, "user_id")
+        .groupBy($"user_id", $"t_view", $"t_click")
+        .agg(min(when($"event_type" === "purchase" && $"ms" > $"t_click", $"ms")).as("t_purchase"))
+      p.agg(
+        count($"t_view").as("n_view"),
+        count($"t_click").as("n_click"),
+        count($"t_purchase").as("n_purchase"),
+        (sum(when($"t_click".isNotNull, $"t_click" - $"t_view")).cast(DoubleType) /
+          count($"t_click")).as("a1"),
+        (sum(when($"t_purchase".isNotNull, $"t_purchase" - $"t_click")).cast(DoubleType) /
+          count($"t_purchase")).as("a2"))
+        .select(expr("stack(3, '1_view', n_view, CAST(NULL AS DOUBLE), " +
+          "'2_click', n_click, a1, '3_purchase', n_purchase, a2) " +
+          "as (stage, n_users, avg_ms_from_prev)"))
+        .orderBy($"stage")
+    }),
+
     // Per-user z-score anomaly scan — the data-QC gate a training
     // pipeline runs over every numeric feed. First/second moments per
     // user are EXACT decimal sums (partial-aggregable: one shuffle of
@@ -273,6 +305,19 @@ object Windows {
        "last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr " +
        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff " +
        "FROM j ORDER BY user_id, hr"),
+    "q_ts_funnel" ->
+      ("WITH e AS (SELECT user_id, epoch_ms(date_trunc('milliseconds', ts)) AS ms, event_type FROM events), " +
+       "v AS (SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ms END) AS t_view FROM e GROUP BY user_id), " +
+       "c AS (SELECT e.user_id, t_view, MIN(CASE WHEN event_type = 'click' AND ms > t_view THEN ms END) AS t_click " +
+       "FROM e JOIN v USING(user_id) GROUP BY e.user_id, t_view), " +
+       "p AS (SELECT e.user_id, t_view, t_click, MIN(CASE WHEN event_type = 'purchase' AND ms > t_click THEN ms END) AS t_purchase " +
+       "FROM e JOIN c USING(user_id) GROUP BY e.user_id, t_view, t_click), " +
+       "s AS (SELECT COUNT(t_view) AS n_view, COUNT(t_click) AS n_click, COUNT(t_purchase) AS n_purchase, " +
+       "CAST(SUM(CASE WHEN t_click IS NOT NULL THEN t_click - t_view END) AS DOUBLE) / COUNT(t_click) AS a1, " +
+       "CAST(SUM(CASE WHEN t_purchase IS NOT NULL THEN t_purchase - t_click END) AS DOUBLE) / COUNT(t_purchase) AS a2 FROM p) " +
+       "SELECT * FROM (SELECT '1_view' AS stage, n_view AS n_users, CAST(NULL AS DOUBLE) AS avg_ms_from_prev FROM s " +
+       "UNION ALL SELECT '2_click', n_click, a1 FROM s " +
+       "UNION ALL SELECT '3_purchase', n_purchase, a2 FROM s) ORDER BY stage"),
     "q_ts_anomaly" ->
       ("WITH e AS (SELECT user_id, event_id, value FROM events WHERE value IS NOT NULL), " +
        "st AS (SELECT user_id, COUNT(*) AS n, " + sqlSumd("value") + " AS sx, " +
