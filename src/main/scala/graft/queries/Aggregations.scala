@@ -224,6 +224,19 @@ object Aggregations {
         .agg(max(struct($"c", $"event_type")).as("w"))
         .select($"user_id", $"w.event_type".as("mode_type"), $"w.c".as("mode_n"))
         .orderBy($"user_id")
+    }),
+
+    // Boolean aggregates (r7): bool_and / bool_or over a predicate —
+    // the data-quality assertion shape ("EVERY row in the group
+    // satisfies X", "ANY row violates Y"). Partial-aggregable AND/OR
+    // monoids, one shuffle of 1-bit partials.
+    "q_agg_bool" -> ((s, d) => {
+      import s.implicits._
+      Tables.orders(s, d).groupBy($"o_orderpriority")
+        .agg(bool_and($"o_totalprice" > 50000.0).as("all_big"),
+          bool_or($"o_totalprice" > 400000.0).as("any_huge"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
     })
   )
 
@@ -301,6 +314,10 @@ object Aggregations {
     "q_agg_mode" ->
       ("WITH c AS (SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY user_id, event_type), " +
        "r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY c DESC, event_type DESC) AS rn FROM c) " +
-       "SELECT user_id, event_type AS mode_type, c AS mode_n FROM r WHERE rn = 1 ORDER BY user_id")
+       "SELECT user_id, event_type AS mode_type, c AS mode_n FROM r WHERE rn = 1 ORDER BY user_id"),
+    "q_agg_bool" ->
+      ("SELECT o_orderpriority, bool_and(o_totalprice > 50000.0) AS all_big, " +
+       "bool_or(o_totalprice > 400000.0) AS any_huge, COUNT(*) AS n " +
+       "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority")
   )
 }

@@ -64,6 +64,25 @@ object SortSetOps {
       val all = Tables.nation(s, d).select($"n_nationkey".as("nationkey"))
       val sp = Tables.supplier(s, d).select($"s_nationkey".as("nationkey"))
       all.except(sp).orderBy($"nationkey")
+    }),
+
+    // Bag-semantics set ops (r7): EXCEPT ALL / INTERSECT ALL preserve
+    // multiplicities — the reconciliation variant that answers "how
+    // many MORE of this row does side A have" (plain EXCEPT answers
+    // only membership). Both plan as count-annotated aggregates + a
+    // generate, all partial-aggregable.
+    "q_setop_except_all" -> ((s, d) => {
+      import s.implicits._
+      val c = Tables.customer(s, d).select($"c_nationkey".as("nationkey"))
+      val sp = Tables.supplier(s, d).select($"s_nationkey".as("nationkey"))
+      c.exceptAll(sp).orderBy($"nationkey")
+    }),
+
+    "q_setop_intersect_all" -> ((s, d) => {
+      import s.implicits._
+      val c = Tables.customer(s, d).select($"c_nationkey".as("nationkey"))
+      val sp = Tables.supplier(s, d).select($"s_nationkey".as("nationkey"))
+      c.intersectAll(sp).orderBy($"nationkey")
     })
   )
 
@@ -87,6 +106,12 @@ object SortSetOps {
        "INTERSECT SELECT s_nationkey AS nationkey FROM supplier) ORDER BY nationkey"),
     "q_setop_except" ->
       ("SELECT nationkey FROM (SELECT n_nationkey AS nationkey FROM nation " +
-       "EXCEPT SELECT s_nationkey AS nationkey FROM supplier) ORDER BY nationkey")
+       "EXCEPT SELECT s_nationkey AS nationkey FROM supplier) ORDER BY nationkey"),
+    "q_setop_except_all" ->
+      ("SELECT nationkey FROM (SELECT c_nationkey AS nationkey FROM customer " +
+       "EXCEPT ALL SELECT s_nationkey AS nationkey FROM supplier) ORDER BY nationkey"),
+    "q_setop_intersect_all" ->
+      ("SELECT nationkey FROM (SELECT c_nationkey AS nationkey FROM customer " +
+       "INTERSECT ALL SELECT s_nationkey AS nationkey FROM supplier) ORDER BY nationkey")
   )
 }
