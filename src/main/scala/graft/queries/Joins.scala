@@ -112,6 +112,32 @@ object Joins {
         .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity")
     }),
 
+    // The same range join in its SCALE-SAFE spelling (r7): when the
+    // interval side is too big to broadcast, a raw range predicate
+    // degenerates to BroadcastNestedLoop/cartesian. Bucketizing turns
+    // it into an EQUI-join: each point belongs to exactly one
+    // width-W bucket, each interval explodes over the buckets it
+    // spans (sequence(floor(lo/W), ceil(hi/W)-1)), and the residual
+    // range predicate filters inside the bucket — every matching
+    // pair meets in exactly one bucket, so no dedup is needed. Same
+    // rows as q_join_theta_range (the oracle is the plain range-join
+    // SQL); PlanSpec pins that with broadcast disabled this plans as
+    // a shuffled equi-join while the raw spelling cannot.
+    "q_join_range_bucketed" -> ((s, d) => {
+      import s.implicits._
+      val W = 10.0
+      val bands = Seq(
+        (0.0, 10.0, "XS"), (10.0, 20.0, "S"), (20.0, 30.0, "M"),
+        (30.0, 40.0, "L"), (40.0, 60.0, "XL")).toDF("lo", "hi", "band")
+        .withColumn("bkt", explode(sequence(floor($"lo" / W), ceil($"hi" / W) - 1)))
+      Tables.lineitem(s, d)
+        .withColumn("bkt", floor($"l_quantity" / W))
+        .join(bands, Seq("bkt"))
+        .filter($"l_quantity" >= $"lo" && $"l_quantity" < $"hi")
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"band")
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity")
+    }),
+
     // As-of join: for each click, the latest view by the same user at or
     // before the click (CDC-motivated: latest fix per device). Spark has
     // no native ASOF. The r1 range-join + row_number form materialized
@@ -197,6 +223,13 @@ object Joins {
       ("SELECT r_regionkey, r_name, n_nationkey, n_name FROM region CROSS JOIN nation " +
        "ORDER BY r_regionkey, n_nationkey"),
     "q_join_theta_range" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, band FROM lineitem " +
+       "JOIN (VALUES (0.0,10.0,'XS'),(10.0,20.0,'S'),(20.0,30.0,'M'),(30.0,40.0,'L'),(40.0,60.0,'XL')) " +
+       "AS b(lo, hi, band) ON l_quantity >= lo AND l_quantity < hi " +
+       "ORDER BY l_orderkey, l_linenumber, l_quantity"),
+    // oracle deliberately the PLAIN range join — the bucketing must be
+    // invisible in the result (like salted_skew's plain GROUP BY twin)
+    "q_join_range_bucketed" ->
       ("SELECT l_orderkey, l_linenumber, l_quantity, band FROM lineitem " +
        "JOIN (VALUES (0.0,10.0,'XS'),(10.0,20.0,'S'),(20.0,30.0,'M'),(30.0,40.0,'L'),(40.0,60.0,'XL')) " +
        "AS b(lo, hi, band) ON l_quantity >= lo AND l_quantity < hi " +

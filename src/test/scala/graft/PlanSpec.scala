@@ -68,6 +68,23 @@ class PlanSpec extends AnyFunSuite {
       "sketch must not pair-join documents")
   }
 
+  test("bucketed range join stays an equi-join when broadcast is off (raw spelling cannot)") {
+    // the big×big range-join posture: the bucketized spelling must
+    // survive both sides exceeding broadcast limits as a shuffled
+    // equi-join on bkt — the raw predicate would be BNLJ/cartesian
+    TestSpark.withSQLConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val df = SparkEntry.queries("q_join_range_bucketed")(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+        s"bucketed range join fell back to a nested loop:\n${p.take(2000)}")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "expected a shuffled equi-join on the bucket key")
+    }
+  }
+
   test("profile_table computes exact distincts without Expand (no single-reducer merge)") {
     // the Expand-based multi-column countDistinct funnels every
     // column's distinct-value set through ONE final group — measured
