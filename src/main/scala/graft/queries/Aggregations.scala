@@ -226,6 +226,23 @@ object Aggregations {
         .orderBy($"user_id")
     }),
 
+    // Approximate percentile (r7): the quantile-sketch sibling of
+    // q_agg_approx_distinct's HLL — mergeable per-partition sketches,
+    // one shuffle of sketch partials, rank error bounded by 1/accuracy.
+    // Engine-only like the HLL row (sketch internals aren't hash-stable
+    // vs DuckDB); accuracy is unit-tested against the exact percentile
+    // (KernelSpec). At 100 TB this replaces q_agg_percentile wherever
+    // an exact per-group sort-based quantile is too expensive.
+    "q_agg_approx_percentile" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d).groupBy($"l_returnflag")
+        .agg(
+          percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("approx_p50"),
+          percentile_approx($"l_extendedprice", lit(0.95), lit(1000)).as("approx_p95"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    }),
+
     // Boolean aggregates (r7): bool_and / bool_or over a predicate —
     // the data-quality assertion shape ("EVERY row in the group
     // satisfies X", "ANY row violates Y"). Partial-aggregable AND/OR

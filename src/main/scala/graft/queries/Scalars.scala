@@ -198,6 +198,28 @@ object Scalars {
         .orderBy($"event_id")
     }),
 
+    // URL dissection (r7): the crawl-metadata scalar surface — host /
+    // path / query split plus a parameter pull. Spark side uses the
+    // native parse_url expression (HOST/PATH/QUERY) + regexp for the
+    // parameter; the oracle spells the same splits as regexes (DuckDB
+    // has no parse_url) — value equality pins that parse_url and the
+    // documented regexes agree on well-formed URLs. URLs are
+    // synthesized deterministically from the corpus (IANA-reserved
+    // example.com).
+    "q_fn_url" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id",
+          concat(lit("https://"), $"source", lit(".example.com/docs/"),
+            $"doc_id".cast("string"), lit("?lang="), $"lang").as("url"))
+        .select($"doc_id", $"url",
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY')").as("query"),
+          regexp_extract($"url", "[?&]lang=([a-z]+)", 1).as("lang_param"))
+        .orderBy($"doc_id")
+    }),
+
     "q_fn_map" -> ((s, d) => {
       import s.implicits._
       val m = map(
@@ -284,6 +306,15 @@ object Scalars {
       ("SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos, " +
        "CAST(unnest(embedding) AS DOUBLE) AS val " +
        "FROM embeddings WHERE vec_id < 50 ORDER BY vec_id, pos"),
+    "q_fn_url" ->
+      ("WITH u AS (SELECT doc_id, 'https://' || source || '.example.com/docs/' || " +
+       "CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url FROM documents) " +
+       "SELECT doc_id, url, " +
+       "regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host, " +
+       "regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path, " +
+       "regexp_extract(url, '\\?([^#]*)', 1) AS query, " +
+       "regexp_extract(url, '[?&]lang=([a-z]+)', 1) AS lang_param " +
+       "FROM u ORDER BY doc_id"),
     "q_fn_map" ->
       ("SELECT event_id, 'k,type' AS ks, event_type AS type_val, " +
        "json_extract_string(props, '$.k') AS k_val, CAST(2 AS BIGINT) AS n_vals " +

@@ -14,8 +14,10 @@ class ContractSpec extends AnyFunSuite {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert((os -- qs).isEmpty, s"oracles without queries: ${os -- qs}")
-    // rows-only by design: approx_count_distinct is not hash-stable vs DuckDB
-    assert((qs -- os) == Set("q_agg_approx_distinct"), s"undeclared engine-only: ${qs -- os}")
+    // rows-only by design: sketch internals (HLL, quantile) are not
+    // hash-stable vs DuckDB; both ops are accuracy-tested in KernelSpec
+    assert((qs -- os) == Set("q_agg_approx_distinct", "q_agg_approx_percentile"),
+      s"undeclared engine-only: ${qs -- os}")
   }
 
   test("no declared query outputs array/map-typed columns (driver harness cannot hash them)") {

@@ -96,4 +96,16 @@ class KernelSpec extends AnyFunSuite {
     val approx = li.select(approx_count_distinct($"l_partkey", 0.05)).collect().head.getLong(0)
     assert(math.abs(approx - exact).toDouble / exact < 0.15) // 3× rsd headroom
   }
+
+  test("percentile_approx lands between nearby exact percentiles (engine-only op)") {
+    // accuracy=1000 bounds rank error at n/1000; the p45..p55 exact
+    // band is ~50× that headroom at this n
+    val li = Tables.lineitem(spark, sf)
+    val r = li.agg(
+      percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("a"),
+      expr("percentile(l_extendedprice, 0.45)").as("lo"),
+      expr("percentile(l_extendedprice, 0.55)").as("hi")).collect().head
+    val (a, lo, hi) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(a >= lo && a <= hi, s"approx p50 $a outside exact [$lo, $hi]")
+  }
 }
