@@ -200,6 +200,25 @@ object Projections {
         .orderBy($"status")
     }),
 
+    // Spatial grid binning (r7): fixes bucketed into 0.5°×0.5° cells
+    // inside a bounding box — the standard telemetry heat-map/density
+    // aggregation over the reference's GPS domain, and the GRID
+    // PARTITIONING that underlies scalable spatial joins (candidates
+    // meet in a cell, exactly the band/bucket pattern the near-dup
+    // family uses). One partial-agg shuffle on the bounded-cardinality
+    // cell key; the bbox filter pushes to the scan.
+    "q_geo_cell_agg" -> ((s, d) => {
+      import s.implicits._
+      val fixes = Tables.events(s, d).select($"event_id", $"user_id",
+        ($"value" % 180.0 - 90.0).as("lat"), ($"value" % 360.0 - 180.0).as("lon"))
+      fixes.filter($"lat".between(-60.0, 60.0) && $"lon".between(-120.0, 120.0))
+        .groupBy(floor($"lat" / 0.5).as("cell_lat"), floor($"lon" / 0.5).as("cell_lon"))
+        .agg(count(lit(1)).as("n_fixes"),
+          countDistinct($"user_id").as("n_devices"),
+          sumd($"lat").as("sum_lat"))
+        .orderBy($"cell_lat", $"cell_lon")
+    }),
+
     // WKT point construction — lon first, C-style %f six-decimal
     // formatting, exactly the reference's fmt.Sprintf (main.go:210).
     "q_geo_wkt_point" -> ((s, d) => {
@@ -252,6 +271,15 @@ object Projections {
        "SELECT r.user_id, n_events, event_id AS last_event_id, ms AS last_ms, " +
        "value AS last_value, event_type AS last_type " +
        "FROM r JOIN c ON r.user_id = c.user_id WHERE rn = 1 ORDER BY r.user_id"),
+    "q_geo_cell_agg" ->
+      ("WITH f AS (SELECT event_id, user_id, value % 180.0 - 90.0 AS lat, " +
+       "value % 360.0 - 180.0 AS lon FROM events) " +
+       "SELECT CAST(floor(lat / 0.5) AS BIGINT) AS cell_lat, " +
+       "CAST(floor(lon / 0.5) AS BIGINT) AS cell_lon, " +
+       "COUNT(*) AS n_fixes, COUNT(DISTINCT user_id) AS n_devices, " +
+       sqlSumd("lat") + " AS sum_lat " +
+       "FROM f WHERE lat BETWEEN -60.0 AND 60.0 AND lon BETWEEN -120.0 AND 120.0 " +
+       "GROUP BY 1, 2 ORDER BY cell_lat, cell_lon"),
     "q_cdc_table_diff" ->
       ("WITH old AS (SELECT doc_id, lang, source, n_chars FROM documents), " +
        "nw AS (SELECT doc_id, lang, source, " +
