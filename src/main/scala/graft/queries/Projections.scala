@@ -219,6 +219,50 @@ object Projections {
         .orderBy($"cell_lat", $"cell_lon")
     }),
 
+    // Bounded-radius nearest-POI spatial join (r7): each fix matched
+    // to its nearest point-of-interest within R=0.5° — the geofencing/
+    // enrichment query over the reference's GPS domain, in its EXACT
+    // scale-safe form. Grid cells of width R make the 9-cell
+    // neighborhood probe exhaustive by construction (anything within R
+    // of a fix lies in the fix's cell or a neighbor), so candidates
+    // come from an EQUI-join on the cell key — each (fix, poi) pair
+    // meets exactly once (the fix's own cell), no BNLJ, no dedup —
+    // and the winner is an order-independent min(struct(dist, id))
+    // aggregate. The 2D analog of edit_distance's adjacent-bucket
+    // probe; works when BOTH sides are huge. Oracle affords the plain
+    // quadratic (cross join + row_number).
+    "q_geo_nearest_poi" -> ((s, d) => {
+      import s.implicits._
+      val R = 2.0
+      // lon deliberately derives from event_id, not value: lat and lon
+      // from the same column would put every fix on a 1-D curve that
+      // never approaches the POI lattice (measured min distance 17.8°
+      // — a vacuous query); independent derivations spread fixes over
+      // the 2-D box (52 matches at sf0.01).
+      val fixes = Tables.events(s, d).select($"event_id",
+        ($"value" % 180.0 - 90.0).as("lat"),
+        (($"event_id" % 3600) / 10.0 - 180.0).as("lon"))
+      val poi = Tables.nation(s, d).select($"n_nationkey".as("poi_id"),
+        (($"n_nationkey" * 7.3) % 120.0 - 60.0).as("lat_p"),
+        (($"n_nationkey" * 13.7) % 240.0 - 120.0).as("lon_p"))
+      val fCell = fixes
+        .withColumn("ci", floor($"lat" / R)).withColumn("cj", floor($"lon" / R))
+      val pCell = poi
+        .withColumn("ci", explode(array((-1 to 1).map(dI =>
+          floor($"lat_p" / R) + dI): _*)))
+        .withColumn("cj", explode(array((-1 to 1).map(dJ =>
+          floor($"lon_p" / R) + dJ): _*)))
+      val dist = sqrt(($"lat" - $"lat_p") * ($"lat" - $"lat_p") +
+        ($"lon" - $"lon_p") * ($"lon" - $"lon_p"))
+      fCell.join(pCell, Seq("ci", "cj"))
+        .withColumn("dist", dist)
+        .filter($"dist" <= R)
+        .groupBy($"event_id")
+        .agg(min(struct($"dist", $"poi_id")).as("w"))
+        .select($"event_id", $"w.poi_id".as("poi_id"), round($"w.dist", 6).as("dist"))
+        .orderBy($"event_id")
+    }),
+
     // WKT point construction — lon first, C-style %f six-decimal
     // formatting, exactly the reference's fmt.Sprintf (main.go:210).
     "q_geo_wkt_point" -> ((s, d) => {
@@ -280,6 +324,19 @@ object Projections {
        sqlSumd("lat") + " AS sum_lat " +
        "FROM f WHERE lat BETWEEN -60.0 AND 60.0 AND lon BETWEEN -120.0 AND 120.0 " +
        "GROUP BY 1, 2 ORDER BY cell_lat, cell_lon"),
+    "q_geo_nearest_poi" ->
+      ("WITH f AS (SELECT event_id, value % 180.0 - 90.0 AS lat, " +
+       "(event_id % 3600) / 10.0 - 180.0 AS lon FROM events), " +
+       "p AS (SELECT n_nationkey AS poi_id, (n_nationkey * 7.3) % 120.0 - 60.0 AS lat_p, " +
+       "(n_nationkey * 13.7) % 240.0 - 120.0 AS lon_p FROM nation), " +
+       "j AS (SELECT event_id, poi_id, " +
+       "sqrt((lat - lat_p) * (lat - lat_p) + (lon - lon_p) * (lon - lon_p)) AS dist " +
+       "FROM f CROSS JOIN p), " +
+       "r AS (SELECT event_id, poi_id, dist, " +
+       "row_number() OVER (PARTITION BY event_id ORDER BY dist, poi_id) AS rn " +
+       "FROM j WHERE dist <= 2.0) " +
+       "SELECT event_id, poi_id, round(dist, 6) AS dist FROM r WHERE rn = 1 " +
+       "ORDER BY event_id"),
     "q_cdc_table_diff" ->
       ("WITH old AS (SELECT doc_id, lang, source, n_chars FROM documents), " +
        "nw AS (SELECT doc_id, lang, source, " +

@@ -85,6 +85,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("nearest-POI spatial join stays an equi-join when broadcast is off") {
+    // the grid-cell probe must survive both sides exceeding broadcast
+    // limits — the raw distance predicate would be BNLJ
+    TestSpark.withSQLConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val df = SparkEntry.queries("q_geo_nearest_poi")(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+        s"spatial join fell back to a nested loop:\n${p.take(2000)}")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "expected a shuffled equi-join on the cell key")
+    }
+  }
+
   test("profile_table computes exact distincts without Expand (no single-reducer merge)") {
     // the Expand-based multi-column countDistinct funnels every
     // column's distinct-value set through ONE final group — measured
