@@ -27,7 +27,7 @@ object Scalars {
     lit(2.0 * 6371.0088) * asin(sqrt(a))
   }
 
-  private def sqlHaversine(lat1: String, lon1: String, lat2: String, lon2: String): String =
+  def sqlHaversine(lat1: String, lon1: String, lat2: String, lon2: String): String =
     s"2.0 * 6371.0088 * asin(sqrt(pow(sin(radians(($lat2) - ($lat1)) / 2), 2) + " +
     s"cos(radians($lat1)) * cos(radians($lat2)) * pow(sin(radians(($lon2) - ($lon1)) / 2), 2)))"
 

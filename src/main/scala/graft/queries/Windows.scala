@@ -160,6 +160,41 @@ object Windows {
         .orderBy($"user_id", $"hr")
     }),
 
+    // Trip segmentation + odometry (r7): THE GPS-telemetry analytics
+    // query over the reference's fix stream — a >30 min silence splits
+    // a device's fixes into trips (lag + running-sum flag, the
+    // sessionization pattern), and each trip's distance is the exact
+    // decimal sum of consecutive-fix haversine legs (the same formula
+    // text as q_fn_haversine, so per-leg doubles are bit-identical
+    // across engines; leg = 0 at trip starts). One user-partitioned
+    // window + one partial-agg shuffle on (user, trip).
+    "q_geo_trips" -> ((s, d) => {
+      import s.implicits._
+      val GapMs = 1800000L
+      val e = Tables.events(s, d).select($"user_id", $"event_id",
+        msEpoch($"ts").as("ms"),
+        ($"value" % 180.0 - 90.0).as("lat"),
+        (($"event_id" % 3600) / 10.0 - 180.0).as("lon"))
+      val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val withGap = e
+        .withColumn("prev_ms", lag($"ms", 1).over(w))
+        .withColumn("prev_lat", lag($"lat", 1).over(w))
+        .withColumn("prev_lon", lag($"lon", 1).over(w))
+        .withColumn("new_trip",
+          when($"prev_ms".isNull || $"ms" - $"prev_ms" > GapMs, 1L).otherwise(0L))
+        .withColumn("trip_id", sum($"new_trip").over(run))
+        .withColumn("leg_km", when($"new_trip" === 1, lit(0.0))
+          .otherwise(Scalars.haversineKm($"prev_lat", $"prev_lon", $"lat", $"lon")))
+      withGap.groupBy($"user_id", $"trip_id")
+        .agg(count(lit(1)).as("n_fixes"),
+          min($"ms").as("start_ms"), max($"ms").as("end_ms"),
+          sumd($"leg_km").as("dist_raw"))
+        .select($"user_id", $"trip_id", $"n_fixes", $"start_ms", $"end_ms",
+          ($"end_ms" - $"start_ms").as("dur_ms"), round($"dist_raw", 6).as("dist_km"))
+        .orderBy($"user_id", $"trip_id")
+    }),
+
     // Conversion funnel (r7): per-user staged view→click→purchase,
     // each stage's timestamp the MIN event strictly after the previous
     // stage. Three conditional-min aggregates — all partial-aggregable,
@@ -305,6 +340,21 @@ object Windows {
        "last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr " +
        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff " +
        "FROM j ORDER BY user_id, hr"),
+    "q_geo_trips" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_ms(date_trunc('milliseconds', ts)) AS ms, " +
+       "value % 180.0 - 90.0 AS lat, (event_id % 3600) / 10.0 - 180.0 AS lon FROM events), " +
+       "g AS (SELECT *, lag(ms) OVER w AS prev_ms, lag(lat) OVER w AS prev_lat, " +
+       "lag(lon) OVER w AS prev_lon FROM e " +
+       "WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)), " +
+       "t AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_trip FROM g), " +
+       "tr AS (SELECT *, SUM(new_trip) OVER (PARTITION BY user_id ORDER BY ms, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS trip_id, " +
+       "CASE WHEN new_trip = 1 THEN 0.0 ELSE " +
+       Scalars.sqlHaversine("prev_lat", "prev_lon", "lat", "lon") + " END AS leg_km FROM t) " +
+       "SELECT user_id, CAST(trip_id AS BIGINT) AS trip_id, COUNT(*) AS n_fixes, " +
+       "MIN(ms) AS start_ms, MAX(ms) AS end_ms, MAX(ms) - MIN(ms) AS dur_ms, " +
+       "round(" + sqlSumd("leg_km") + ", 6) AS dist_km " +
+       "FROM tr GROUP BY user_id, trip_id ORDER BY user_id, trip_id"),
     "q_ts_funnel" ->
       ("WITH e AS (SELECT user_id, epoch_ms(date_trunc('milliseconds', ts)) AS ms, event_type FROM events), " +
        "v AS (SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ms END) AS t_view FROM e GROUP BY user_id), " +
