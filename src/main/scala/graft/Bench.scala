@@ -42,7 +42,9 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      CacheScope.drain() // query-local caches; outside the timed region
+      name -> dt
     }
     // explicit ROOT locale: the f-interpolator honors the JVM default
     // locale, and a comma-decimal default (e.g. de_DE) would emit
@@ -56,10 +58,16 @@ object Bench {
     // scans ran 1.0x — the rewarm column shows whether that gap is
     // fixed overhead under load or real per-row cost. NOT in `value`
     // (headline stays single-pass for cross-round comparability).
-    val rewarm = results.sortBy(-_._2).take(5).map { case (name, _) =>
+    // top-8 (was top-5, VERDICT r7 item 1): wide enough that the six
+    // load-inflated multi-stage queries (tpch q3/q10ish, stream twins,
+    // ts_retention) carry their own steady-state evidence in every
+    // driver run instead of needing an after-the-fact local rerun.
+    val rewarm = results.sortBy(-_._2).take(8).map { case (name, _) =>
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      CacheScope.drain()
+      name -> dt
     }
     val rewarmJson = rewarm.map { case (k, v) => "\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.Dataset
+
+/** Registry for QUERY-LOCAL caches: relations cached because they are
+  * reused within a single query's plan (e.g. q_llm_incr_dedup's two
+  * minhash-signature relations) but worthless to any other query.
+  * Without explicit cleanup each harness invocation would leave such
+  * entries behind and rely on LRU eviction across a 126-query run —
+  * on a long-lived cluster session that is a slow memory leak.
+  *
+  * Queries wrap with `CacheScope.local(df)` instead of `df.cache()`;
+  * Bench/Verify call `drain()` after each query materializes (outside
+  * the timed region — unpersist is bookkeeping, not compute). Shared
+  * cross-query caches (the shingle/pair/ANN relations in Llm /
+  * TextAnalysis / DedupClusters) deliberately do NOT go through this:
+  * draining them per-query would re-pay their fill cost for every
+  * query in the family.
+  */
+object CacheScope {
+  private val live = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+
+  def local[T](ds: Dataset[T]): Dataset[T] = synchronized {
+    ds.cache(); live += ds; ds
+  }
+
+  /** Unpersist every registered query-local cache (non-blocking). */
+  def drain(): Unit = synchronized {
+    live.foreach(ds => try ds.unpersist(blocking = false)
+      catch { case _: Throwable => () })
+    live.clear()
+  }
+}

@@ -396,8 +396,11 @@ object Llm {
             element_at(col("sg"), 4 * b + 2).cast(StringType),
             element_at(col("sg"), 4 * b + 3).cast(StringType),
             element_at(col("sg"), 4 * b + 4).cast(StringType))): _*)).as("band"))
-      val bSig = sig(docs, "doc_id").cache()
-      val iSig = sig(inc, "inc_id").cache()
+      // query-local caches (each reused twice below): registered with
+      // CacheScope so the harness unpersists them after the query
+      // materializes instead of leaking them across a 126-query run
+      val bSig = graft.CacheScope.local(sig(docs, "doc_id"))
+      val iSig = graft.CacheScope.local(sig(inc, "inc_id"))
       val cand = bands(bSig, "doc_id")
         .join(broadcast(bands(iSig, "inc_id")), "band")
         .select($"inc_id", $"doc_id").distinct()

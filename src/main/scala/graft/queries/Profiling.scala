@@ -56,8 +56,11 @@ object Profiling {
         max(col(c)).as(s"max_$c"),
         sumd(col(c)).as(s"sum_$c")))
       val base = li.agg(aggExprs.head, aggExprs.tail: _*)
+      // isNotNull before distinct: SQL COUNT(DISTINCT c) excludes NULL,
+      // but a bare distinct() keeps it as one extra value — the first
+      // nullable column profiled would diverge from the oracle by one
       numCols.foldLeft(base)((acc, c) =>
-        acc.crossJoin(broadcast(li.select(col(c)).distinct()
+        acc.crossJoin(broadcast(li.select(col(c)).filter(col(c).isNotNull).distinct()
           .agg(count(lit(1)).as(s"nd_$c")))))
         .select(expr(
           s"stack(${numCols.length}, " + numCols.map(c =>

@@ -186,8 +186,15 @@ object Projections {
           when($"doc_id" % 10 === 5, $"n_chars" + 1).otherwise($"n_chars"))
         .unionByName(old.filter($"doc_id" % 10 === 7)
           .select(($"doc_id" + 1000000L).as("doc_id"), $"lang", $"source", $"n_chars"))
+      // coalesce to a  sentinel BEFORE hashing: concat_ws skips
+      // NULLs (separator too) while SQL || propagates them — a NULL
+      // component would classify the row differently on the two
+      // engines; the sentinel makes null semantics identical by
+      // construction (oracle spells the same coalesce(chr(1)))
+      def nn(c: org.apache.spark.sql.Column) =
+        coalesce(c.cast("string"), lit(""))
       def rh(df: org.apache.spark.sql.DataFrame) = df.withColumn("rh",
-        md5(concat_ws("|", $"lang", $"source", $"n_chars".cast("string"))))
+        md5(concat_ws("|", nn($"lang"), nn($"source"), nn($"n_chars"))))
       rh(old).select($"doc_id", $"rh".as("rh_old"))
         .join(rh(nw).select($"doc_id", $"rh".as("rh_new")), Seq("doc_id"), "full")
         .withColumn("status",
@@ -220,7 +227,7 @@ object Projections {
     }),
 
     // Bounded-radius nearest-POI spatial join (r7): each fix matched
-    // to its nearest point-of-interest within R=0.5° — the geofencing/
+    // to its nearest point-of-interest within R=2.0° — the geofencing/
     // enrichment query over the reference's GPS domain, in its EXACT
     // scale-safe form. Grid cells of width R make the 9-cell
     // neighborhood probe exhaustive by construction (anything within R
@@ -343,8 +350,8 @@ object Projections {
        "CASE WHEN doc_id % 10 = 5 THEN n_chars + 1 ELSE n_chars END AS n_chars " +
        "FROM old WHERE doc_id % 10 <> 3 " +
        "UNION ALL SELECT doc_id + 1000000, lang, source, n_chars FROM old WHERE doc_id % 10 = 7), " +
-       "o AS (SELECT doc_id, md5(lang || '|' || source || '|' || CAST(n_chars AS VARCHAR)) AS rh_old FROM old), " +
-       "n AS (SELECT doc_id, md5(lang || '|' || source || '|' || CAST(n_chars AS VARCHAR)) AS rh_new FROM nw), " +
+       "o AS (SELECT doc_id, md5(COALESCE(lang, chr(1)) || '|' || COALESCE(source, chr(1)) || '|' || COALESCE(CAST(n_chars AS VARCHAR), chr(1))) AS rh_old FROM old), " +
+       "n AS (SELECT doc_id, md5(COALESCE(lang, chr(1)) || '|' || COALESCE(source, chr(1)) || '|' || COALESCE(CAST(n_chars AS VARCHAR), chr(1))) AS rh_new FROM nw), " +
        "j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, rh_old, rh_new " +
        "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id) " +
        "SELECT CASE WHEN rh_old IS NULL THEN 'added' WHEN rh_new IS NULL THEN 'removed' " +
