@@ -270,6 +270,112 @@ object Projections {
         .orderBy($"event_id")
     }),
 
+    // Point-in-polygon geofence containment (r8): which fixes lie
+    // inside which geofence polygon — the last PostGIS-delegated
+    // capability of the reference (ST_GeomFromText + location_instances,
+    // main.go:210-214) as a native operator. Polygons are vertex ARRAYS
+    // (array<struct<x,y>>; here synthesized as irregular octagons from
+    // nation — fixed angles, rational radii, NO trig so both engines
+    // evaluate identical IEEE doubles) and containment is even-odd ray
+    // casting: an `aggregate` lambda over the vertex array counting
+    // edge crossings of the +x ray, division-free (cross-product sign
+    // instead of the x-intercept quotient, so a horizontal edge never
+    // divides by zero). Scale shape: polygons explode into the grid
+    // cells of their bounding box (cell width W >= bbox half-width, so
+    // the explode is <=9 cells/polygon), fixes bin into their one cell,
+    // candidates come from an EQUI-join on the cell key — each
+    // (fix, polygon) pair meets at most once, no BNLJ, no dedup — and
+    // the ray cast is a narrow per-candidate map. Works when both sides
+    // are huge. Oracle affords the plain bbox theta-join + an 8-row
+    // edge table per polygon.
+    "q_geo_in_polygon" -> ((s, d) => {
+      import s.implicits._
+      val nv = 8
+      val W = 6.0
+      // unit octagon at fixed angles; rational coordinates
+      val ux = array(Seq(1.0, 0.7, 0.0, -0.7, -1.0, -0.7, 0.0, 0.7).map(lit): _*)
+      val uy = array(Seq(0.0, 0.7, 1.0, 0.7, 0.0, -0.7, -1.0, -0.7).map(lit): _*)
+      val fixes = Tables.events(s, d).select($"event_id",
+        ($"value" % 180.0 - 90.0).as("lat"),
+        (($"event_id" % 3600) / 10.0 - 180.0).as("lon"))
+      val polys = Tables.nation(s, d)
+        .select($"n_nationkey".cast(LongType).as("poly_id"),
+          (($"n_nationkey" * 7.3) % 120.0 - 60.0).as("clat"),
+          (($"n_nationkey" * 13.7) % 240.0 - 120.0).as("clon"),
+          (lit(3.0) + ($"n_nationkey" % 4)).as("rmax"))
+        .withColumn("verts", transform(sequence(lit(0), lit(nv - 1)), i => {
+          // radius varies per vertex -> irregular but still simple
+          // (star-shaped: monotone angle, positive radius <= 0.92*rmax)
+          val r = $"rmax" * (lit(0.6) + lit(0.4) * ((i * 7 + $"poly_id") % 5) / lit(5.0))
+          struct(($"clon" + r * element_at(ux, i + 1)).as("x"),
+                 ($"clat" + r * element_at(uy, i + 1)).as("y"))
+        }))
+      val fCell = fixes
+        .withColumn("ci", floor($"lat" / W))
+        .withColumn("cj", floor($"lon" / W))
+      val pCell = polys
+        .withColumn("ci", explode(sequence(floor(($"clat" - $"rmax") / W),
+          floor(($"clat" + $"rmax") / W))))
+        .withColumn("cj", explode(sequence(floor(($"clon" - $"rmax") / W),
+          floor(($"clon" + $"rmax") / W))))
+      val ncross = aggregate(
+        sequence(lit(0), lit(nv - 1)), lit(0), (acc, i) => {
+          val v1 = element_at($"verts", i + 1)
+          val v2 = element_at($"verts", pmod(i + 1, lit(nv)) + 1)
+          val x1 = v1.getField("x"); val y1 = v1.getField("y")
+          val x2 = v2.getField("x"); val y2 = v2.getField("y")
+          // ray from (lon, lat) toward +x crosses edge (v1, v2)?
+          // Division-free: sign of the cross product t replaces the
+          // x-intercept compare (flips with the edge's y direction).
+          val t = ($"lat" - y1) * (x2 - x1) - ($"lon" - x1) * (y2 - y1)
+          acc + when(((y1 > $"lat") =!= (y2 > $"lat")) &&
+            ((t > 0) === (y2 > y1)), 1).otherwise(0)
+        })
+      fCell.join(pCell, Seq("ci", "cj"))
+        .filter(abs($"lat" - $"clat") <= $"rmax" && abs($"lon" - $"clon") <= $"rmax")
+        .withColumn("ncross", ncross)
+        .filter($"ncross" % 2 === 1)
+        .select($"event_id", $"poly_id")
+        .orderBy($"event_id", $"poly_id")
+    }),
+
+    // Nearest POI ranked by great-circle km (r8): the haversine-ranked
+    // sibling of q_geo_nearest_poi — "nearest POI in km" is what a
+    // telemetry user actually asks; degree-space L2 is anisotropic in
+    // longitude away from the equator, so the winner can genuinely
+    // differ. Same scale shape: the R-degree 9-cell probe bounds the
+    // candidate set (exhaustive by construction for the declared
+    // within-R gate), the km ranking only re-orders inside it; winner
+    // stays an order-independent min(struct). Kernel: Scalars
+    // .haversineKm (composed built-ins, oracle-proven in q_fn_haversine).
+    "q_geo_nearest_poi_km" -> ((s, d) => {
+      import s.implicits._
+      val R = 2.0
+      val fixes = Tables.events(s, d).select($"event_id",
+        ($"value" % 180.0 - 90.0).as("lat"),
+        (($"event_id" % 3600) / 10.0 - 180.0).as("lon"))
+      val poi = Tables.nation(s, d).select($"n_nationkey".as("poi_id"),
+        (($"n_nationkey" * 7.3) % 120.0 - 60.0).as("lat_p"),
+        (($"n_nationkey" * 13.7) % 240.0 - 120.0).as("lon_p"))
+      val fCell = fixes
+        .withColumn("ci", floor($"lat" / R)).withColumn("cj", floor($"lon" / R))
+      val pCell = poi
+        .withColumn("ci", explode(array((-1 to 1).map(dI =>
+          floor($"lat_p" / R) + dI): _*)))
+        .withColumn("cj", explode(array((-1 to 1).map(dJ =>
+          floor($"lon_p" / R) + dJ): _*)))
+      val distDeg = sqrt(($"lat" - $"lat_p") * ($"lat" - $"lat_p") +
+        ($"lon" - $"lon_p") * ($"lon" - $"lon_p"))
+      fCell.join(pCell, Seq("ci", "cj"))
+        .withColumn("dist_deg", distDeg)
+        .filter($"dist_deg" <= R)
+        .withColumn("km", Scalars.haversineKm($"lat", $"lon", $"lat_p", $"lon_p"))
+        .groupBy($"event_id")
+        .agg(min(struct($"km", $"poi_id")).as("w"))
+        .select($"event_id", $"w.poi_id".as("poi_id"), round($"w.km", 6).as("dist_km"))
+        .orderBy($"event_id")
+    }),
+
     // WKT point construction — lon first, C-style %f six-decimal
     // formatting, exactly the reference's fmt.Sprintf (main.go:210).
     "q_geo_wkt_point" -> ((s, d) => {
@@ -358,6 +464,48 @@ object Projections {
        "WHEN rh_old <> rh_new THEN 'changed' ELSE 'same' END AS status, " +
        "COUNT(*) AS n, MIN(doc_id) AS min_key, MAX(doc_id) AS max_key " +
        "FROM j GROUP BY 1 ORDER BY status"),
+    "q_geo_in_polygon" ->
+      ("WITH f AS (SELECT event_id, value % 180.0 - 90.0 AS lat, " +
+       "(event_id % 3600) / 10.0 - 180.0 AS lon FROM events), " +
+       // coefficients CAST to DOUBLE so DuckDB runs the same IEEE
+       // arithmetic as Spark (DECIMAL-exact evaluation could flip an
+       // edge-crossing comparison)
+       "p AS (SELECT CAST(n_nationkey AS BIGINT) AS poly_id, " +
+       "(n_nationkey * CAST(7.3 AS DOUBLE)) % 120.0 - 60.0 AS clat, " +
+       "(n_nationkey * CAST(13.7 AS DOUBLE)) % 240.0 - 120.0 AS clon, " +
+       "CAST(3.0 AS DOUBLE) + n_nationkey % 4 AS rmax FROM nation), " +
+       "u(i, ux, uy) AS (VALUES (0, CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)), " +
+       "(1, 0.7, 0.7), (2, 0.0, 1.0), (3, -0.7, 0.7), (4, -1.0, 0.0), " +
+       "(5, -0.7, -0.7), (6, 0.0, -1.0), (7, 0.7, -0.7)), " +
+       "v AS (SELECT poly_id, i, " +
+       "clon + rmax * (CAST(0.6 AS DOUBLE) + CAST(0.4 AS DOUBLE) * ((i * 7 + poly_id) % 5) / 5.0) * ux AS x, " +
+       "clat + rmax * (CAST(0.6 AS DOUBLE) + CAST(0.4 AS DOUBLE) * ((i * 7 + poly_id) % 5) / 5.0) * uy AS y " +
+       "FROM p CROSS JOIN u), " +
+       "e AS (SELECT a.poly_id, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2 " +
+       "FROM v a JOIN v b ON a.poly_id = b.poly_id AND b.i = (a.i + 1) % 8), " +
+       "cand AS (SELECT event_id, lat, lon, p.poly_id " +
+       "FROM f JOIN p ON abs(lat - clat) <= rmax AND abs(lon - clon) <= rmax), " +
+       "n AS (SELECT event_id, cand.poly_id, " +
+       "SUM(CASE WHEN ((y1 > lat) <> (y2 > lat)) AND " +
+       "(((lat - y1) * (x2 - x1) - (lon - x1) * (y2 - y1) > 0) = (y2 > y1)) " +
+       "THEN 1 ELSE 0 END) AS ncross " +
+       "FROM cand JOIN e ON e.poly_id = cand.poly_id GROUP BY 1, 2) " +
+       "SELECT event_id, poly_id FROM n WHERE ncross % 2 = 1 " +
+       "ORDER BY event_id, poly_id"),
+    "q_geo_nearest_poi_km" ->
+      ("WITH f AS (SELECT event_id, value % 180.0 - 90.0 AS lat, " +
+       "(event_id % 3600) / 10.0 - 180.0 AS lon FROM events), " +
+       "p AS (SELECT n_nationkey AS poi_id, (n_nationkey * 7.3) % 120.0 - 60.0 AS lat_p, " +
+       "(n_nationkey * 13.7) % 240.0 - 120.0 AS lon_p FROM nation), " +
+       "j AS (SELECT event_id, poi_id, " +
+       "sqrt((lat - lat_p) * (lat - lat_p) + (lon - lon_p) * (lon - lon_p)) AS dist_deg, " +
+       Scalars.sqlHaversine("lat", "lon", "lat_p", "lon_p") + " AS km " +
+       "FROM f CROSS JOIN p), " +
+       "r AS (SELECT event_id, poi_id, km, " +
+       "row_number() OVER (PARTITION BY event_id ORDER BY km, poi_id) AS rn " +
+       "FROM j WHERE dist_deg <= 2.0) " +
+       "SELECT event_id, poi_id, round(km, 6) AS dist_km FROM r WHERE rn = 1 " +
+       "ORDER BY event_id"),
     "q_geo_wkt_point" ->
       ("SELECT event_id, printf('POINT(%f %f)', value * 2.0, value) AS geo_point " +
        "FROM events ORDER BY event_id")

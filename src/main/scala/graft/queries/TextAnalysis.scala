@@ -279,6 +279,75 @@ object TextAnalysis {
         .limit(20)
     }),
 
+    // ITERATED BPE training (r8) — k=3 merge rounds of the loop
+    // bpe_pairs/bpe_apply opened, as ONE dataflow (no driver collect:
+    // each round's winner is a 1-row broadcast relation). State after
+    // round k is the vocabulary re-segmented with merges 1..k, words
+    // spelled with sentinel chars chr(1..k); pairs are counted in
+    // TOKEN space — keyed by the 2-sentinel-char window `pair_s`
+    // (what `replace` consumes next round) and displayed in expanded
+    // spelling `pair_e` (chr(k) mapped back through the winner chain).
+    // Output: for each round, the top-20 adjacent-token-pair counts
+    // AFTER that round's merge — round 1 is definitionally
+    // q_llm_bpe_apply's output (pinned in ContractSpec). Scale shape:
+    // the corpus collapses to (word, wc) ONCE; every later relation is
+    // vocabulary- or pair-vocabulary-sized, so k rounds cost k tiny
+    // shuffles — the reason BPE training is feasible at 100 TB. The
+    // reused vocab/pair relations are CacheScope-local (drained by the
+    // harness after materialization).
+    "q_llm_bpe_iter" -> ((s, d) => {
+      import s.implicits._
+      val pairT = ArrayType(StructType(Seq(
+        StructField("pair_s", StringType), StructField("pair_e", StringType))))
+      val words0 = graft.CacheScope.local(
+        Tables.documents(s, d)
+          .select(explode(toks(lower($"text"))).as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("wc")))
+      // sentinel char chr(k) -> the merged token's expanded spelling
+      def tokAt(w: Column, i: Column, exps: Seq[(Int, Column)]): Column = {
+        val ch = w.substr(i, lit(1))
+        exps.foldRight(ch) { case ((k, e), acc) =>
+          when(ch === expr(s"chr($k)"), e).otherwise(acc) }
+      }
+      def pairCounts(df: DataFrame, wCol: String, exps: Seq[(Int, Column)]): DataFrame = {
+        val w = col(wCol)
+        df.select($"wc", explode(
+            when(length(w) >= 2, transform(sequence(lit(1), length(w) - 1),
+              i => struct(w.substr(i, lit(2)).as("pair_s"),
+                concat(tokAt(w, i, exps), tokAt(w, i + 1, exps)).as("pair_e"))))
+              // guard: Spark sequence(1, 0) REVERSES instead of emptying
+              .otherwise(array().cast(pairT))).as("p"))
+          .select($"wc", $"p.pair_s".as("pair_s"), $"p.pair_e".as("pair_e"))
+          .groupBy($"pair_s", $"pair_e").agg(sum($"wc").as("cnt"))
+      }
+      // winner = most frequent TOKEN pair (pair_s determines pair_e, so
+      // grouping by both = grouping by pair_s); expanded-then-sentinel
+      // tiebreak is total
+      def win(pc: DataFrame, sA: String, eA: String): DataFrame =
+        pc.orderBy($"cnt".desc, $"pair_e".asc, $"pair_s".asc).limit(1)
+          .select($"pair_s".as(sA), $"pair_e".as(eA))
+      val pc0 = pairCounts(words0, "w", Nil)
+      val words1 = words0.crossJoin(broadcast(win(pc0, "p1s", "p1e")))
+        .withColumn("w1", expr("replace(w, p1s, chr(1))"))
+      val pc1 = graft.CacheScope.local(pairCounts(words1, "w1", Seq(1 -> $"p1e")))
+      val words2 = words1.crossJoin(broadcast(win(pc1, "p2s", "p2e")))
+        .withColumn("w2", expr("replace(w1, p2s, chr(2))"))
+      val pc2 = graft.CacheScope.local(
+        pairCounts(words2, "w2", Seq(1 -> $"p1e", 2 -> $"p2e")))
+      val words3 = words2.crossJoin(broadcast(win(pc2, "p3s", "p3e")))
+        .withColumn("w3", expr("replace(w2, p3s, chr(3))"))
+      val pc3 = pairCounts(words3, "w3",
+        Seq(1 -> $"p1e", 2 -> $"p2e", 3 -> $"p3e"))
+      // display: collapse to expanded spelling (matches bpe_apply's
+      // grouping; distinct token pairs sharing a spelling sum)
+      def recount(pc: DataFrame, step: Int): DataFrame =
+        pc.groupBy($"pair_e").agg(sum($"cnt").as("cnt"))
+          .orderBy($"cnt".desc, $"pair_e".asc).limit(20)
+          .select(lit(step).cast(LongType).as("step"), $"pair_e".as("pair"), $"cnt")
+      recount(pc1, 1).unionByName(recount(pc2, 2)).unionByName(recount(pc3, 3))
+        .orderBy($"step", $"cnt".desc, $"pair")
+    }),
+
     // Context-window chunking: split each doc into overlapping
     // fixed-token windows (window=32, stride=24) — the sequence-length
     // preprocessing step between cleaning and tokenization. Narrow
@@ -472,6 +541,57 @@ object TextAnalysis {
        "for i in range(1, length(w2))] ELSE [] END) AS pair FROM m) " +
        "SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM np GROUP BY pair " +
        "ORDER BY cnt DESC, pair ASC LIMIT 20"),
+    "q_llm_bpe_iter" ->
+      ("WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents), " +
+       "wf AS (SELECT w AS w0, COUNT(*) AS wc FROM w GROUP BY w), " +
+       // round 1: char-pair counts, winner, merge (sentinel chr(1))
+       "p0 AS (SELECT wc, unnest(CASE WHEN length(w0) >= 2 THEN " +
+       "[substring(w0, i, 2) for i in range(1, length(w0))] ELSE [] END) AS ps FROM wf), " +
+       "pc0 AS (SELECT ps AS pair_s, ps AS pair_e, SUM(wc) AS cnt FROM p0 GROUP BY ps), " +
+       "win1 AS (SELECT pair_s AS p1s, pair_e AS p1e FROM pc0 " +
+       "ORDER BY cnt DESC, pair_e ASC, pair_s ASC LIMIT 1), " +
+       "m1 AS (SELECT wc, p1s, p1e, replace(w0, p1s, chr(1)) AS w1 FROM wf CROSS JOIN win1), " +
+       "p1 AS (SELECT wc, unnest(CASE WHEN length(w1) >= 2 THEN " +
+       "[{'ps': substring(w1, i, 2), " +
+       "'pe': (CASE WHEN substring(w1, i, 1) = chr(1) THEN p1e ELSE substring(w1, i, 1) END) || " +
+       "(CASE WHEN substring(w1, i + 1, 1) = chr(1) THEN p1e ELSE substring(w1, i + 1, 1) END)} " +
+       "for i in range(1, length(w1))] ELSE [] END) AS p FROM m1), " +
+       "pc1 AS (SELECT p.ps AS pair_s, p.pe AS pair_e, SUM(wc) AS cnt FROM p1 GROUP BY 1, 2), " +
+       // round 2
+       "win2 AS (SELECT pair_s AS p2s, pair_e AS p2e FROM pc1 " +
+       "ORDER BY cnt DESC, pair_e ASC, pair_s ASC LIMIT 1), " +
+       "m2 AS (SELECT m1.*, p2s, p2e, replace(w1, p2s, chr(2)) AS w2 FROM m1 CROSS JOIN win2), " +
+       "p2 AS (SELECT wc, unnest(CASE WHEN length(w2) >= 2 THEN " +
+       "[{'ps': substring(w2, i, 2), " +
+       "'pe': (CASE WHEN substring(w2, i, 1) = chr(1) THEN p1e " +
+       "WHEN substring(w2, i, 1) = chr(2) THEN p2e ELSE substring(w2, i, 1) END) || " +
+       "(CASE WHEN substring(w2, i + 1, 1) = chr(1) THEN p1e " +
+       "WHEN substring(w2, i + 1, 1) = chr(2) THEN p2e ELSE substring(w2, i + 1, 1) END)} " +
+       "for i in range(1, length(w2))] ELSE [] END) AS p FROM m2), " +
+       "pc2 AS (SELECT p.ps AS pair_s, p.pe AS pair_e, SUM(wc) AS cnt FROM p2 GROUP BY 1, 2), " +
+       // round 3
+       "win3 AS (SELECT pair_s AS p3s, pair_e AS p3e FROM pc2 " +
+       "ORDER BY cnt DESC, pair_e ASC, pair_s ASC LIMIT 1), " +
+       "m3 AS (SELECT m2.*, p3s, p3e, replace(w2, p3s, chr(3)) AS w3 FROM m2 CROSS JOIN win3), " +
+       "p3 AS (SELECT wc, unnest(CASE WHEN length(w3) >= 2 THEN " +
+       "[{'ps': substring(w3, i, 2), " +
+       "'pe': (CASE WHEN substring(w3, i, 1) = chr(1) THEN p1e " +
+       "WHEN substring(w3, i, 1) = chr(2) THEN p2e " +
+       "WHEN substring(w3, i, 1) = chr(3) THEN p3e ELSE substring(w3, i, 1) END) || " +
+       "(CASE WHEN substring(w3, i + 1, 1) = chr(1) THEN p1e " +
+       "WHEN substring(w3, i + 1, 1) = chr(2) THEN p2e " +
+       "WHEN substring(w3, i + 1, 1) = chr(3) THEN p3e ELSE substring(w3, i + 1, 1) END)} " +
+       "for i in range(1, length(w3))] ELSE [] END) AS p FROM m3), " +
+       "pc3 AS (SELECT p.ps AS pair_s, p.pe AS pair_e, SUM(wc) AS cnt FROM p3 GROUP BY 1, 2), " +
+       // per-round displays: collapse to expanded spelling, top-20
+       "r1 AS (SELECT CAST(1 AS BIGINT) AS step, pair_e AS pair, CAST(SUM(cnt) AS BIGINT) AS cnt " +
+       "FROM pc1 GROUP BY pair_e ORDER BY cnt DESC, pair ASC LIMIT 20), " +
+       "r2 AS (SELECT CAST(2 AS BIGINT) AS step, pair_e AS pair, CAST(SUM(cnt) AS BIGINT) AS cnt " +
+       "FROM pc2 GROUP BY pair_e ORDER BY cnt DESC, pair ASC LIMIT 20), " +
+       "r3 AS (SELECT CAST(3 AS BIGINT) AS step, pair_e AS pair, CAST(SUM(cnt) AS BIGINT) AS cnt " +
+       "FROM pc3 GROUP BY pair_e ORDER BY cnt DESC, pair ASC LIMIT 20) " +
+       "SELECT step, pair, cnt FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2 " +
+       "UNION ALL SELECT * FROM r3) ORDER BY step, cnt DESC, pair"),
     "q_llm_window_chunks" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
        "c AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1, 24)) AS st FROM t) " +

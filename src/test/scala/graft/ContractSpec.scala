@@ -49,6 +49,15 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe_iter round 1 is exactly bpe_apply (the iterated loop extends, not redefines)") {
+    val iter1 = SparkEntry.queries("q_llm_bpe_iter")(spark, sf)
+      .filter("step = 1").selectExpr("pair", "cnt").collect().toSeq
+    val apply1 = SparkEntry.queries("q_llm_bpe_apply")(spark, sf)
+      .selectExpr("pair", "cnt").collect().toSeq
+    assert(iter1 == apply1,
+      s"bpe_iter step-1 diverged from bpe_apply:\n$iter1\nvs\n$apply1")
+  }
+
   test("every query ends deterministically: rerun produces identical rows") {
     // spot-check the queries with the most nondeterminism surface
     // (joins with ties, sampled estimators, CC resolution)

@@ -101,6 +101,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("point-in-polygon geofence join stays an equi-join when broadcast is off") {
+    // polygons explode into their bbox grid cells; candidates must come
+    // from the (ci, cj) equi-join — the raw ray-cast/bbox predicate
+    // alone would be BNLJ, which dies when both sides are huge
+    TestSpark.withSQLConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val df = SparkEntry.queries("q_geo_in_polygon")(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+        s"geofence join fell back to a nested loop:\n${p.take(2000)}")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "expected a shuffled equi-join on the cell key")
+    }
+  }
+
   test("profile_table computes exact distincts without Expand (no single-reducer merge)") {
     // the Expand-based multi-column countDistinct funnels every
     // column's distinct-value set through ONE final group — measured
