@@ -31,6 +31,53 @@ object Projections {
         StructField("latitude", DoubleType),
         StructField("longitude", DoubleType)))))))))
 
+  /** The q_geo_in_polygon containment relation: (event_id, poly_id)
+    * pairs where the fix lies inside the geofence polygon, via grid-cell
+    * candidate generation + even-odd ray casting (see the q_geo_in_polygon
+    * query doc for the full design rationale). Shared with the
+    * transition-event query. */
+  /** Synthetic geofence polygons over nation: irregular octagons (unit
+    * octagon at fixed angles × per-vertex rational radii — no trig, so
+    * both engines evaluate identical IEEE doubles; star-shaped ⇒
+    * simple). Shape: (poly_id, clat, clon, rmax, verts). */
+  private[graft] def fencePolys(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nv = 8
+    val ux = array(Seq(1.0, 0.7, 0.0, -0.7, -1.0, -0.7, 0.0, 0.7).map(lit): _*)
+    val uy = array(Seq(0.0, 0.7, 1.0, 0.7, 0.0, -0.7, -1.0, -0.7).map(lit): _*)
+    Tables.nation(s, d)
+      .select($"n_nationkey".cast(LongType).as("poly_id"),
+        (($"n_nationkey" * 7.3) % 120.0 - 60.0).as("clat"),
+        (($"n_nationkey" * 13.7) % 240.0 - 120.0).as("clon"),
+        (lit(3.0) + ($"n_nationkey" % 4)).as("rmax"))
+      .withColumn("verts", transform(sequence(lit(0), lit(nv - 1)), i => {
+        // radius varies per vertex -> irregular but still simple
+        // (star-shaped: monotone angle, positive radius <= 0.92*rmax)
+        val r = $"rmax" * (lit(0.6) + lit(0.4) * ((i * 7 + $"poly_id") % 5) / lit(5.0))
+        struct(($"clon" + r * element_at(ux, i + 1)).as("x"),
+               ($"clat" + r * element_at(uy, i + 1)).as("y"))
+      }))
+  }
+
+  /** The synthetic fix positions shared by the geo family (lat from
+    * value, lon from event_id — see q_geo_nearest_poi's independence
+    * note). */
+  private[graft] def fixPositions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d).select($"event_id",
+      ($"value" % 180.0 - 90.0).as("lat"),
+      (($"event_id" % 3600) / 10.0 - 180.0).as("lon"))
+  }
+
+  private val FenceCellW = 6.0
+
+  private def containmentPairs(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Geofence
+    Geofence.containment(fixPositions(s, d),
+        Geofence.polyCells(fencePolys(s, d), FenceCellW), FenceCellW)
+      .select(col("event_id"), col("poly_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Nested-struct flatten with renames (timestamp→id, device_id→deviceId
@@ -288,55 +335,34 @@ object Projections {
     // the ray cast is a narrow per-candidate map. Works when both sides
     // are huge. Oracle affords the plain bbox theta-join + an 8-row
     // edge table per polygon.
-    "q_geo_in_polygon" -> ((s, d) => {
+    "q_geo_in_polygon" -> ((s, d) =>
+      containmentPairs(s, d).orderBy(col("event_id"), col("poly_id"))),
+
+    // Geofence ENTER/EXIT transition events (r8): the alerting query a
+    // telemetry user runs over the reference's GPS domain — per device,
+    // emit an event whenever the containing geofence zone changes
+    // between consecutive fixes (zone −1 = outside every fence). Built
+    // from the q_geo_in_polygon containment pairs: min(poly_id) picks a
+    // deterministic zone where fences overlap, a LEFT join restores the
+    // outside fixes, and one per-user lag() window detects changes.
+    // Scale shape: the containment equi-join + a bounded per-fix agg +
+    // an event_id equi-join + ONE shuffle on user_id for the window —
+    // no new join pattern beyond the audited ones.
+    "q_geo_fence_events" -> ((s, d) => {
       import s.implicits._
-      val nv = 8
-      val W = 6.0
-      // unit octagon at fixed angles; rational coordinates
-      val ux = array(Seq(1.0, 0.7, 0.0, -0.7, -1.0, -0.7, 0.0, 0.7).map(lit): _*)
-      val uy = array(Seq(0.0, 0.7, 1.0, 0.7, 0.0, -0.7, -1.0, -0.7).map(lit): _*)
-      val fixes = Tables.events(s, d).select($"event_id",
-        ($"value" % 180.0 - 90.0).as("lat"),
-        (($"event_id" % 3600) / 10.0 - 180.0).as("lon"))
-      val polys = Tables.nation(s, d)
-        .select($"n_nationkey".cast(LongType).as("poly_id"),
-          (($"n_nationkey" * 7.3) % 120.0 - 60.0).as("clat"),
-          (($"n_nationkey" * 13.7) % 240.0 - 120.0).as("clon"),
-          (lit(3.0) + ($"n_nationkey" % 4)).as("rmax"))
-        .withColumn("verts", transform(sequence(lit(0), lit(nv - 1)), i => {
-          // radius varies per vertex -> irregular but still simple
-          // (star-shaped: monotone angle, positive radius <= 0.92*rmax)
-          val r = $"rmax" * (lit(0.6) + lit(0.4) * ((i * 7 + $"poly_id") % 5) / lit(5.0))
-          struct(($"clon" + r * element_at(ux, i + 1)).as("x"),
-                 ($"clat" + r * element_at(uy, i + 1)).as("y"))
-        }))
-      val fCell = fixes
-        .withColumn("ci", floor($"lat" / W))
-        .withColumn("cj", floor($"lon" / W))
-      val pCell = polys
-        .withColumn("ci", explode(sequence(floor(($"clat" - $"rmax") / W),
-          floor(($"clat" + $"rmax") / W))))
-        .withColumn("cj", explode(sequence(floor(($"clon" - $"rmax") / W),
-          floor(($"clon" + $"rmax") / W))))
-      val ncross = aggregate(
-        sequence(lit(0), lit(nv - 1)), lit(0), (acc, i) => {
-          val v1 = element_at($"verts", i + 1)
-          val v2 = element_at($"verts", pmod(i + 1, lit(nv)) + 1)
-          val x1 = v1.getField("x"); val y1 = v1.getField("y")
-          val x2 = v2.getField("x"); val y2 = v2.getField("y")
-          // ray from (lon, lat) toward +x crosses edge (v1, v2)?
-          // Division-free: sign of the cross product t replaces the
-          // x-intercept compare (flips with the edge's y direction).
-          val t = ($"lat" - y1) * (x2 - x1) - ($"lon" - x1) * (y2 - y1)
-          acc + when(((y1 > $"lat") =!= (y2 > $"lat")) &&
-            ((t > 0) === (y2 > y1)), 1).otherwise(0)
-        })
-      fCell.join(pCell, Seq("ci", "cj"))
-        .filter(abs($"lat" - $"clat") <= $"rmax" && abs($"lon" - $"clon") <= $"rmax")
-        .withColumn("ncross", ncross)
-        .filter($"ncross" % 2 === 1)
-        .select($"event_id", $"poly_id")
-        .orderBy($"event_id", $"poly_id")
+      import org.apache.spark.sql.expressions.Window
+      val zones = containmentPairs(s, d)
+        .groupBy($"event_id").agg(min($"poly_id").as("zone"))
+      val fx = Tables.events(s, d)
+        .select($"event_id", $"user_id", msEpoch($"ts").as("ts_ms"))
+      val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+      fx.join(zones, Seq("event_id"), "left")
+        .withColumn("zone", coalesce($"zone", lit(-1L)))
+        .withColumn("prev_zone", lag($"zone", 1).over(w))
+        .filter($"prev_zone".isNotNull && $"prev_zone" =!= $"zone")
+        .select($"user_id", $"event_id", $"ts_ms",
+          $"prev_zone".as("from_zone"), $"zone".as("to_zone"))
+        .orderBy($"user_id", $"ts_ms", $"event_id")
     }),
 
     // Nearest POI ranked by great-circle km (r8): the haversine-ranked
@@ -387,6 +413,42 @@ object Projections {
         .orderBy($"event_id")
     })
   )
+
+  /** Shared oracle CTE text: the synthetic fix positions (lat from
+    * value, lon from event_id — see q_geo_nearest_poi's independence
+    * note) and the octagon geofence polygons + per-polygon edge table
+    * (see q_geo_in_polygon). Used by the geofence-family oracles. */
+  private val sqlFixes =
+    "f AS (SELECT event_id, value % 180.0 - 90.0 AS lat, " +
+    "(event_id % 3600) / 10.0 - 180.0 AS lon FROM events)"
+  private val sqlPolyEdges =
+    // coefficients CAST to DOUBLE so DuckDB runs the same IEEE
+    // arithmetic as Spark (DECIMAL-exact evaluation could flip an
+    // edge-crossing comparison)
+    "p AS (SELECT CAST(n_nationkey AS BIGINT) AS poly_id, " +
+    "(n_nationkey * CAST(7.3 AS DOUBLE)) % 120.0 - 60.0 AS clat, " +
+    "(n_nationkey * CAST(13.7 AS DOUBLE)) % 240.0 - 120.0 AS clon, " +
+    "CAST(3.0 AS DOUBLE) + n_nationkey % 4 AS rmax FROM nation), " +
+    "u(i, ux, uy) AS (VALUES (0, CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)), " +
+    "(1, 0.7, 0.7), (2, 0.0, 1.0), (3, -0.7, 0.7), (4, -1.0, 0.0), " +
+    "(5, -0.7, -0.7), (6, 0.0, -1.0), (7, 0.7, -0.7)), " +
+    "v AS (SELECT poly_id, i, " +
+    "clon + rmax * (CAST(0.6 AS DOUBLE) + CAST(0.4 AS DOUBLE) * ((i * 7 + poly_id) % 5) / 5.0) * ux AS x, " +
+    "clat + rmax * (CAST(0.6 AS DOUBLE) + CAST(0.4 AS DOUBLE) * ((i * 7 + poly_id) % 5) / 5.0) * uy AS y " +
+    "FROM p CROSS JOIN u), " +
+    "e AS (SELECT a.poly_id, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2 " +
+    "FROM v a JOIN v b ON a.poly_id = b.poly_id AND b.i = (a.i + 1) % 8)"
+  /** bbox-candidate + even-odd ray-cast CTEs over sqlFixes/sqlPolyEdges:
+    * `inp` = the (event_id, poly_id) containment pairs. */
+  private val sqlInPolygon =
+    "cand AS (SELECT event_id, lat, lon, p.poly_id " +
+    "FROM f JOIN p ON abs(lat - clat) <= rmax AND abs(lon - clon) <= rmax), " +
+    "n AS (SELECT event_id, cand.poly_id, " +
+    "SUM(CASE WHEN ((y1 > lat) <> (y2 > lat)) AND " +
+    "(((lat - y1) * (x2 - x1) - (lon - x1) * (y2 - y1) > 0) = (y2 > y1)) " +
+    "THEN 1 ELSE 0 END) AS ncross " +
+    "FROM cand JOIN e ON e.poly_id = cand.poly_id GROUP BY 1, 2), " +
+    "inp AS (SELECT event_id, poly_id FROM n WHERE ncross % 2 = 1)"
 
   val oracle: Map[String, String] = Map(
     "q_proj_flatten" ->
@@ -465,33 +527,20 @@ object Projections {
        "COUNT(*) AS n, MIN(doc_id) AS min_key, MAX(doc_id) AS max_key " +
        "FROM j GROUP BY 1 ORDER BY status"),
     "q_geo_in_polygon" ->
-      ("WITH f AS (SELECT event_id, value % 180.0 - 90.0 AS lat, " +
-       "(event_id % 3600) / 10.0 - 180.0 AS lon FROM events), " +
-       // coefficients CAST to DOUBLE so DuckDB runs the same IEEE
-       // arithmetic as Spark (DECIMAL-exact evaluation could flip an
-       // edge-crossing comparison)
-       "p AS (SELECT CAST(n_nationkey AS BIGINT) AS poly_id, " +
-       "(n_nationkey * CAST(7.3 AS DOUBLE)) % 120.0 - 60.0 AS clat, " +
-       "(n_nationkey * CAST(13.7 AS DOUBLE)) % 240.0 - 120.0 AS clon, " +
-       "CAST(3.0 AS DOUBLE) + n_nationkey % 4 AS rmax FROM nation), " +
-       "u(i, ux, uy) AS (VALUES (0, CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)), " +
-       "(1, 0.7, 0.7), (2, 0.0, 1.0), (3, -0.7, 0.7), (4, -1.0, 0.0), " +
-       "(5, -0.7, -0.7), (6, 0.0, -1.0), (7, 0.7, -0.7)), " +
-       "v AS (SELECT poly_id, i, " +
-       "clon + rmax * (CAST(0.6 AS DOUBLE) + CAST(0.4 AS DOUBLE) * ((i * 7 + poly_id) % 5) / 5.0) * ux AS x, " +
-       "clat + rmax * (CAST(0.6 AS DOUBLE) + CAST(0.4 AS DOUBLE) * ((i * 7 + poly_id) % 5) / 5.0) * uy AS y " +
-       "FROM p CROSS JOIN u), " +
-       "e AS (SELECT a.poly_id, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2 " +
-       "FROM v a JOIN v b ON a.poly_id = b.poly_id AND b.i = (a.i + 1) % 8), " +
-       "cand AS (SELECT event_id, lat, lon, p.poly_id " +
-       "FROM f JOIN p ON abs(lat - clat) <= rmax AND abs(lon - clon) <= rmax), " +
-       "n AS (SELECT event_id, cand.poly_id, " +
-       "SUM(CASE WHEN ((y1 > lat) <> (y2 > lat)) AND " +
-       "(((lat - y1) * (x2 - x1) - (lon - x1) * (y2 - y1) > 0) = (y2 > y1)) " +
-       "THEN 1 ELSE 0 END) AS ncross " +
-       "FROM cand JOIN e ON e.poly_id = cand.poly_id GROUP BY 1, 2) " +
-       "SELECT event_id, poly_id FROM n WHERE ncross % 2 = 1 " +
-       "ORDER BY event_id, poly_id"),
+      (s"WITH $sqlFixes, $sqlPolyEdges, $sqlInPolygon " +
+       "SELECT event_id, poly_id FROM inp ORDER BY event_id, poly_id"),
+    "q_geo_fence_events" ->
+      (s"WITH $sqlFixes, $sqlPolyEdges, $sqlInPolygon, " +
+       "z AS (SELECT event_id, MIN(poly_id) AS zone FROM inp GROUP BY event_id), " +
+       "fx AS (SELECT event_id, user_id, " +
+       "epoch_ms(date_trunc('milliseconds', ts)) AS ts_ms FROM events), " +
+       "s AS (SELECT fx.event_id, user_id, ts_ms, COALESCE(zone, -1) AS zone " +
+       "FROM fx LEFT JOIN z ON z.event_id = fx.event_id), " +
+       "t AS (SELECT user_id, event_id, ts_ms, zone, " +
+       "lag(zone) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_zone FROM s) " +
+       "SELECT user_id, event_id, ts_ms, prev_zone AS from_zone, zone AS to_zone " +
+       "FROM t WHERE prev_zone IS NOT NULL AND prev_zone <> zone " +
+       "ORDER BY user_id, ts_ms, event_id"),
     "q_geo_nearest_poi_km" ->
       ("WITH f AS (SELECT event_id, value % 180.0 - 90.0 AS lat, " +
        "(event_id % 3600) / 10.0 - 180.0 AS lon FROM events), " +
