@@ -59,7 +59,16 @@ object PlanDump {
         "candidate generation (the premise of incremental ingest)"),
       "q_profile_table" -> ("per-column profiling (r7): each exact distinct is its own value-keyed " +
         "distributed aggregate (parallel dedup, partial-agg count) broadcast-joined back as a " +
-        "1-row relation — no Expand, no single-reducer distinct merge"))
+        "1-row relation — no Expand, no single-reducer distinct merge"),
+      "q_geo_in_polygon" -> ("point-in-polygon geofencing (r8): polygons exploded into bbox grid " +
+        "cells -> cell-key EQUI-join (no BNLJ even with both sides huge), division-free ray-cast " +
+        "aggregate lambda as a narrow post-join map"),
+      "q_geo_fence_events" -> ("geofence transitions (r8): containment equi-join + per-fix min " +
+        "aggregate + event_id equi-join back + ONE user-keyed window — the alerting query's whole " +
+        "dataflow in four partition-aligned stages"),
+      "q_llm_bpe_iter" -> ("iterated BPE (r8): 3 merge rounds, each = vocab-sized pair count + " +
+        "1-row winner BROADCAST crossJoin + narrow replace map — the corpus collapses to (word, wc) " +
+        "once and nothing larger than the pair vocabulary ever shuffles again"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — final physical plans at sf0.1 (AQE-settled)\n\n")
