@@ -46,11 +46,15 @@ object ScaleProbe {
     def scaledEvents(k: Int): DataFrame = {
       // Tables.t sets nanosAsLong for the TIMESTAMP(NANOS) ts column;
       // the rewritten copy stores ts as a plain ns-long, which the
-      // same loader (and Determinism.msEpoch) handles identically
+      // same loader (and Determinism.msEpoch) handles identically.
+      // The event_id shift is a MULTIPLE OF 3600 so the geo fix
+      // positions (lon = event_id % 3600) are preserved per copy —
+      // every copy contributes identical containment/nearest rows and
+      // the geo outputs must grow EXACTLY k×.
       val base = graft.Tables.t(spark, src, "events")
       (0 until k).map { c =>
         base.withColumn("user_id", col("user_id") + lit(c * 1000000L))
-          .withColumn("event_id", col("event_id") + lit(c * 100000000L))
+          .withColumn("event_id", col("event_id") + lit(c * 100000800L))
       }.reduce(_ unionByName _)
     }
 
@@ -99,7 +103,21 @@ object ScaleProbe {
       // per-user stats (users disjoint per copy → k×); bpe_apply's
       // vocabulary grows k× (suffixed tokens) and everything downstream
       // is vocab-sized
-      "q_llm_incr_dedup", "q_ts_anomaly", "q_llm_bpe_apply")
+      "q_llm_incr_dedup", "q_ts_anomaly", "q_llm_bpe_apply",
+      // r8: geofencing — fences STATIC (nation-derived, copied not
+      // scaled: the realistic shape — fleets grow, fence sets don't),
+      // fixes grow k× with positions preserved per copy, so
+      // containment pairs / transition events / nearest matches must
+      // grow EXACTLY k× and runtime linearly; bpe_iter is 3 bpe_apply
+      // rounds — linear for the same vocab-sized reason
+      "q_geo_in_polygon", "q_geo_fence_events", "q_geo_nearest_poi_km",
+      "q_llm_bpe_iter")
+
+    // GRAFT_SCALE_ONLY=q1,q2 narrows the run to a subset (new-operator
+    // probes without re-timing the whole recorded family)
+    val only = sys.env.get("GRAFT_SCALE_ONLY")
+      .map(_.split(',').filter(_.nonEmpty).toSet)
+    val picked = only.fold(queries)(f => queries.filter(f))
 
     for (k <- multipliers) {
       val dir = Files.createTempDirectory(s"graft_scale_x$k").toString
@@ -107,7 +125,10 @@ object ScaleProbe {
       scaledEvents(k).write.mode("overwrite").parquet(s"$dir/events.parquet")
       scaledEmbeddings(k).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       scaledPart(k).write.mode("overwrite").parquet(s"$dir/part.parquet")
-      for (q <- queries) {
+      // static side for the geo family (fences don't scale with fixes)
+      graft.Tables.nation(spark, src).write.mode("overwrite")
+        .parquet(s"$dir/nation.parquet")
+      for (q <- picked) {
         // fresh timing per (k, q); cold caches dominate equally per k
         val t0 = System.nanoTime()
         val n = graft.SparkEntry.queries(q)(spark, dir).count()
@@ -116,9 +137,11 @@ object ScaleProbe {
       // pairwise_label_sim: the evidence is the PAIR COUNT, not the
       // 2-row output — the per-label cap must hold it constant as the
       // corpus grows (a rate sample would grow it k²×)
-      val pairs = graft.SparkEntry.queries("q_llm_pairwise_label_sim")(spark, dir)
-        .agg(sum(col("n_pairs"))).collect()(0).getLong(0)
-      println(s"SCALE x$k q_llm_pairwise_label_sim PAIR_COUNT=$pairs")
+      if (only.forall(_.contains("q_llm_pairwise_label_sim"))) {
+        val pairs = graft.SparkEntry.queries("q_llm_pairwise_label_sim")(spark, dir)
+          .agg(sum(col("n_pairs"))).collect()(0).getLong(0)
+        println(s"SCALE x$k q_llm_pairwise_label_sim PAIR_COUNT=$pairs")
+      }
     }
     spark.stop()
   }
