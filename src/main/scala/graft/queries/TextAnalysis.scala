@@ -446,6 +446,32 @@ object TextAnalysis {
         .orderBy($"c_custkey")
     }),
 
+    // Span-level exact dedup (r8): every 8-token sliding span that
+    // repeats ACROSS documents — the span-granularity member of the
+    // dedup family (document-level exact/near dedup can't see a
+    // boilerplate paragraph pasted into otherwise-distinct documents;
+    // span dedup is how training corpora catch it). Shape: a narrow
+    // per-row explode (~n_tok spans/doc) + ONE span-hash-keyed
+    // partial-agg shuffle — the count/countDistinct partials combine
+    // map-side, so the hottest boilerplate span costs its partials,
+    // not its row volume. Only the md5 (16 B) shuffles, never span
+    // text.
+    "q_llm_span_dedup" -> ((s, d) => {
+      import s.implicits._
+      val W = 8
+      Tables.documents(s, d)
+        .select($"doc_id", toks($"text").as("tk"))
+        .select($"doc_id", $"tk", explode(
+          when(size($"tk") >= W, sequence(lit(1), size($"tk") - (W - 1)))
+            .otherwise(array().cast(ArrayType(IntegerType)))).as("st"))
+        .select($"doc_id", md5(concat_ws(" ", slice($"tk", $"st", lit(W)))).as("span_hash"))
+        .groupBy($"span_hash")
+        .agg(countDistinct($"doc_id").as("n_docs"), count(lit(1)).as("n_spans"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .filter($"n_docs" >= 2)
+        .orderBy($"span_hash")
+    }),
+
     // Document fingerprint: md5 over the sorted distinct token set
     // (order-insensitive content identity).
     "q_llm_fingerprint" -> ((s, d) => {
@@ -627,6 +653,14 @@ object TextAnalysis {
        "CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS BIGINT) AS n_digit_runs, " +
        "CAST(length(regexp_replace(c_name, '[0-9]', '', 'g')) AS BIGINT) AS n_clear_chars " +
        "FROM customer ORDER BY c_custkey"),
+    "q_llm_span_dedup" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+       "c AS (SELECT doc_id, tk, unnest(CASE WHEN len(tk) >= 8 THEN range(1, len(tk) - 6) " +
+       "ELSE [] END) AS st FROM t), " +
+       "h AS (SELECT doc_id, md5(array_to_string(tk[st:st+7], ' ')) AS span_hash FROM c) " +
+       "SELECT span_hash, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_spans, " +
+       "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc " +
+       "FROM h GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) >= 2 ORDER BY span_hash"),
     "q_llm_fingerprint" ->
       ("SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint, " +
        "len(list_distinct(string_split(text, ' '))) AS n_uniq FROM documents ORDER BY doc_id")

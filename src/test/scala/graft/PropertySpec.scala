@@ -41,6 +41,31 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("ray cast == closed form on random rectangles and diamonds (horizontal edges safe)") {
+    // rectangles exercise the axis-aligned/horizontal-edge path the
+    // division-free spelling exists for; diamonds the oblique path.
+    // Both have closed-form containment to judge against. Boundary
+    // hits are measure-zero under continuous generators.
+    import graft.operators.Geofence
+    val coord = Gen.choose(-50.0, 50.0)
+    val rGen = Gen.choose(0.5, 10.0)
+    check(Prop.forAll(coord, coord, rGen, coord, coord, Gen.oneOf(true, false)) {
+      (cx, cy, r, px, py, rect) =>
+        val verts =
+          if (rect) Seq((cx - r, cy - r), (cx + r, cy - r), (cx + r, cy + r), (cx - r, cy + r))
+          else Seq((cx + r, cy), (cx, cy + r), (cx - r, cy), (cx, cy - r))
+        val expected =
+          if (rect) math.abs(px - cx) < r && math.abs(py - cy) < r
+          else math.abs(px - cx) + math.abs(py - cy) < r
+        val vertsCol = array(verts.map { case (x, y) =>
+          struct(lit(x).as("x"), lit(y).as("y")) }: _*)
+        val got = Seq((py, px)).toDF("lat", "lon")
+          .select((Geofence.rayCastCrossings(col("lat"), col("lon"), vertsCol) % 2 === 1).as("i"))
+          .collect().head.getBoolean(0)
+        got == expected
+    })
+  }
+
   test("dedup idempotence: dropDuplicates twice == once") {
     check(Prop.forAll(Gen.listOfN(60, Gen.choose(0, 10))) { xs =>
       val df = xs.toDF("x")
