@@ -140,9 +140,9 @@ object Llm {
       col("a.bp") === col("b.bp") && col("a.vec_id") < col("b.vec_id"))
   }
 
-  /** The trigram-Jaccard near-dup pairs with exact scores (threshold
-    * 0.2) — shared by q_llm_ngram_jaccard (keeps the rounded score)
-    * and the cluster-resolution query (keeps the pair).
+  /** Exact trigram-intersection pair relation (doc_a, doc_b, n_int,
+    * na, nb) — the base of the Jaccard (symmetric) and containment
+    * (asymmetric) near-dup scores.
     *
     * Candidates come from the SUB-CAP shingle-share self-join, whose
     * groupBy count is already the exact sub-cap intersection size
@@ -154,7 +154,7 @@ object Llm {
     * shared shingles are ALL hot is not a candidate — the documented
     * recall cost of skew-proofing (in this corpus max df = 9, so the
     * hot set is empty and output provably unchanged). */
-  private def ngramPairScores(s: SparkSession, d: String): DataFrame = {
+  private def pairIntersections(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sh = shingled(s, d).cache()
     // n_sh rides through the explode so the pair aggregate can emit
@@ -177,6 +177,14 @@ object Llm {
       .withColumn("n_int",
         ($"n_sub" + size(array_intersect(
           coalesce($"hot_a", emptyArr), coalesce($"hot_b", emptyArr)))).cast(DoubleType))
+  }
+
+  /** The trigram-Jaccard near-dup pairs with exact scores (threshold
+    * 0.2) — shared by q_llm_ngram_jaccard (keeps the rounded score)
+    * and the cluster-resolution query (keeps the pair). */
+  private def ngramPairScores(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pairIntersections(s, d)
       .withColumn("jaccard", $"n_int" / ($"na" + $"nb" - $"n_int"))
       .filter($"jaccard" >= 0.2)
       // post-threshold relation is tiny (near-dup mass, ~10^2 rows per
@@ -426,6 +434,25 @@ object Llm {
       import s.implicits._
       ngramPairScores(s, d)
         .select($"doc_a", $"doc_b", round($"jaccard", 6).as("jaccard"))
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
+    // Asymmetric CONTAINMENT scores (r8): c(a→b) = |A∩B| / |A| — the
+    // Broder containment measure. Jaccard misses subset-shaped
+    // duplication by construction (a short doc fully quoted inside a
+    // long one scores n/(N) ≈ 0 symmetric but 1.0 directional), and
+    // subset/quote pairs are exactly what training-data dedup must
+    // catch that resemblance can't. Same exact sub-cap + hot-set
+    // machinery as the Jaccard path (one shingle-share shuffle, skew
+    // bounded by the df cap); threshold on the LARGER direction.
+    "q_llm_ngram_containment" -> ((s, d) => {
+      import s.implicits._
+      pairIntersections(s, d)
+        .withColumn("c_ab", $"n_int" / $"na")
+        .withColumn("c_ba", $"n_int" / $"nb")
+        .filter(greatest($"c_ab", $"c_ba") >= 0.2)
+        .select($"doc_a", $"doc_b",
+          round($"c_ab", 6).as("c_ab"), round($"c_ba", 6).as("c_ba"))
         .orderBy($"doc_a", $"doc_b")
     }),
 
@@ -725,6 +752,9 @@ object Llm {
     "FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
     "v AS (SELECT doc_a, doc_b, " +
     "CAST(n_sub + len(list_intersect(COALESCE(hx.hot, CAST([] AS VARCHAR[])), " +
+    "COALESCE(hy.hot, CAST([] AS VARCHAR[])))) AS DOUBLE) AS n_int, " +
+    "len(x.shingles) AS na, len(y.shingles) AS nb, " +
+    "CAST(n_sub + len(list_intersect(COALESCE(hx.hot, CAST([] AS VARCHAR[])), " +
     "COALESCE(hy.hot, CAST([] AS VARCHAR[])))) AS DOUBLE) / " +
     "(len(x.shingles) + len(y.shingles) - " +
     "(n_sub + len(list_intersect(COALESCE(hx.hot, CAST([] AS VARCHAR[])), " +
@@ -814,6 +844,11 @@ object Llm {
     "q_llm_ngram_jaccard" ->
       (shCte + ", " + ngramPairSql +
        "SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM v WHERE jaccard >= 0.2 " +
+       "ORDER BY doc_a, doc_b"),
+    "q_llm_ngram_containment" ->
+      (shCte + ", " + ngramPairSql +
+       "SELECT doc_a, doc_b, round(n_int / na, 6) AS c_ab, round(n_int / nb, 6) AS c_ba " +
+       "FROM v WHERE greatest(n_int / na, n_int / nb) >= 0.2 " +
        "ORDER BY doc_a, doc_b"),
     "q_llm_source_overlap" ->
       (shCte + ", " + ngramPairSql +
