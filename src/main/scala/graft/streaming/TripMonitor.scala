@@ -97,3 +97,39 @@ object TripMonitor {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 }
+
+/** The SAME trip monitor on Spark 4's transformWithState (the
+  * successor state API — typed ValueState on a RocksDB-backed store),
+  * delegating to `TripMonitor.fold` so semantics are byte-identical to
+  * the GroupState wiring; TripMonitorSpec runs the same scenario
+  * through both and asserts identical output (the LastFixStore
+  * dual-API discipline). Requires
+  * `spark.sql.streaming.stateStore.providerClass` =
+  * `...state.RocksDBStateStoreProvider` on the running session. */
+object TripMonitorTws {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+  import TripMonitor.{Fix, OpenTrip, Trip}
+
+  private class Processor extends StatefulProcessor[String, Fix, Trip] {
+    @transient private var state: ValueState[OpenTrip] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[OpenTrip](
+        "openTrip", Encoders.product[OpenTrip], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Fix],
+        timerValues: TimerValues): Iterator[Trip] = {
+      val prev = if (state.exists()) Some(state.get()) else None
+      val (next, out) = TripMonitor.fold(key, rows, prev)
+      next.foreach(state.update)
+      out.iterator
+    }
+  }
+
+  def apply(spark: SparkSession, fixes: Dataset[Fix]): Dataset[Trip] = {
+    import spark.implicits._
+    fixes.groupByKey(_.deviceId)
+      .transformWithState(new Processor, TimeMode.None(), OutputMode.Append())
+  }
+}

@@ -86,6 +86,27 @@ class TripMonitorSpec extends AnyFunSuite {
     assert(stateOps.map(_.numRowsTotal).max == 2)
   }
 
+  test("transformWithState wiring produces identical trips (modern state API, RocksDB store)") {
+    TestSpark.withSQLConf("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      val in = MemoryStream[Fix]
+      val q = graft.streaming.TripMonitorTws(spark, in.toDS())
+        .writeStream.format("memory").queryName("trips_tws_out").outputMode("append").start()
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      val tws = spark.table("trips_tws_out").as[Trip].collect().toSet
+      q.stop()
+      val all = batchTrips((batch1 ++ batch2).toDF())
+      val lastTrip = all.groupBy($"deviceId".as("d")).agg(max($"tripId").as("t"))
+      val closed = all.join(lastTrip,
+          $"deviceId" === $"d" && $"tripId" === $"t", "left_anti")
+        .as[Trip].collect().toSet
+      assert(tws == closed, s"TWS wiring diverged:\n tws=$tws\n batch=$closed")
+    }
+  }
+
   test("gap straddling a micro-batch boundary closes the trip exactly once") {
     val in = MemoryStream[Fix]
     val q = TripMonitor(spark, in.toDS())
