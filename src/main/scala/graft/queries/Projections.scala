@@ -402,6 +402,36 @@ object Projections {
         .orderBy($"event_id")
     }),
 
+    // Geofence DWELL-TIME analytics (r8): per (device, fence) total
+    // time inside, visit count, fix count — the "how long did each
+    // vehicle spend in each zone" report that pairs with the
+    // enter/exit event stream. Interval attribution: a fix's zone
+    // holds until the device's next fix (lead), the final fix
+    // contributes no dwell; a visit starts where the previous fix's
+    // zone differs (or at series start). Same containment relation +
+    // the SAME single user-keyed shuffle as q_geo_fence_events (lead
+    // and lag share one window), then a (user, zone) partial agg.
+    "q_geo_fence_dwell" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val zones = containmentPairs(s, d)
+        .groupBy($"event_id").agg(min($"poly_id").as("zone"))
+      val fx = Tables.events(s, d)
+        .select($"event_id", $"user_id", msEpoch($"ts").as("ts_ms"))
+      val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+      fx.join(zones, Seq("event_id"), "left")
+        .withColumn("zone", coalesce($"zone", lit(-1L)))
+        .withColumn("next_ms", lead($"ts_ms", 1).over(w))
+        .withColumn("prev_zone", lag($"zone", 1).over(w))
+        .filter($"zone" =!= -1L)
+        .groupBy($"user_id", $"zone")
+        .agg(
+          sum(when($"next_ms".isNotNull, $"next_ms" - $"ts_ms").otherwise(0L)).as("dwell_ms"),
+          count(lit(1)).as("n_fixes"),
+          sum(when($"prev_zone".isNull || $"prev_zone" =!= $"zone", 1L).otherwise(0L)).as("n_visits"))
+        .orderBy($"user_id", $"zone")
+    }),
+
     // WKT point construction — lon first, C-style %f six-decimal
     // formatting, exactly the reference's fmt.Sprintf (main.go:210).
     "q_geo_wkt_point" -> ((s, d) => {
@@ -555,6 +585,21 @@ object Projections {
        "FROM j WHERE dist_deg <= 2.0) " +
        "SELECT event_id, poi_id, round(km, 6) AS dist_km FROM r WHERE rn = 1 " +
        "ORDER BY event_id"),
+    "q_geo_fence_dwell" ->
+      (s"WITH $sqlFixes, $sqlPolyEdges, $sqlInPolygon, " +
+       "z AS (SELECT event_id, MIN(poly_id) AS zone FROM inp GROUP BY event_id), " +
+       "fx AS (SELECT event_id, user_id, " +
+       "epoch_ms(date_trunc('milliseconds', ts)) AS ts_ms FROM events), " +
+       "s AS (SELECT fx.event_id, user_id, ts_ms, COALESCE(zone, -1) AS zone " +
+       "FROM fx LEFT JOIN z ON z.event_id = fx.event_id), " +
+       "t AS (SELECT user_id, event_id, ts_ms, zone, " +
+       "lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS next_ms, " +
+       "lag(zone) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_zone FROM s) " +
+       "SELECT user_id, zone, " +
+       "CAST(SUM(CASE WHEN next_ms IS NOT NULL THEN next_ms - ts_ms ELSE 0 END) AS BIGINT) AS dwell_ms, " +
+       "COUNT(*) AS n_fixes, " +
+       "CAST(SUM(CASE WHEN prev_zone IS NULL OR prev_zone <> zone THEN 1 ELSE 0 END) AS BIGINT) AS n_visits " +
+       "FROM t WHERE zone <> -1 GROUP BY user_id, zone ORDER BY user_id, zone"),
     "q_geo_wkt_point" ->
       ("SELECT event_id, printf('POINT(%f %f)', value * 2.0, value) AS geo_point " +
        "FROM events ORDER BY event_id")

@@ -111,7 +111,12 @@ object ScaleProbe {
       // grow EXACTLY k× and runtime linearly; bpe_iter is 3 bpe_apply
       // rounds — linear for the same vocab-sized reason
       "q_geo_in_polygon", "q_geo_fence_events", "q_geo_nearest_poi_km",
-      "q_llm_bpe_iter")
+      "q_llm_bpe_iter",
+      // r8 late: span dedup — copies are token-suffixed so spans never
+      // collide across copies: cross-doc span groups must grow EXACTLY
+      // k× (narrow explode + one span-hash partial-agg shuffle); dwell
+      // rides the fence_events machinery (per-copy users disjoint)
+      "q_llm_span_dedup", "q_geo_fence_dwell")
 
     // GRAFT_SCALE_ONLY=q1,q2 narrows the run to a subset (new-operator
     // probes without re-timing the whole recorded family)
