@@ -674,6 +674,27 @@ object Llm {
         .filter($"norm" > 0.5)
         .select($"doc_id", $"source", $"n_chars", $"label", $"norm")
         .orderBy($"doc_id")
+    }),
+
+    // Binary-payload metadata (r8): the ORACLE-CHECKED slice of the
+    // multimodal binary-column story (operators.Multimodal carries the
+    // schema/partition plumbing with the media decode stubbed — this
+    // proves the engine's BinaryType handling itself: byte length,
+    // content hash, head bytes — against DuckDB BLOB semantics). The
+    // payload is the document's UTF-8 encoding (deterministic on both
+    // engines); head slicing is char-based pre-encode so the twin is
+    // byte-exact regardless of the corpus's ASCII-ness. Narrow map,
+    // zero shuffles before the output sort — the shape every
+    // per-object multimodal metadata pass has at 100 TB.
+    "q_llm_binary_meta" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", encode($"text", "UTF-8").as("payload"), $"text")
+        .select($"doc_id",
+          length($"payload").cast(LongType).as("n_bytes"),
+          md5($"payload").as("payload_md5"),
+          base64(encode(substring($"text", 1, 8), "UTF-8")).as("head_b64"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -957,6 +978,11 @@ object Llm {
        "round(sqrt(list_sum(list_transform(list_zip(embedding, embedding), " +
        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))), 6) AS norm " +
        "FROM documents JOIN embeddings ON doc_id = vec_id WHERE lang = 'en') " +
-       "SELECT doc_id, source, n_chars, label, norm FROM j WHERE norm > 0.5 ORDER BY doc_id")
+       "SELECT doc_id, source, n_chars, label, norm FROM j WHERE norm > 0.5 ORDER BY doc_id"),
+    "q_llm_binary_meta" ->
+      ("SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, " +
+       "md5(text) AS payload_md5, " +
+       "to_base64(CAST(substring(text, 1, 8) AS BLOB)) AS head_b64 " +
+       "FROM documents ORDER BY doc_id")
   )
 }
