@@ -432,6 +432,45 @@ object Projections {
         .orderBy($"user_id", $"zone")
     }),
 
+    // Convoy / co-travel detection (r8): device pairs repeatedly
+    // co-located — same 6 h time bucket, within D = 5.0° — in >= 3
+    // distinct buckets. The spatio-TEMPORAL instance of the grid
+    // pattern: candidates meet via an EQUI-join on (bucket, cell) with
+    // the b-side exploded to its 9-cell neighborhood (cell width
+    // W = D, so any pair within D shares a probe cell by construction,
+    // and each ordered fix pair meets exactly once — the a-side binds
+    // only its own cell); user_a < user_b then keeps one orientation
+    // per unordered pair, and COUNT(DISTINCT bucket) collapses
+    // multiple same-bucket encounters. No BNLJ, no all-pairs: the join
+    // is per-(bucket, cell) products, linear-ish when fixes spread, and
+    // both sides can be huge. Oracle affords the per-bucket quadratic.
+    "q_geo_convoy" -> ((s, d) => {
+      import s.implicits._
+      val B = 21600000.0; val W = 5.0
+      val e = Tables.events(s, d).select($"user_id",
+        floor(msEpoch($"ts") / B).cast("long").as("bk"),
+        ($"value" % 180.0 - 90.0).as("lat"),
+        (($"event_id" % 3600) / 10.0 - 180.0).as("lon"))
+      val a = e
+        .withColumn("ci", floor($"lat" / W)).withColumn("cj", floor($"lon" / W))
+      val b = e.toDF("ub", "bk", "lat_b", "lon_b")
+        .withColumn("ci", explode(array((-1 to 1).map(dI =>
+          floor($"lat_b" / W) + dI): _*)))
+        .withColumn("cj", explode(array((-1 to 1).map(dJ =>
+          floor($"lon_b" / W) + dJ): _*)))
+      a.join(b, Seq("bk", "ci", "cj"))
+        .filter($"user_id" < $"ub" &&
+          sqrt(($"lat" - $"lat_b") * ($"lat" - $"lat_b") +
+               ($"lon" - $"lon_b") * ($"lon" - $"lon_b")) <= W)
+        .groupBy($"user_id", $"ub")
+        .agg(countDistinct($"bk").as("n_buckets"),
+          min($"bk").as("first_bk"), max($"bk").as("last_bk"))
+        .filter($"n_buckets" >= 3)
+        .select($"user_id".as("user_a"), $"ub".as("user_b"),
+          $"n_buckets", $"first_bk", $"last_bk")
+        .orderBy($"user_a", $"user_b")
+    }),
+
     // WKT point construction — lon first, C-style %f six-decimal
     // formatting, exactly the reference's fmt.Sprintf (main.go:210).
     "q_geo_wkt_point" -> ((s, d) => {
@@ -600,6 +639,17 @@ object Projections {
        "COUNT(*) AS n_fixes, " +
        "CAST(SUM(CASE WHEN prev_zone IS NULL OR prev_zone <> zone THEN 1 ELSE 0 END) AS BIGINT) AS n_visits " +
        "FROM t WHERE zone <> -1 GROUP BY user_id, zone ORDER BY user_id, zone"),
+    "q_geo_convoy" ->
+      ("WITH e AS (SELECT user_id, " +
+       "CAST(floor(epoch_ms(date_trunc('milliseconds', ts)) / 21600000.0) AS BIGINT) AS bk, " +
+       "value % 180.0 - 90.0 AS lat, (event_id % 3600) / 10.0 - 180.0 AS lon FROM events), " +
+       "p AS (SELECT a.user_id AS user_a, b.user_id AS user_b, a.bk " +
+       "FROM e a JOIN e b ON a.bk = b.bk AND a.user_id < b.user_id " +
+       "AND sqrt((a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon)) <= 5.0), " +
+       "g AS (SELECT user_a, user_b, COUNT(DISTINCT bk) AS n_buckets, " +
+       "MIN(bk) AS first_bk, MAX(bk) AS last_bk FROM p GROUP BY user_a, user_b) " +
+       "SELECT user_a, user_b, n_buckets, first_bk, last_bk FROM g " +
+       "WHERE n_buckets >= 3 ORDER BY user_a, user_b"),
     "q_geo_wkt_point" ->
       ("SELECT event_id, printf('POINT(%f %f)', value * 2.0, value) AS geo_point " +
        "FROM events ORDER BY event_id")

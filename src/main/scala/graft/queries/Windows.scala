@@ -271,6 +271,40 @@ object Windows {
         .groupBy($"cohort", ($"wk" - $"cohort").as("age"))
         .agg(countDistinct($"user_id").as("active"))
         .orderBy($"cohort", $"age")
+    }),
+
+    // Speed-violation scan (r8): per-leg implied speed between
+    // consecutive fixes of a device, flagging legs above a threshold —
+    // the fleet-telemetry alert query over the reference's GPS domain
+    // (the reference stores raw fixes, main.go:233-240; speed is the
+    // first derived signal an operator asks for). Legs reuse the
+    // q_geo_trips discipline exactly: same (ms, event_id) total order,
+    // same within-trip gate (dt <= 30 min), same haversine formula
+    // text as q_fn_haversine so per-leg doubles are bit-identical
+    // across engines; the threshold compares the UNrounded speed (an
+    // identical double on both sides — no boundary flake), rounding
+    // only at output. One user-partitioned window, then a narrow
+    // filter — no extra shuffle beyond the window sort.
+    "q_geo_speeding" -> ((s, d) => {
+      import s.implicits._
+      val GapMs = 1800000L
+      val e = Tables.events(s, d).select($"user_id", $"event_id",
+        msEpoch($"ts").as("ms"),
+        ($"value" % 180.0 - 90.0).as("lat"),
+        (($"event_id" % 3600) / 10.0 - 180.0).as("lon"))
+      val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+      e.withColumn("prev_ms", lag($"ms", 1).over(w))
+        .withColumn("prev_lat", lag($"lat", 1).over(w))
+        .withColumn("prev_lon", lag($"lon", 1).over(w))
+        .filter($"prev_ms".isNotNull && $"ms" > $"prev_ms" &&
+          $"ms" - $"prev_ms" <= GapMs)
+        .withColumn("leg_km",
+          Scalars.haversineKm($"prev_lat", $"prev_lon", $"lat", $"lon"))
+        .withColumn("speed_kmh", $"leg_km" / (($"ms" - $"prev_ms") / lit(3600000.0)))
+        .filter($"speed_kmh" > 30000.0)
+        .select($"user_id", $"event_id", ($"ms" - $"prev_ms").as("dt_ms"),
+          round($"leg_km", 6).as("leg_km"), round($"speed_kmh", 6).as("speed_kmh"))
+        .orderBy($"user_id", $"event_id")
     })
   )
 
@@ -381,6 +415,20 @@ object Windows {
       ("WITH e AS (SELECT DISTINCT user_id, CAST(floor(epoch_ms(date_trunc('milliseconds', ts)) / 604800000.0) AS BIGINT) AS wk FROM events), " +
        "c AS (SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY user_id) " +
        "SELECT cohort, wk - cohort AS age, COUNT(DISTINCT e.user_id) AS active " +
-       "FROM e JOIN c ON e.user_id = c.user_id GROUP BY cohort, wk - cohort ORDER BY cohort, age")
+       "FROM e JOIN c ON e.user_id = c.user_id GROUP BY cohort, wk - cohort ORDER BY cohort, age"),
+    "q_geo_speeding" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_ms(date_trunc('milliseconds', ts)) AS ms, " +
+       "value % 180.0 - 90.0 AS lat, (event_id % 3600) / 10.0 - 180.0 AS lon FROM events), " +
+       "g AS (SELECT *, lag(ms) OVER w AS prev_ms, lag(lat) OVER w AS prev_lat, " +
+       "lag(lon) OVER w AS prev_lon FROM e " +
+       "WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)), " +
+       "l AS (SELECT user_id, event_id, ms - prev_ms AS dt_ms, " +
+       Scalars.sqlHaversine("prev_lat", "prev_lon", "lat", "lon") + " AS leg_km FROM g " +
+       "WHERE prev_ms IS NOT NULL AND ms > prev_ms AND ms - prev_ms <= 1800000), " +
+       "v AS (SELECT user_id, event_id, dt_ms, leg_km, " +
+       "leg_km / (dt_ms / 3600000.0) AS speed_kmh FROM l) " +
+       "SELECT user_id, event_id, dt_ms, round(leg_km, 6) AS leg_km, " +
+       "round(speed_kmh, 6) AS speed_kmh FROM v WHERE speed_kmh > 30000.0 " +
+       "ORDER BY user_id, event_id")
   )
 }

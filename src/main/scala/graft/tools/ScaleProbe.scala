@@ -116,7 +116,15 @@ object ScaleProbe {
       // collide across copies: cross-doc span groups must grow EXACTLY
       // k× (narrow explode + one span-hash partial-agg shuffle); dwell
       // rides the fence_events machinery (per-copy users disjoint)
-      "q_llm_span_dedup", "q_geo_fence_dwell")
+      "q_llm_span_dedup", "q_geo_fence_dwell",
+      // r8 late: speeding legs are per-user (users disjoint per copy,
+      // positions preserved) — violations must grow EXACTLY k×.
+      // convoy is the deliberate exception to the k× rule: clone-
+      // scaling PLANTS convoys (each copy's trajectories co-travel
+      // with every other copy's by construction), so detected pairs
+      // must grow ~k²-shaped — the probe verifies the detector finds
+      // the planted structure, not output linearity
+      "q_geo_speeding", "q_geo_convoy")
 
     // GRAFT_SCALE_ONLY=q1,q2 narrows the run to a subset (new-operator
     // probes without re-timing the whole recorded family)

@@ -118,6 +118,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("convoy join stays an equi-join on (bucket, cell) when broadcast is off") {
+    // co-location candidates must come from the (bk, ci, cj) equi-join
+    // — the raw distance predicate alone would be BNLJ (all fix pairs
+    // per bucket), which dies when the fleet is huge
+    TestSpark.withSQLConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val df = SparkEntry.queries("q_geo_convoy")(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+        s"convoy join fell back to a nested loop:\n${p.take(2000)}")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "expected a shuffled equi-join on the (bucket, cell) key")
+    }
+  }
+
   test("profile_table computes exact distincts without Expand (no single-reducer merge)") {
     // the Expand-based multi-column countDistinct funnels every
     // column's distinct-value set through ONE final group — measured
