@@ -65,6 +65,36 @@ object TextAnalysis {
     // size and the term-keyed shuffle join costs no extra pass. Only
     // n1 keeps an unconditional hint: a global aggregate is exactly
     // 1 row at any corpus size.
+    // Per-source characteristic terms (r8): top-10 terms per source by
+    // aggregate tf-idf — "what distinguishes each source's text", the
+    // corpus-triage view a dataset curator reads before mixing
+    // sources. Source-level tf is one (source, term) partial-agg
+    // shuffle; df reuses the tfidf spelling; the ranking window runs
+    // over the VOCAB-sized (source, term) relation, not the corpus —
+    // size-invariant as documents grow. Ranking compares the UNrounded
+    // weight (identical doubles both engines, term tie-break makes the
+    // order total); round only at output.
+    "q_llm_source_topterms" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val n1 = docs.agg(count(lit(1)).cast(DoubleType).as("n_docs"))
+      val terms = docs.select($"source", $"doc_id",
+        explode(toks(lower($"text"))).as("term"))
+      val stf = terms.groupBy($"source", $"term").agg(count(lit(1)).as("tf"))
+      val df = terms.select($"doc_id", $"term").distinct()
+        .groupBy($"term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy($"source").orderBy($"weight_raw".desc, $"term")
+      stf.join(hintIfCorpusSmall(s, d, df), "term")
+        .crossJoin(broadcast(n1))
+        .withColumn("weight_raw", $"tf" * log($"n_docs" / $"df"))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .filter($"rk" <= 10)
+        .select($"source", $"rk", $"term", $"tf", $"df",
+          round($"weight_raw", 6).as("weight"))
+        .orderBy($"source", $"rk")
+    }),
+
     "q_llm_tfidf" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
@@ -488,6 +518,18 @@ object TextAnalysis {
     "q_llm_token_stats" ->
       ("WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents) " +
        "SELECT term, COUNT(*) AS cnt FROM t GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20"),
+    "q_llm_source_topterms" ->
+      ("WITH terms AS (SELECT source, doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents), " +
+       "stf AS (SELECT source, term, COUNT(*) AS tf FROM terms GROUP BY source, term), " +
+       "df AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term), " +
+       "n AS (SELECT COUNT(*) AS n FROM documents), " +
+       "j AS (SELECT source, stf.term AS term, tf, df, " +
+       "tf * ln(CAST(n AS DOUBLE) / df) AS weight_raw FROM stf " +
+       "JOIN df ON stf.term = df.term CROSS JOIN n), " +
+       "r AS (SELECT *, row_number() OVER (PARTITION BY source " +
+       "ORDER BY weight_raw DESC, term) AS rk FROM j) " +
+       "SELECT source, rk, term, tf, df, round(weight_raw, 6) AS weight " +
+       "FROM r WHERE rk <= 10 ORDER BY source, rk"),
     "q_llm_tfidf" ->
       ("WITH terms AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents), " +
        "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term), " +

@@ -305,6 +305,29 @@ object Windows {
         .select($"user_id", $"event_id", ($"ms" - $"prev_ms").as("dt_ms"),
           round($"leg_km", 6).as("leg_km"), round($"speed_kmh", 6).as("speed_kmh"))
         .orderBy($"user_id", $"event_id")
+    }),
+
+    // Heartbeat-outage report (r8): the silences themselves — per
+    // device, every gap > 30 min between consecutive fixes as an
+    // interval row (when did the device go dark, for how long). The
+    // operational complement of q_geo_trips (whose trip boundaries ARE
+    // these gaps): a fleet operator monitors outages, not just trips.
+    // Same (ms, event_id) total order; one user window, narrow filter.
+    // start_ms strictly increases per user (consecutive legs advance),
+    // so (user_id, start_ms) is a total output order.
+    "q_ts_outages" -> ((s, d) => {
+      import s.implicits._
+      val GapMs = 1800000L
+      val e = Tables.events(s, d)
+        .select($"user_id", $"event_id", msEpoch($"ts").as("ms"))
+      val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+      e.withColumn("prev_ms", lag($"ms", 1).over(w))
+        .withColumn("prev_event", lag($"event_id", 1).over(w))
+        .filter($"prev_ms".isNotNull && $"ms" - $"prev_ms" > GapMs)
+        .select($"user_id", $"prev_event".as("last_event_id"),
+          $"prev_ms".as("start_ms"), $"ms".as("end_ms"),
+          ($"ms" - $"prev_ms").as("dur_ms"))
+        .orderBy($"user_id", $"start_ms")
     })
   )
 
@@ -429,6 +452,13 @@ object Windows {
        "leg_km / (dt_ms / 3600000.0) AS speed_kmh FROM l) " +
        "SELECT user_id, event_id, dt_ms, round(leg_km, 6) AS leg_km, " +
        "round(speed_kmh, 6) AS speed_kmh FROM v WHERE speed_kmh > 30000.0 " +
-       "ORDER BY user_id, event_id")
+       "ORDER BY user_id, event_id"),
+    "q_ts_outages" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_ms(date_trunc('milliseconds', ts)) AS ms FROM events), " +
+       "g AS (SELECT *, lag(ms) OVER w AS prev_ms, lag(event_id) OVER w AS prev_event FROM e " +
+       "WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)) " +
+       "SELECT user_id, prev_event AS last_event_id, prev_ms AS start_ms, ms AS end_ms, " +
+       "ms - prev_ms AS dur_ms FROM g WHERE prev_ms IS NOT NULL AND ms - prev_ms > 1800000 " +
+       "ORDER BY user_id, start_ms")
   )
 }

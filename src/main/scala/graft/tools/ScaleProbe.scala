@@ -124,7 +124,11 @@ object ScaleProbe {
       // with every other copy's by construction), so detected pairs
       // must grow ~k²-shaped — the probe verifies the detector finds
       // the planted structure, not output linearity
-      "q_geo_speeding", "q_geo_convoy")
+      "q_geo_speeding", "q_geo_convoy",
+      // r8 late: outages are per-user gaps (users disjoint per copy) —
+      // exactly k×; source_topterms output is 10 × |sources| — FLAT
+      // (copies keep the source set; the vocab-sized ranking claim)
+      "q_ts_outages", "q_llm_source_topterms")
 
     // GRAFT_SCALE_ONLY=q1,q2 narrows the run to a subset (new-operator
     // probes without re-timing the whole recorded family)
