@@ -78,6 +78,36 @@ object Projections {
       .select(col("event_id"), col("poly_id"))
   }
 
+  /** The convoy pair relation (see q_geo_convoy): device pairs
+    * co-located (same 6 h bucket, within 5°) in >= 3 distinct buckets.
+    * Shared by q_geo_convoy (the pair report) and q_geo_groups (CC
+    * over the pair graph). */
+  private def convoyPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val B = 21600000.0; val W = 5.0
+    val e = Tables.events(s, d).select($"user_id",
+      floor(msEpoch($"ts") / B).cast("long").as("bk"),
+      ($"value" % 180.0 - 90.0).as("lat"),
+      (($"event_id" % 3600) / 10.0 - 180.0).as("lon"))
+    val a = e
+      .withColumn("ci", floor($"lat" / W)).withColumn("cj", floor($"lon" / W))
+    val b = e.toDF("ub", "bk", "lat_b", "lon_b")
+      .withColumn("ci", explode(array((-1 to 1).map(dI =>
+        floor($"lat_b" / W) + dI): _*)))
+      .withColumn("cj", explode(array((-1 to 1).map(dJ =>
+        floor($"lon_b" / W) + dJ): _*)))
+    a.join(b, Seq("bk", "ci", "cj"))
+      .filter($"user_id" < $"ub" &&
+        sqrt(($"lat" - $"lat_b") * ($"lat" - $"lat_b") +
+             ($"lon" - $"lon_b") * ($"lon" - $"lon_b")) <= W)
+      .groupBy($"user_id", $"ub")
+      .agg(countDistinct($"bk").as("n_buckets"),
+        min($"bk").as("first_bk"), max($"bk").as("last_bk"))
+      .filter($"n_buckets" >= 3)
+      .select($"user_id".as("user_a"), $"ub".as("user_b"),
+        $"n_buckets", $"first_bk", $"last_bk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Nested-struct flatten with renames (timestamp→id, device_id→deviceId
@@ -444,31 +474,30 @@ object Projections {
     // multiple same-bucket encounters. No BNLJ, no all-pairs: the join
     // is per-(bucket, cell) products, linear-ish when fixes spread, and
     // both sides can be huge. Oracle affords the per-bucket quadratic.
-    "q_geo_convoy" -> ((s, d) => {
+    "q_geo_convoy" -> ((s, d) =>
+      convoyPairs(s, d).orderBy(col("user_a"), col("user_b"))),
+
+    // Travel-group resolution (r8): connected components over the
+    // convoy pair graph — "which devices form a traveling group", the
+    // fleet-analytics step convoy PAIRS alone don't answer (A–B and
+    // B–C pairs don't say {A,B,C} is one group). Reuses the
+    // DedupClusters operator verbatim (min-label propagation with
+    // pointer jumping, O(log diameter) rounds, lineage truncation) —
+    // the operator is graph-generic; this is its second domain.
+    // group_id = min user in the component, the dedup-canonical
+    // discipline. Oracle: the same recursive-CTE closure the dedup
+    // family uses, over the convoy CTE chain.
+    "q_geo_groups" -> ((s, d) => {
       import s.implicits._
-      val B = 21600000.0; val W = 5.0
-      val e = Tables.events(s, d).select($"user_id",
-        floor(msEpoch($"ts") / B).cast("long").as("bk"),
-        ($"value" % 180.0 - 90.0).as("lat"),
-        (($"event_id" % 3600) / 10.0 - 180.0).as("lon"))
-      val a = e
-        .withColumn("ci", floor($"lat" / W)).withColumn("cj", floor($"lon" / W))
-      val b = e.toDF("ub", "bk", "lat_b", "lon_b")
-        .withColumn("ci", explode(array((-1 to 1).map(dI =>
-          floor($"lat_b" / W) + dI): _*)))
-        .withColumn("cj", explode(array((-1 to 1).map(dJ =>
-          floor($"lon_b" / W) + dJ): _*)))
-      a.join(b, Seq("bk", "ci", "cj"))
-        .filter($"user_id" < $"ub" &&
-          sqrt(($"lat" - $"lat_b") * ($"lat" - $"lat_b") +
-               ($"lon" - $"lon_b") * ($"lon" - $"lon_b")) <= W)
-        .groupBy($"user_id", $"ub")
-        .agg(countDistinct($"bk").as("n_buckets"),
-          min($"bk").as("first_bk"), max($"bk").as("last_bk"))
-        .filter($"n_buckets" >= 3)
-        .select($"user_id".as("user_a"), $"ub".as("user_b"),
-          $"n_buckets", $"first_bk", $"last_bk")
-        .orderBy($"user_a", $"user_b")
+      import org.apache.spark.sql.expressions.Window
+      val pairs = convoyPairs(s, d)
+        .select($"user_a".as("doc_a"), $"user_b".as("doc_b"))
+      graft.operators.DedupClusters.resolve(s, pairs)
+        .withColumn("group_size",
+          count(lit(1)).over(Window.partitionBy($"canonical")))
+        .select($"doc_id".as("user_id"), $"canonical".as("group_id"),
+          $"group_size")
+        .orderBy($"user_id")
     }),
 
     // WKT point construction — lon first, C-style %f six-decimal
@@ -639,6 +668,24 @@ object Projections {
        "COUNT(*) AS n_fixes, " +
        "CAST(SUM(CASE WHEN prev_zone IS NULL OR prev_zone <> zone THEN 1 ELSE 0 END) AS BIGINT) AS n_visits " +
        "FROM t WHERE zone <> -1 GROUP BY user_id, zone ORDER BY user_id, zone"),
+    "q_geo_groups" ->
+      ("WITH RECURSIVE e AS (SELECT user_id, " +
+       "CAST(floor(epoch_ms(date_trunc('milliseconds', ts)) / 21600000.0) AS BIGINT) AS bk, " +
+       "value % 180.0 - 90.0 AS lat, (event_id % 3600) / 10.0 - 180.0 AS lon FROM events), " +
+       "p AS (SELECT a.user_id AS user_a, b.user_id AS user_b, a.bk " +
+       "FROM e a JOIN e b ON a.bk = b.bk AND a.user_id < b.user_id " +
+       "AND sqrt((a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon)) <= 5.0), " +
+       "g AS (SELECT user_a, user_b FROM p GROUP BY user_a, user_b " +
+       "HAVING COUNT(DISTINCT bk) >= 3), " +
+       "ed AS (SELECT user_a AS src, user_b AS dst FROM g " +
+       "UNION SELECT user_b, user_a FROM g), " +
+       "r AS (SELECT src, dst FROM ed " +
+       "UNION SELECT r.src, ed.dst FROM r JOIN ed ON r.dst = ed.src), " +
+       "reach AS (SELECT src AS user_id, dst FROM r UNION SELECT src, src FROM ed), " +
+       "lab AS (SELECT user_id, MIN(dst) AS group_id FROM reach GROUP BY user_id) " +
+       "SELECT user_id, group_id, " +
+       "COUNT(*) OVER (PARTITION BY group_id) AS group_size " +
+       "FROM lab ORDER BY user_id"),
     "q_geo_convoy" ->
       ("WITH e AS (SELECT user_id, " +
        "CAST(floor(epoch_ms(date_trunc('milliseconds', ts)) / 21600000.0) AS BIGINT) AS bk, " +
