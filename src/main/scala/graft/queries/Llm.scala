@@ -305,6 +305,31 @@ object Llm {
         .orderBy($"doc_a", $"doc_b")
     }),
 
+    // Train/test LEAKAGE detection (r8): MinHash near-dup pairs whose
+    // two docs land in DIFFERENT splits — the check a corpus build
+    // runs after splitting, because a test doc with a train near-dup
+    // invalidates the eval. Composes the verified minhash pair
+    // relation with q_llm_split's EXACT hash assignment (same
+    // md5("split#"+id) bucketing — leakage against any other split
+    // function would be vacuous). Cost: the pair relation (already
+    // tiny) + a narrow per-row hash — no new shuffle. Near-dup, not
+    // exact-shingle: the complement of q_llm_contamination, which
+    // catches verbatim overlap against a designated eval SET; this
+    // catches fuzzy duplication across a random split.
+    "q_llm_split_leakage" -> ((s, d) => {
+      import s.implicits._
+      def splitOf(c: Column): Column = {
+        val h = conv(substring(md5(concat(lit("split#"), c.cast("string"))), 1, 8),
+          16, 10).cast("long") % 10
+        when(h < 8, "train").when(h === 8, "val").otherwise("test")
+      }
+      minhashVerified(s, d)
+        .select($"doc_a", $"doc_b", round($"jaccard", 6).as("jaccard"),
+          splitOf($"doc_a").as("split_a"), splitOf($"doc_b").as("split_b"))
+        .filter($"split_a" =!= $"split_b")
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
     // Corpus-level (per-SOURCE) MinHash sketch — dataset dedup beyond
     // pairwise (SURVEY §7.3 "MinHash sketch Aggregator" row, closed by
     // COMPOSITION per the preference order: per-doc fused signature
@@ -700,6 +725,13 @@ object Llm {
 
   // ---- oracle twins ----
 
+  /** q_llm_split's exact hash bucketing as a SQL CASE — leakage checks
+    * must use the SAME split assignment the split query publishes. */
+  private def splitCaseSql(idCol: String): String =
+    s"(CASE WHEN CAST(('0x' || substr(md5('split#' || CAST($idCol AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 8 THEN 'train' " +
+    s"WHEN CAST(('0x' || substr(md5('split#' || CAST($idCol AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 8 THEN 'val' " +
+    "ELSE 'test' END)"
+
   private val shCte =
     "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
     "sh0 AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
@@ -809,6 +841,18 @@ object Llm {
        "FROM cand JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b) " +
        "SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM v WHERE jaccard >= 0.5 " +
        "ORDER BY doc_a, doc_b"),
+    "q_llm_split_leakage" ->
+      (shCte + ", " + minhashCandSql +
+       ", v AS (SELECT doc_a, doc_b, " +
+       "CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) / " +
+       "(len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jaccard " +
+       "FROM cand JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b), " +
+       "l AS (SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard, " +
+       splitCaseSql("doc_a") + " AS split_a, " +
+       splitCaseSql("doc_b") + " AS split_b " +
+       "FROM v WHERE jaccard >= 0.5) " +
+       "SELECT doc_a, doc_b, jaccard, split_a, split_b FROM l " +
+       "WHERE split_a <> split_b ORDER BY doc_a, doc_b"),
     "q_llm_minhash_estimate" ->
       (shCte + ", " + minhashCandSql +
        ", v AS (SELECT doc_a, doc_b, " +
