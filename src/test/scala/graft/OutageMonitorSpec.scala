@@ -1,0 +1,116 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.OutageMonitor
+import graft.streaming.OutageMonitor.{Fix, OutageEvent}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming outage monitor (r8): closed-outage intervals must equal
+  * the BATCH q_ts_outages dataflow; "dark" alerts must fire from the
+  * EVENT-TIME TIMER path — output produced with no input for the key,
+  * the capability none of the data-path monitors exercise. */
+class OutageMonitorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  implicit def sqlCtx = spark.sqlContext
+
+  // offset from epoch 0: the initial watermark is 0 and rows at
+  // event-time <= watermark are dropped as late — a t=0 fix would
+  // silently vanish with a 0-second delay
+  private def ts(m: Long): Timestamp = new Timestamp((1000 + m) * 60000L)
+
+  /** The q_ts_outages dataflow verbatim, over a (deviceId, eventId,
+    * tsMs) frame. */
+  private def batchOutages(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy($"deviceId").orderBy($"tsMs", $"eventId")
+    df
+      .withColumn("prev_ms", lag($"tsMs", 1).over(w))
+      .withColumn("prev_event", lag($"eventId", 1).over(w))
+      .filter($"prev_ms".isNotNull && $"tsMs" - $"prev_ms" > OutageMonitor.GapMs)
+      .select($"deviceId", lit("closed").as("kind"),
+        $"prev_event".as("lastEventId"), $"prev_ms".as("startMs"),
+        $"tsMs".as("endMs"), ($"tsMs" - $"prev_ms").as("durMs"))
+  }
+
+  test("closed outages == batch q_ts_outages dataflow; dark alert fires from the timer path") {
+    val in = MemoryStream[Fix]
+    val q = OutageMonitor(spark,
+        in.toDS().withWatermark("ts", "0 seconds").as[Fix])
+      .writeStream.format("memory").queryName("outage_out").outputMode("append").start()
+
+    // batch 1: A and B both report at t=0..5
+    in.addData(
+      Fix("A", 1L, ts(0), 0.0, 0.0),
+      Fix("A", 2L, ts(5), 0.1, 0.1),
+      Fix("B", 10L, ts(0), 5.0, 5.0))
+    q.processAllAvailable()
+    // batch 2: B reports at t=100 — advances the max event time to
+    // 100 min; A stays silent (its timer is armed at t=35)
+    in.addData(Fix("B", 11L, ts(100), 5.1, 5.1))
+    q.processAllAvailable()
+    // batch 3: watermark (computed from batch 2) now exceeds A's
+    // timer → the timeout path fires with NO input rows for A
+    in.addData(Fix("B", 12L, ts(101), 5.2, 5.2))
+    q.processAllAvailable()
+    val afterDark = spark.table("outage_out").as[OutageEvent].collect().toSet
+
+    // A's dark alert: last fix eventId=2 at t=5, outage still open
+    assert(afterDark.contains(
+        OutageEvent("A", "dark", 2L, ts(5).getTime, -1L, -1L)),
+      s"expected A dark alert, got $afterDark")
+    // B's 95-min silence between t=5's batch? no — B's own gap
+    // t=0 → t=100 is > 30 min and CLOSED by the t=100 fix
+    assert(afterDark.contains(
+        OutageEvent("B", "closed", 10L, ts(0).getTime, ts(100).getTime,
+          ts(100).getTime - ts(0).getTime)))
+    // exactly one dark alert per outage (timer not re-armed)
+    assert(afterDark.count(_.kind == "dark") == 1)
+
+    // batch 4: A returns at t=200 — the closing interval row appears
+    in.addData(Fix("A", 3L, ts(200), 0.2, 0.2))
+    q.processAllAvailable()
+    val all = spark.table("outage_out").as[OutageEvent].collect().toSet
+    q.stop()
+
+    val closedStream = all.filter(_.kind == "closed")
+    val fixes = Seq(
+      ("A", 1L, ts(0).getTime), ("A", 2L, ts(5).getTime),
+      ("A", 3L, ts(200).getTime),
+      ("B", 10L, ts(0).getTime), ("B", 11L, ts(100).getTime),
+      ("B", 12L, ts(101).getTime)).toDF("deviceId", "eventId", "tsMs")
+    val closedBatch = batchOutages(fixes).as[OutageEvent].collect().toSet
+    assert(closedBatch.nonEmpty)
+    assert(closedStream == closedBatch,
+      s"stream closed set diverged:\n stream=$closedStream\n batch=$closedBatch")
+    // A's outage was caught live AND closed: dark + closed pair up
+    assert(all.exists(e => e.deviceId == "A" && e.kind == "dark") &&
+      all.exists(e => e.deviceId == "A" && e.kind == "closed" && e.startMs == ts(5).getTime))
+  }
+
+  test("a fix arriving before the watermark passes the gap cancels the dark alert") {
+    val in = MemoryStream[Fix]
+    val q = OutageMonitor(spark,
+        in.toDS().withWatermark("ts", "0 seconds").as[Fix])
+      .writeStream.format("memory").queryName("outage_nodark_out").outputMode("append").start()
+    in.addData(Fix("C", 1L, ts(0), 0.0, 0.0))
+    q.processAllAvailable()
+    // C reports again at t=20 (inside the gap) — timer re-arms to t=50
+    in.addData(Fix("C", 2L, ts(20), 0.1, 0.1))
+    q.processAllAvailable()
+    // advance watermark to t=40 via another device: C's ORIGINAL timer
+    // (t=30) must NOT fire — it was re-armed to t=50
+    in.addData(Fix("D", 10L, ts(40), 9.0, 9.0))
+    q.processAllAvailable()
+    in.addData(Fix("D", 11L, ts(41), 9.0, 9.0))
+    q.processAllAvailable()
+    val events = spark.table("outage_nodark_out").as[OutageEvent].collect().toSet
+    q.stop()
+    assert(!events.exists(e => e.deviceId == "C"),
+      s"C should have no events (no gap exceeded, timer re-armed): $events")
+  }
+}
