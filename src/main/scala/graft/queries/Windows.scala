@@ -328,6 +328,44 @@ object Windows {
           $"prev_ms".as("start_ms"), $"ms".as("end_ms"),
           ($"ms" - $"prev_ms").as("dur_ms"))
         .orderBy($"user_id", $"start_ms")
+    }),
+
+    // Origin-destination matrix (r8): trips aggregated into (origin
+    // cell → destination cell) counts — the classic transport-planning
+    // view of a fix stream ("where do journeys start and end"). Trip
+    // reconstruction is the exact q_geo_trips lag chain; each trip's
+    // endpoints come from ONE order-independent min/max(struct)
+    // aggregate over the (ms, event_id) total order — no second
+    // window, partial-aggregable, the q_cdc_snapshot argmin
+    // discipline. Single-fix trips are excluded (origin == dest by
+    // construction carries no flow). Output is bounded by the cell
+    // grid (10° cells), not by fix volume.
+    "q_geo_od_matrix" -> ((s, d) => {
+      import s.implicits._
+      val GapMs = 1800000L
+      val CW = 10.0
+      val e = Tables.events(s, d).select($"user_id", $"event_id",
+        msEpoch($"ts").as("ms"),
+        ($"value" % 180.0 - 90.0).as("lat"),
+        (($"event_id" % 3600) / 10.0 - 180.0).as("lon"))
+      val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val t = e.withColumn("prev_ms", lag($"ms", 1).over(w))
+        .withColumn("new_trip",
+          when($"prev_ms".isNull || $"ms" - $"prev_ms" > GapMs, 1L).otherwise(0L))
+        .withColumn("trip_id", sum($"new_trip").over(run))
+      t.groupBy($"user_id", $"trip_id")
+        .agg(min(struct($"ms", $"event_id", $"lat", $"lon")).as("o"),
+          max(struct($"ms", $"event_id", $"lat", $"lon")).as("dd"),
+          count(lit(1)).as("nf"))
+        .filter($"nf" >= 2)
+        .select(floor($"o.lat" / CW).as("o_cell_lat"),
+          floor($"o.lon" / CW).as("o_cell_lon"),
+          floor($"dd.lat" / CW).as("d_cell_lat"),
+          floor($"dd.lon" / CW).as("d_cell_lon"))
+        .groupBy($"o_cell_lat", $"o_cell_lon", $"d_cell_lat", $"d_cell_lon")
+        .agg(count(lit(1)).as("n_trips"))
+        .orderBy($"o_cell_lat", $"o_cell_lon", $"d_cell_lat", $"d_cell_lon")
     })
   )
 
@@ -459,6 +497,25 @@ object Windows {
        "WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)) " +
        "SELECT user_id, prev_event AS last_event_id, prev_ms AS start_ms, ms AS end_ms, " +
        "ms - prev_ms AS dur_ms FROM g WHERE prev_ms IS NOT NULL AND ms - prev_ms > 1800000 " +
-       "ORDER BY user_id, start_ms")
+       "ORDER BY user_id, start_ms"),
+    "q_geo_od_matrix" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_ms(date_trunc('milliseconds', ts)) AS ms, " +
+       "value % 180.0 - 90.0 AS lat, (event_id % 3600) / 10.0 - 180.0 AS lon FROM events), " +
+       "g AS (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e), " +
+       "t AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_trip FROM g), " +
+       "tr AS (SELECT *, SUM(new_trip) OVER (PARTITION BY user_id ORDER BY ms, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS trip_id FROM t), " +
+       "r AS (SELECT *, row_number() OVER (PARTITION BY user_id, trip_id ORDER BY ms, event_id) AS rn_a, " +
+       "row_number() OVER (PARTITION BY user_id, trip_id ORDER BY ms DESC, event_id DESC) AS rn_d, " +
+       "COUNT(*) OVER (PARTITION BY user_id, trip_id) AS nf FROM tr), " +
+       "od AS (SELECT CAST(floor(o.lat / 10.0) AS BIGINT) AS o_cell_lat, " +
+       "CAST(floor(o.lon / 10.0) AS BIGINT) AS o_cell_lon, " +
+       "CAST(floor(dd.lat / 10.0) AS BIGINT) AS d_cell_lat, " +
+       "CAST(floor(dd.lon / 10.0) AS BIGINT) AS d_cell_lon " +
+       "FROM (SELECT * FROM r WHERE rn_a = 1 AND nf >= 2) o " +
+       "JOIN (SELECT * FROM r WHERE rn_d = 1) dd " +
+       "ON o.user_id = dd.user_id AND o.trip_id = dd.trip_id) " +
+       "SELECT o_cell_lat, o_cell_lon, d_cell_lat, d_cell_lon, COUNT(*) AS n_trips " +
+       "FROM od GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4")
   )
 }

@@ -128,7 +128,12 @@ object ScaleProbe {
       // r8 late: outages are per-user gaps (users disjoint per copy) —
       // exactly k×; source_topterms output is 10 × |sources| — FLAT
       // (copies keep the source set; the vocab-sized ranking claim)
-      "q_ts_outages", "q_llm_source_topterms")
+      "q_ts_outages", "q_llm_source_topterms",
+      // r8 late: groups output = users appearing in >= 1 convoy pair —
+      // EXACTLY k× (every user is in the dense planted graph) even
+      // though the pair graph itself grows ~k²; the CC operator's
+      // output is node-shaped, not edge-shaped
+      "q_geo_groups")
 
     // GRAFT_SCALE_ONLY=q1,q2 narrows the run to a subset (new-operator
     // probes without re-timing the whole recorded family)
