@@ -68,7 +68,14 @@ object PlanDump {
         "dataflow in four partition-aligned stages"),
       "q_llm_bpe_iter" -> ("iterated BPE (r8): 3 merge rounds, each = vocab-sized pair count + " +
         "1-row winner BROADCAST crossJoin + narrow replace map — the corpus collapses to (word, wc) " +
-        "once and nothing larger than the pair vocabulary ever shuffles again"))
+        "once and nothing larger than the pair vocabulary ever shuffles again"),
+      "q_geo_convoy" -> ("convoy co-travel detection (r8): (bucket, cell) EQUI-join with 9-cell " +
+        "neighborhood probe — the spatio-temporal grid pattern; no BNLJ with both sides the full " +
+        "fix stream, pair dedup by orientation filter, COUNT(DISTINCT bucket) partial-aggregable"),
+      "q_geo_od_matrix" -> ("origin-destination matrix (r8): trip lag chain + ONE order-independent " +
+        "min/max(struct) endpoint aggregate (no second window) + grid-bounded flow count"),
+      "q_llm_source_topterms" -> ("per-source top terms (r8): ranking window runs over the " +
+        "VOCAB-sized (source, term) relation — corpus-size-invariant; df relation shared with tfidf"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — final physical plans at sf0.1 (AQE-settled)\n\n")
