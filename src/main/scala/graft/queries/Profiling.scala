@@ -97,6 +97,30 @@ object Profiling {
         .filter(col("rk") <= 3)
         .select("col_name", "value", "n", "rk")
         .orderBy("col_name", "rk")
+    }),
+
+    // Pairwise Pearson correlation matrix (r8): the multivariate half
+    // of the profile — which numeric columns move together (feature
+    // redundancy, leaked derived columns, unit errors). ONE scan
+    // computes all C(4,2)=6 co-moment pairs as a single global
+    // partial-aggregable aggregate (constant-size partials — 100 TB
+    // ships six (n, Σx, Σy, Σxy, Σx², Σy²) tuples per split, never
+    // rows); the 1-row wide result unpivots to matrix long form via
+    // stack, driver-free. corr is co-moment-merged floating point in
+    // both engines, so values are pinned at 6 decimals — the same
+    // discipline q_agg_stats proved cross-engine.
+    "q_profile_corr" -> ((s, d) => {
+      val pairs = numCols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+      val wide = Tables.lineitem(s, d).agg(
+        round(corr(col(pairs.head._1), col(pairs.head._2)), 6).as("c0"),
+        pairs.tail.zipWithIndex.map { case ((a, b), i) =>
+          round(corr(col(a), col(b)), 6).as(s"c${i + 1}") }: _*)
+      val stackArgs = pairs.zipWithIndex
+        .map { case ((a, b), i) => s"'$a', '$b', c$i" }
+        .mkString(", ")
+      wide.selectExpr(
+          s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, corr_r)")
+        .orderBy(col("col_a"), col("col_b"))
     })
   )
 
@@ -120,6 +144,17 @@ object Profiling {
         "SELECT 'l_linestatus', l_linestatus, COUNT(*) FROM lineitem GROUP BY 2), " +
         "r AS (SELECT col_name, value, n, " +
         "row_number() OVER (PARTITION BY col_name ORDER BY n DESC, value ASC) AS rk FROM long) " +
-        "SELECT col_name, value, n, rk FROM r WHERE rk <= 3 ORDER BY col_name, rk")
+        "SELECT col_name, value, n, rk FROM r WHERE rk <= 3 ORDER BY col_name, rk"),
+    "q_profile_corr" -> {
+      val pairs = numCols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+      "WITH w AS (SELECT " +
+        pairs.zipWithIndex.map { case ((a, b), i) =>
+          s"round(corr($a, $b), 6) AS c$i" }.mkString(", ") +
+        " FROM lineitem) " +
+        pairs.zipWithIndex.map { case ((a, b), i) =>
+          s"SELECT '$a' AS col_a, '$b' AS col_b, c$i AS corr_r FROM w" }
+          .mkString(" UNION ALL ") +
+        " ORDER BY col_a, col_b"
+    }
   )
 }

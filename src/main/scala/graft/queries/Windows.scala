@@ -160,6 +160,44 @@ object Windows {
         .orderBy($"user_id", $"hr")
     }),
 
+    // Linear-interpolation gap-fill (r8): the sibling of q_ts_resample
+    // for signals where carry-forward is wrong (odometer, battery,
+    // temperature — anything that drifts BETWEEN fixes). Missing
+    // buckets get prev + (next - prev) * elapsed-fraction from the
+    // nearest observed buckets on each side; observed buckets keep
+    // their exact bucket mean. The grid spans each user's own
+    // [min, max] bucket, so interior gaps always have both neighbors
+    // and the CASE never leaves nulls. Both directional fills share
+    // one user-partitioned sort (two frames over the same ordering —
+    // one shuffle); the interpolation arithmetic is the same literal
+    // expression tree in both engines, so the doubles are bit-exact.
+    "q_ts_interpolate" -> ((s, d) => {
+      import s.implicits._
+      val B = 21600000.0
+      val e = Tables.events(s, d).select($"user_id",
+        floor(msEpoch($"ts") / B).cast("long").as("hr"), $"value")
+      val agg = e.groupBy($"user_id", $"hr")
+        .agg((sumd($"value") / count(lit(1))).as("v"), count(lit(1)).as("n"))
+      val grid = e.groupBy($"user_id").agg(min($"hr").as("h0"), max($"hr").as("h1"))
+        .select($"user_id", explode(sequence($"h0", $"h1")).as("hr"))
+      val wP = Window.partitionBy($"user_id").orderBy($"hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = Window.partitionBy($"user_id").orderBy($"hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      grid.join(agg, Seq("user_id", "hr"), "left")
+        .withColumn("obs_hr", when($"v".isNotNull, $"hr"))
+        .withColumn("prev_hr", last($"obs_hr", ignoreNulls = true).over(wP))
+        .withColumn("prev_v", last($"v", ignoreNulls = true).over(wP))
+        .withColumn("next_hr", first($"obs_hr", ignoreNulls = true).over(wF))
+        .withColumn("next_v", first($"v", ignoreNulls = true).over(wF))
+        .select($"user_id", $"hr", coalesce($"n", lit(0L)).as("n_events"),
+          when($"v".isNotNull, $"v").otherwise(
+            $"prev_v" + ($"next_v" - $"prev_v") *
+              (($"hr" - $"prev_hr").cast("double") /
+               ($"next_hr" - $"prev_hr").cast("double"))).as("v_lin"))
+        .orderBy($"user_id", $"hr")
+    }),
+
     // Trip segmentation + odometry (r7): THE GPS-telemetry analytics
     // query over the reference's fix stream — a >30 min silence splits
     // a device's fixes into trips (lag + running-sum flag, the
@@ -435,6 +473,25 @@ object Windows {
        "last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr " +
        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff " +
        "FROM j ORDER BY user_id, hr"),
+    "q_ts_interpolate" ->
+      ("WITH e AS (SELECT user_id, CAST(floor(epoch_ms(date_trunc('milliseconds', ts)) / 21600000.0) AS BIGINT) AS hr, value FROM events), " +
+       "agg AS (SELECT user_id, hr, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS v, COUNT(*) AS n FROM e GROUP BY user_id, hr), " +
+       "span AS (SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1 FROM e GROUP BY user_id), " +
+       "grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS hr FROM span), " +
+       "j AS (SELECT g.user_id, g.hr, COALESCE(n, 0) AS n_events, v, " +
+       "CASE WHEN v IS NOT NULL THEN g.hr END AS obs_hr FROM grid g " +
+       "LEFT JOIN agg a ON g.user_id = a.user_id AND g.hr = a.hr), " +
+       "f AS (SELECT user_id, hr, n_events, v, " +
+       "last_value(obs_hr IGNORE NULLS) OVER wp AS prev_hr, " +
+       "last_value(v IGNORE NULLS) OVER wp AS prev_v, " +
+       "first_value(obs_hr IGNORE NULLS) OVER wf AS next_hr, " +
+       "first_value(v IGNORE NULLS) OVER wf AS next_v FROM j " +
+       "WINDOW wp AS (PARTITION BY user_id ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+       "wf AS (PARTITION BY user_id ORDER BY hr ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+       "SELECT user_id, hr, CAST(n_events AS BIGINT) AS n_events, " +
+       "CASE WHEN v IS NOT NULL THEN v ELSE prev_v + (next_v - prev_v) * " +
+       "(CAST(hr - prev_hr AS DOUBLE) / CAST(next_hr - prev_hr AS DOUBLE)) END AS v_lin " +
+       "FROM f ORDER BY user_id, hr"),
     "q_geo_trips" ->
       ("WITH e AS (SELECT user_id, event_id, epoch_ms(date_trunc('milliseconds', ts)) AS ms, " +
        "value % 180.0 - 90.0 AS lat, (event_id % 3600) / 10.0 - 180.0 AS lon FROM events), " +
