@@ -500,6 +500,55 @@ object Projections {
         .orderBy($"user_id")
     }),
 
+    // Spatial hotspot regions (r8): density cells above a
+    // data-relative threshold (1.5× the global mean cell count),
+    // merged into contiguous regions via 8-neighbor adjacency — the
+    // "where does the fleet concentrate" heatmap-segmentation query,
+    // and the THIRD domain for the DedupClusters CC kernel (dedup
+    // graphs, convoy groups, now spatial regions). Scale shape: the
+    // only input-linear stage is the first cell groupBy (partial-agg
+    // shuffle of (cell, count) partials); everything after is bounded
+    // by the GRID (≤ 36×72 cells whatever the input volume) — the
+    // 9-key neighbor explode is an equi-join on cell key (no spatial
+    // cross join), and the CC fixpoint runs on a few hundred nodes.
+    // Threshold is sum/count in identical double arithmetic both
+    // engines; singleton dense cells (no dense neighbor) become their
+    // own hotspot via the left-join coalesce.
+    "q_geo_hotspots" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val C = 5.0
+      val cells = Tables.events(s, d).select(
+          floor(($"value" % 180.0 - 90.0) / C).cast("long").as("cell_lat"),
+          floor((($"event_id" % 3600) / 10.0 - 180.0) / C).cast("long").as("cell_lon"))
+        .groupBy($"cell_lat", $"cell_lon").agg(count(lit(1)).as("n_fixes"))
+      val thr = cells.agg(
+        (sum($"n_fixes").cast("double") / count(lit(1))).as("mean_n"))
+      val dense = cells.crossJoin(broadcast(thr))
+        .filter($"n_fixes" > $"mean_n" * 1.5)
+        .select($"cell_lat", $"cell_lon", $"n_fixes",
+          ($"cell_lat" * 1000 + $"cell_lon").as("k"))
+      val offsets = for { dy <- Seq(-1L, 0L, 1L); dx <- Seq(-1L, 0L, 1L)
+                          if !(dy == 0L && dx == 0L) } yield (dy, dx)
+      val nbr = dense.select($"k".as("k_a"), explode(array(offsets.map {
+          case (dy, dx) =>
+            ($"cell_lat" + dy) * 1000 + ($"cell_lon" + dx) }: _*)).as("k_b"))
+      val edges = nbr.join(dense.select($"k".as("k_b")), Seq("k_b"))
+        .filter($"k_a" < $"k_b")
+        .select($"k_a".as("doc_a"), $"k_b".as("doc_b"))
+      val labels = graft.operators.DedupClusters.resolve(s, edges)
+        .select(col("doc_id").as("k"), col("canonical"))
+      dense.join(labels, Seq("k"), "left")
+        .withColumn("hotspot_id", coalesce($"canonical", $"k"))
+        .withColumn("n_cells",
+          count(lit(1)).over(Window.partitionBy($"hotspot_id")))
+        .withColumn("hotspot_fixes",
+          sum($"n_fixes").over(Window.partitionBy($"hotspot_id")))
+        .select($"cell_lat", $"cell_lon", $"n_fixes", $"hotspot_id",
+          $"n_cells", $"hotspot_fixes")
+        .orderBy($"cell_lat", $"cell_lon")
+    }),
+
     // WKT point construction — lon first, C-style %f six-decimal
     // formatting, exactly the reference's fmt.Sprintf (main.go:210).
     "q_geo_wkt_point" -> ((s, d) => {
@@ -686,6 +735,26 @@ object Projections {
        "SELECT user_id, group_id, " +
        "COUNT(*) OVER (PARTITION BY group_id) AS group_size " +
        "FROM lab ORDER BY user_id"),
+    "q_geo_hotspots" ->
+      ("WITH RECURSIVE c AS (SELECT CAST(floor((value % 180.0 - 90.0) / 5.0) AS BIGINT) AS cell_lat, " +
+       "CAST(floor(((event_id % 3600) / 10.0 - 180.0) / 5.0) AS BIGINT) AS cell_lon FROM events), " +
+       "g AS (SELECT cell_lat, cell_lon, COUNT(*) AS n_fixes FROM c GROUP BY 1, 2), " +
+       "m AS (SELECT CAST(SUM(n_fixes) AS DOUBLE) / COUNT(*) AS mean_n FROM g), " +
+       "d AS (SELECT cell_lat, cell_lon, n_fixes, cell_lat * 1000 + cell_lon AS k " +
+       "FROM g, m WHERE n_fixes > mean_n * 1.5), " +
+       "e0 AS (SELECT a.k AS k_a, b.k AS k_b FROM d a JOIN d b " +
+       "ON abs(a.cell_lat - b.cell_lat) <= 1 AND abs(a.cell_lon - b.cell_lon) <= 1 AND a.k < b.k), " +
+       "ed AS (SELECT k_a AS src, k_b AS dst FROM e0 UNION SELECT k_b, k_a FROM e0), " +
+       "r AS (SELECT src, dst FROM ed " +
+       "UNION SELECT r.src, ed.dst FROM r JOIN ed ON r.dst = ed.src), " +
+       "reach AS (SELECT src AS k, dst FROM r UNION SELECT src, src FROM ed), " +
+       "lab AS (SELECT k, MIN(dst) AS canonical FROM reach GROUP BY k), " +
+       "mm AS (SELECT d.cell_lat, d.cell_lon, d.n_fixes, " +
+       "COALESCE(l.canonical, d.k) AS hotspot_id FROM d LEFT JOIN lab l ON d.k = l.k) " +
+       "SELECT cell_lat, cell_lon, n_fixes, hotspot_id, " +
+       "COUNT(*) OVER (PARTITION BY hotspot_id) AS n_cells, " +
+       "CAST(SUM(n_fixes) OVER (PARTITION BY hotspot_id) AS BIGINT) AS hotspot_fixes " +
+       "FROM mm ORDER BY cell_lat, cell_lon"),
     "q_geo_convoy" ->
       ("WITH e AS (SELECT user_id, " +
        "CAST(floor(epoch_ms(date_trunc('milliseconds', ts)) / 21600000.0) AS BIGINT) AS bk, " +
