@@ -511,6 +511,45 @@ object TextAnalysis {
           md5(concat_ws(" ", sort_array(array_distinct(toks($"text"))))).as("fingerprint"),
           size(array_distinct(toks($"text"))).cast("long").as("n_uniq"))
         .orderBy($"doc_id")
+    }),
+
+    // BM25 ranked retrieval (r8): the query-side complement of
+    // q_llm_tfidf — score every document against a fixed 4-term query
+    // (Lucene-variant IDF, k1=1.2, b=0.75), return the top 100. Scale
+    // shape: the term explode filters to the QUERY terms before the
+    // doc_id groupBy (the shuffle carries only hit partials); df and
+    // corpus stats are 1-row broadcasts; top-k plans as
+    // TakeOrderedAndProject (per-partition partial top-k — no global
+    // sort shuffle, no global window). Per-term score parts are summed
+    // in FIXED query order so float addition is bit-identical across
+    // engines; rank ties break on round-6 score then doc_id.
+    "q_llm_bm25" -> ((s, d) => {
+      import s.implicits._
+      val qTerms = Seq("dup", "spark", "batch", "window")
+      val docs = Tables.documents(s, d)
+      val dl = docs.select($"doc_id", size(toks(lower($"text"))).cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).cast(DoubleType).as("n_docs"),
+        (sum($"dl").cast(DoubleType) / count(lit(1))).as("avgdl"))
+      val hits = docs.select($"doc_id", explode(toks(lower($"text"))).as("term"))
+        .filter($"term".isin(qTerms: _*))
+      val tfAggs = qTerms.map(t =>
+        sum(when($"term" === t, 1L).otherwise(0L)).as(s"tf_$t"))
+      val tf = hits.groupBy($"doc_id").agg(tfAggs.head, tfAggs.tail: _*)
+      val dfAggs = qTerms.map(t =>
+        sum(when($"term" === t, 1L).otherwise(0L)).as(s"df_$t"))
+      val dfw = hits.select($"doc_id", $"term").distinct()
+        .agg(dfAggs.head, dfAggs.tail: _*)
+      val norm = lit(1.0) - lit(0.75) + lit(0.75) * $"dl" / $"avgdl"
+      val score = qTerms.map { t =>
+        log(($"n_docs" - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)) + lit(1.0)) *
+          (col(s"tf_$t") * lit(2.2)) / (col(s"tf_$t") + lit(1.2) * norm)
+      }.reduce(_ + _)
+      tf.join(dl, "doc_id")
+        .crossJoin(broadcast(dfw))
+        .crossJoin(broadcast(stats))
+        .select($"doc_id", round(score, 6).as("bm25"))
+        .orderBy($"bm25".desc, $"doc_id")
+        .limit(100)
     })
   )
 
@@ -705,6 +744,27 @@ object TextAnalysis {
        "FROM h GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) >= 2 ORDER BY span_hash"),
     "q_llm_fingerprint" ->
       ("SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint, " +
-       "len(list_distinct(string_split(text, ' '))) AS n_uniq FROM documents ORDER BY doc_id")
+       "len(list_distinct(string_split(text, ' '))) AS n_uniq FROM documents ORDER BY doc_id"),
+    "q_llm_bm25" -> {
+      val qTerms = Seq("dup", "spark", "batch", "window")
+      val inList = qTerms.map(t => s"'$t'").mkString(", ")
+      val tfCols = qTerms.map(t =>
+        s"SUM(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS tf_$t").mkString(", ")
+      val dfCols = qTerms.map(t =>
+        s"SUM(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS df_$t").mkString(", ")
+      val scoreSql = qTerms.map(t =>
+        s"ln((n_docs - df_$t + 0.5) / (df_$t + 0.5) + 1.0) * (tf_$t * 2.2) / " +
+          s"(tf_$t + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))").mkString(" + ")
+      "WITH dl AS (SELECT doc_id, len(string_split(lower(text), ' ')) AS dl FROM documents), " +
+        "st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl), " +
+        "hits AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents), " +
+        s"ft AS (SELECT doc_id, term FROM hits WHERE term IN ($inList)), " +
+        s"tf AS (SELECT doc_id, $tfCols FROM ft GROUP BY doc_id), " +
+        s"dfw AS (SELECT $dfCols FROM (SELECT DISTINCT doc_id, term FROM ft)), " +
+        "j AS (SELECT tf.*, dl.dl, dfw.*, st.* FROM tf " +
+        "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN dfw CROSS JOIN st) " +
+        s"SELECT doc_id, round($scoreSql, 6) AS bm25 FROM j " +
+        "ORDER BY bm25 DESC, doc_id LIMIT 100"
+    }
   )
 }
