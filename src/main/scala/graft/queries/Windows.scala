@@ -294,6 +294,37 @@ object Windows {
         .orderBy($"user_id", $"event_id")
     }),
 
+    // Lag-1 autocorrelation per device (r8): is the signal trending or
+    // white noise — the stationarity probe run before any forecasting
+    // model touches a telemetry series. Pearson r between consecutive
+    // (value, prev) pairs over the (ms, event_id) total order, computed
+    // from exact-decimal moments in one partial-agg shuffle (the
+    // q_ts_anomaly discipline — no engine corr(), so co-moment merge
+    // order can't smear float bits); zero-variance series are excluded
+    // by predicate on the exact moments, so no NaN crosses engines.
+    "q_ts_autocorr" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+      val p = Tables.events(s, d).filter($"value".isNotNull)
+        .select($"user_id", $"event_id", msEpoch($"ts").as("ms"), $"value")
+        .withColumn("prev", lag($"value", 1).over(w))
+        .filter($"prev".isNotNull)
+      p.groupBy($"user_id").agg(
+          count(lit(1)).as("n_pairs"),
+          sumd($"value").as("sx"), sumd($"prev").as("sy"),
+          sumd($"value" * $"value").as("sxx"),
+          sumd($"prev" * $"prev").as("syy"),
+          sumd($"value" * $"prev").as("sxy"))
+        .filter($"n_pairs" >= 3 &&
+          ($"n_pairs" * $"sxx" - $"sx" * $"sx") > 0 &&
+          ($"n_pairs" * $"syy" - $"sy" * $"sy") > 0)
+        .select($"user_id", $"n_pairs",
+          round(($"n_pairs" * $"sxy" - $"sx" * $"sy") /
+            sqrt(($"n_pairs" * $"sxx" - $"sx" * $"sx") *
+                 ($"n_pairs" * $"syy" - $"sy" * $"sy")), 6).as("autocorr_lag1"))
+        .orderBy($"user_id")
+    }),
+
     // Cohort retention: users grouped by first-active week, activity
     // counted per week-age. Two linear aggregates and one broadcast-
     // able join on user_id — the standard product-analytics query,
@@ -529,6 +560,20 @@ object Windows {
        "SELECT user_id, event_id, value, round((value - meanv) / sqrt(varv), 6) AS z " +
        "FROM j WHERE varv > 0 AND abs((value - meanv) / sqrt(varv)) > 2.0 " +
        "ORDER BY user_id, event_id"),
+    "q_ts_autocorr" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_ms(date_trunc('milliseconds', ts)) AS ms, value " +
+       "FROM events WHERE value IS NOT NULL), " +
+       "l AS (SELECT user_id, value, " +
+       "lag(value) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM e), " +
+       "p AS (SELECT user_id, value, prev FROM l WHERE prev IS NOT NULL), " +
+       "st AS (SELECT user_id, COUNT(*) AS n_pairs, " +
+       sqlSumd("value") + " AS sx, " + sqlSumd("prev") + " AS sy, " +
+       sqlSumd("value * value") + " AS sxx, " + sqlSumd("prev * prev") + " AS syy, " +
+       sqlSumd("value * prev") + " AS sxy FROM p GROUP BY user_id) " +
+       "SELECT user_id, n_pairs, " +
+       "round((n_pairs * sxy - sx * sy) / sqrt((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy)), 6) AS autocorr_lag1 " +
+       "FROM st WHERE n_pairs >= 3 AND (n_pairs * sxx - sx * sx) > 0 " +
+       "AND (n_pairs * syy - sy * sy) > 0 ORDER BY user_id"),
     "q_ts_retention" ->
       ("WITH e AS (SELECT DISTINCT user_id, CAST(floor(epoch_ms(date_trunc('milliseconds', ts)) / 604800000.0) AS BIGINT) AS wk FROM events), " +
        "c AS (SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY user_id) " +
