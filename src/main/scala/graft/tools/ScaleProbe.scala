@@ -133,7 +133,20 @@ object ScaleProbe {
       // EXACTLY k× (every user is in the dense planted graph) even
       // though the pair graph itself grows ~k²; the CC operator's
       // output is node-shaped, not edge-shaped
-      "q_geo_groups")
+      "q_geo_groups",
+      // r8 final: interpolate/autocorr are per-user (users disjoint
+      // per copy, series shapes preserved) — rows EXACTLY k×.
+      // hotspots: positions are preserved per copy, so copies pour k×
+      // fixes into the SAME cells while the data-relative threshold
+      // (1.5× mean) scales with them — the dense set, regions, and
+      // output rows must stay FLAT (hotspot structure is invariant
+      // under uniform fleet growth; only n_fixes columns grow).
+      // bm25: EVERY copy's tokens are suffixed (copy 0 included), so
+      // no document matches the query terms and rows=0 by
+      // construction — the probe times the k×-growing term-explode +
+      // df/stats scans on the empty-hit path (runtime must stay
+      // linear); the top-100 output bound is structural, not probed.
+      "q_ts_interpolate", "q_ts_autocorr", "q_geo_hotspots", "q_llm_bm25")
 
     // GRAFT_SCALE_ONLY=q1,q2 narrows the run to a subset (new-operator
     // probes without re-timing the whole recorded family)

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic pins for the r8-final query additions — properties the
+  * DuckDB hash-match can't express (it proves engine agreement, not
+  * that both engines compute the intended thing).
+  */
+class QueryPropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  val sf = TestSpark.sf
+
+  test("interpolate: total per-user grid, no nulls, observed buckets keep their mean") {
+    val out = queries.Windows.queries("q_ts_interpolate")(spark, sf).cache()
+    try {
+      // grid completeness: rows == Σ_users (max_hr - min_hr + 1)
+      val expected = Tables.events(spark, sf)
+        .select($"user_id",
+          floor(Determinism.msEpoch($"ts") / 21600000.0).cast("long").as("hr"))
+        .groupBy($"user_id").agg((max($"hr") - min($"hr") + 1).as("span"))
+        .agg(sum($"span")).collect()(0).getLong(0)
+      assert(out.count() === expected)
+      assert(out.filter($"v_lin".isNull).count() === 0)
+      // observed buckets carry their own mean (independent avg()
+      // spelling, float-order tolerance)
+      val means = Tables.events(spark, sf)
+        .select($"user_id",
+          floor(Determinism.msEpoch($"ts") / 21600000.0).cast("long").as("hr"),
+          $"value")
+        .groupBy($"user_id", $"hr").agg(avg($"value").as("m"))
+      val offMean = out.filter($"n_events" > 0)
+        .join(means, Seq("user_id", "hr"))
+        .filter(abs($"v_lin" - $"m") > 1e-6).count()
+      assert(offMean === 0)
+      // every interpolated point lies within [min, max] of its user's
+      // observed bucket means (convexity of linear interpolation)
+      val bounds = out.filter($"n_events" > 0)
+        .groupBy($"user_id").agg(min($"v_lin").as("lo"), max($"v_lin").as("hi"))
+      val violations = out.join(bounds, "user_id")
+        .filter($"v_lin" < $"lo" - lit(1e-9) || $"v_lin" > $"hi" + lit(1e-9))
+        .count()
+      assert(violations === 0)
+    } finally out.unpersist()
+  }
+
+  test("autocorr: |r| <= 1 and pair counts match the lag structure") {
+    val out = queries.Windows.queries("q_ts_autocorr")(spark, sf).cache()
+    try {
+      assert(out.filter(abs($"autocorr_lag1") > 1.000001).count() === 0)
+      // n_pairs per user == n_nonnull_values - 1 (one lag pair per
+      // consecutive element of the filtered series)
+      val perUser = Tables.events(spark, sf).filter($"value".isNotNull)
+        .groupBy($"user_id").agg((count(lit(1)) - 1).as("exp_pairs"))
+      val mismatches = out.join(perUser, "user_id")
+        .filter($"n_pairs" =!= $"exp_pairs").count()
+      assert(mismatches === 0)
+    } finally out.unpersist()
+  }
+
+  test("hotspots: regions are closed under 8-adjacency and labeled by their minimum") {
+    val out = queries.Projections.queries("q_geo_hotspots")(spark, sf).cache()
+    try {
+      val cells = out.select($"cell_lat", $"cell_lon",
+        ($"cell_lat" * 1000 + $"cell_lon").as("k"), $"hotspot_id").cache()
+      // adjacency closure: any two 8-adjacent dense cells share a label
+      val split = cells.alias("a").join(cells.alias("b"),
+          abs(col("a.cell_lat") - col("b.cell_lat")) <= 1 &&
+          abs(col("a.cell_lon") - col("b.cell_lon")) <= 1 &&
+          col("a.k") < col("b.k") &&
+          col("a.hotspot_id") =!= col("b.hotspot_id"))
+        .count()
+      assert(split === 0)
+      // canonical discipline: each hotspot_id is the min member key
+      val badLabel = cells.groupBy($"hotspot_id").agg(min($"k").as("mk"))
+        .filter($"hotspot_id" =!= $"mk").count()
+      assert(badLabel === 0)
+      cells.unpersist()
+    } finally out.unpersist()
+  }
+
+  test("bm25: every hit contains a query term; scores non-increasing; zero-hit docs absent") {
+    val qTerms = Seq("dup", "spark", "batch", "window")
+    val out = queries.TextAnalysis.queries("q_llm_bm25")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    val scores = out.map(_.getAs[Double]("bm25"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    val hitDocs = Tables.documents(spark, sf)
+      .select($"doc_id", split(lower($"text"), " ").as("tk"))
+      .filter(arrays_overlap($"tk", array(qTerms.map(lit): _*)))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out.map(_.getAs[Long]("doc_id")).forall(hitDocs.contains))
+  }
+}
