@@ -50,6 +50,39 @@ object SqlSurface {
     "GROUP BY c_custkey, c_name, n_name " +
     "ORDER BY revenue DESC, c_custkey LIMIT 20"
 
+  /** TPC-H Q5-shaped local-supplier revenue (r8): the full SIX-table
+    * join with the correlated supplier condition (c_nationkey =
+    * s_nationkey — supplier and customer in the SAME nation), the
+    * hardest join-order problem in the surface. Catalyst reorders
+    * freely; nation/region broadcast; the date range prunes orders at
+    * the scan. */
+  val q5Sql: String =
+    "SELECT n_name, " +
+    "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue, " +
+    "COUNT(*) AS n_items " +
+    "FROM customer JOIN orders ON c_custkey = o_custkey " +
+    "JOIN lineitem ON l_orderkey = o_orderkey " +
+    "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+    "JOIN nation ON s_nationkey = n_nationkey " +
+    "JOIN region ON n_regionkey = r_regionkey " +
+    "WHERE r_name = 'ASIA' " +
+    "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+    "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' " +
+    "GROUP BY n_name ORDER BY revenue DESC, n_name"
+
+  /** Window function through the SQL text (r8) — pins that the SQL
+    * surface reaches WindowExec with the same semantics as the
+    * DataFrame window family. row_number is CAST to BIGINT inside the
+    * shared text (Spark returns INT, DuckDB BIGINT — the cast makes
+    * the one text agree on both). */
+  val windowRankSql: String =
+    "SELECT n_name, rk, c_custkey, c_name, c_acctbal FROM (" +
+    "SELECT n_name, c_custkey, c_name, c_acctbal, " +
+    "CAST(row_number() OVER (PARTITION BY n_name " +
+    "ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rk " +
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey) " +
+    "WHERE rk <= 3 ORDER BY n_name, rk"
+
   /** CTE + scalar subquery (decorrelation surface). */
   val cteSubquerySql: String =
     "WITH big AS (SELECT o_custkey, COUNT(*) AS n_big FROM orders " +
@@ -83,6 +116,12 @@ object SqlSurface {
     }),
     "q_sql_tpch_q10ish" -> ((s, d) => {
       registerAll(s, d); s.sql(q10Sql)
+    }),
+    "q_sql_tpch_q5ish" -> ((s, d) => {
+      registerAll(s, d); s.sql(q5Sql)
+    }),
+    "q_sql_window_rank" -> ((s, d) => {
+      registerAll(s, d); s.sql(windowRankSql)
     })
   )
 
@@ -91,6 +130,8 @@ object SqlSurface {
     "q_sql_exists_correlated" -> existsCorrelatedSql,
     "q_sql_cte_subquery" -> cteSubquerySql,
     "q_sql_tpch_q3ish" -> q3Sql,
-    "q_sql_tpch_q10ish" -> q10Sql
+    "q_sql_tpch_q10ish" -> q10Sql,
+    "q_sql_tpch_q5ish" -> q5Sql,
+    "q_sql_window_rank" -> windowRankSql
   )
 }
