@@ -638,6 +638,33 @@ object Llm {
         .orderBy($"canonical")
     }),
 
+    // End-to-end corpus dedup (r8): THE deliverable of the dedup
+    // family — the surviving corpus itself (never-paired docs plus
+    // each cluster's keeper), not a pair/cluster report. Composes the
+    // shared near-dup pair relation → DedupClusters → the keep-best
+    // max(struct) discipline, then removes losers with an ANTI join.
+    // Scale shape: the loser relation is near-dup-loser-sized (≪
+    // corpus — dedup rates are single-digit %% in practice), so the
+    // anti join broadcasts under AQE; nothing in the pipeline touches
+    // full text except the shingle pass already shared with the other
+    // dedup queries.
+    "q_llm_corpus_dedup" -> ((s, d) => {
+      import s.implicits._
+      val pairs = ngramPairScores(s, d).select($"doc_a", $"doc_b")
+      val labels = graft.operators.DedupClusters.resolve(s, pairs)
+      val docs = Tables.documents(s, d)
+      val keepers = labels
+        .join(docs.select($"doc_id", $"n_chars"), "doc_id")
+        .groupBy($"canonical")
+        .agg(max(struct($"n_chars", (lit(0L) - $"doc_id").as("neg_id"))).as("w"))
+        .select((lit(0L) - $"w.neg_id").as("doc_id"))
+      val losers = labels.select($"doc_id")
+        .join(keepers, Seq("doc_id"), "left_anti")
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"source", $"lang", $"n_chars")
+        .orderBy($"doc_id")
+    }),
+
     // Token-budget shard packing: assign docs (in deterministic doc_id
     // order) to ~10k-token training shards via an EXACT distributed
     // prefix sum — operators.PrefixSum's recursive multi-level scan
@@ -951,6 +978,23 @@ object Llm {
        "cs AS (SELECT canonical, COUNT(*) AS cluster_size FROM lab GROUP BY canonical) " +
        "SELECT cs.canonical, cs.cluster_size, q.doc_id AS keeper, q.n_chars AS keeper_chars " +
        "FROM cs JOIN q ON q.canonical = cs.canonical AND q.rn = 1 ORDER BY cs.canonical"),
+    "q_llm_corpus_dedup" ->
+      ("WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+       "sh0 AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
+       "for i in range(1, len(toks) - 1)]) AS shingles FROM t), " +
+       "sh AS (SELECT * FROM sh0 WHERE len(shingles) > 0), " + ngramPairSql +
+       ", pairs AS (SELECT doc_a, doc_b FROM v WHERE jaccard >= 0.2), " +
+       "e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
+       "r AS (SELECT src, dst FROM e UNION SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src), " +
+       "reach AS (SELECT src AS doc_id, dst FROM r UNION SELECT src, src FROM e), " +
+       "lab AS (SELECT doc_id, MIN(dst) AS canonical FROM reach GROUP BY doc_id), " +
+       "q AS (SELECT lab.canonical, lab.doc_id, " +
+       "row_number() OVER (PARTITION BY lab.canonical ORDER BY d.n_chars DESC, lab.doc_id ASC) AS rn " +
+       "FROM lab JOIN documents d ON d.doc_id = lab.doc_id), " +
+       "losers AS (SELECT doc_id FROM q WHERE rn > 1) " +
+       "SELECT d.doc_id, d.source, d.lang, d.n_chars FROM documents d " +
+       "LEFT JOIN losers l ON d.doc_id = l.doc_id WHERE l.doc_id IS NULL " +
+       "ORDER BY d.doc_id"),
     "q_llm_pack_shards" ->
       ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents), " +
        "c AS (SELECT doc_id, nt, CAST(sum(nt) OVER (ORDER BY doc_id " +
