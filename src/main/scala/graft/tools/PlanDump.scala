@@ -75,7 +75,18 @@ object PlanDump {
       "q_geo_od_matrix" -> ("origin-destination matrix (r8): trip lag chain + ONE order-independent " +
         "min/max(struct) endpoint aggregate (no second window) + grid-bounded flow count"),
       "q_llm_source_topterms" -> ("per-source top terms (r8): ranking window runs over the " +
-        "VOCAB-sized (source, term) relation — corpus-size-invariant; df relation shared with tfidf"))
+        "VOCAB-sized (source, term) relation — corpus-size-invariant; df relation shared with tfidf"),
+      "q_ts_interpolate" -> ("linear gap-fill (r8): BOTH directional ignoreNulls fills compute in " +
+        "ONE Window node over one user-partitioned sort; bucket means broadcast onto the grid"),
+      "q_geo_hotspots" -> ("hotspot segmentation (r8): input-linear cell aggregate, then a " +
+        "GRID-bounded dense relation — 9-key neighbor explode equi-join (no spatial cross join) " +
+        "feeding the CC fixpoint; 1-row threshold broadcast"),
+      "q_llm_bm25" -> ("BM25 retrieval (r8): query-term filter BEFORE the doc groupBy (shuffle " +
+        "carries hit partials only); df/stats 1-row broadcasts; top-100 is TakeOrderedAndProject"),
+      "q_sql_tpch_q5ish" -> ("full Q5 six-table join through the SQL text (r8): all-BHJ star at " +
+        "this SF, date range pushed to the orders scan, Catalyst free to reorder"),
+      "q_llm_corpus_dedup" -> ("end-to-end corpus dedup (r8): pair relation -> CC -> keep-best " +
+        "max(struct) -> ANTI join; loser side is dedup-rate-sized so AQE broadcasts it"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — final physical plans at sf0.1 (AQE-settled)\n\n")
