@@ -524,10 +524,14 @@ object Projections {
         .groupBy($"cell_lat", $"cell_lon").agg(count(lit(1)).as("n_fixes"))
       val thr = cells.agg(
         (sum($"n_fixes").cast("double") / count(lit(1))).as("mean_n"))
-      val dense = cells.crossJoin(broadcast(thr))
+      // CacheScope: dense is referenced three times (neighbor explode,
+      // equi-join probe side, final membership join) — without the
+      // cache each reference re-derives the full cell aggregate and
+      // its 1-row threshold broadcast (3 scans + 3 BNLJs in the plan)
+      val dense = graft.CacheScope.local(cells.crossJoin(broadcast(thr))
         .filter($"n_fixes" > $"mean_n" * 1.5)
         .select($"cell_lat", $"cell_lon", $"n_fixes",
-          ($"cell_lat" * 1000 + $"cell_lon").as("k"))
+          ($"cell_lat" * 1000 + $"cell_lon").as("k")))
       val offsets = for { dy <- Seq(-1L, 0L, 1L); dx <- Seq(-1L, 0L, 1L)
                           if !(dy == 0L && dx == 0L) } yield (dy, dx)
       val nbr = dense.select($"k".as("k_a"), explode(array(offsets.map {

@@ -271,4 +271,49 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop"),
       "no pair/shuffle join in a linear centroid scan")
   }
+
+  test("interpolate computes both directional fills in ONE Window node") {
+    // the preceding last() and following first() frames share the
+    // (user_id, hr) sort — two Window nodes would mean a second sort
+    // (and with a reversed ordering, a second shuffle) at 100 TB
+    // the AQE plan string appends the pre-adaptive "Initial Plan" —
+    // count Window nodes in the final section only
+    val p = finalPlan("q_ts_interpolate").split("== Initial Plan ==")(0)
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    assert(windows === 1, s"expected exactly one Window node, saw $windows:\n$p")
+  }
+
+  test("bm25 ranks via TakeOrderedAndProject with no global sort or window") {
+    val p = finalPlan("q_llm_bm25")
+    assert(p.contains("TakeOrderedAndProject"), "top-100 must partial-top-k")
+    assert(!p.contains("row_number"), "no rank window in the retrieval path")
+  }
+
+  test("hotspot neighbor candidates come from an equi-join, not a spatial cross join") {
+    // the 9-key explode turns 8-adjacency into key equality; with
+    // broadcast off the neighbor join must still be partitionable
+    // (SMJ/SHJ). The query's ONE allowed nested-loop is the 1-ROW
+    // threshold broadcast (crossJoin(broadcast(thr))) — assert no
+    // OTHER nested loop and no cartesian product appears.
+    val c1 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val p = finalPlan("q_geo_hotspots").split("== Initial Plan ==")(0)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "the dense-cell neighbor join must be a partitionable equi-join")
+      assert(!p.contains("CartesianProduct"), "no cartesian product anywhere")
+      val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+      assert(bnlj <= 1, s"only the 1-row threshold cross join may nest-loop, saw $bnlj")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", c1)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("corpus_dedup removes losers with an anti join (no except/window)") {
+    val p = finalPlan("q_llm_corpus_dedup")
+    assert(p.contains("LeftAnti"), "loser removal must be an anti join")
+    assert(!p.contains("row_number"), "keep-best stays the max(struct) aggregate")
+  }
 }
