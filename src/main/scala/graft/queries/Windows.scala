@@ -325,6 +325,27 @@ object Windows {
         .orderBy($"user_id")
     }),
 
+    // Seasonal activity profile (r8): fleet load by hour-of-day ×
+    // day-of-week — the capacity-planning heatmap every telemetry
+    // operator keeps. Derived with PURE ms arithmetic (epoch day 0 =
+    // Thursday → dow = (days + 4) % 7 gives 0=Sunday), never engine
+    // timezone/calendar functions, so both engines compute the same
+    // integers from the same ms. One bounded-cardinality (≤168 rows)
+    // partial-agg shuffle; exact-decimal value sums.
+    "q_ts_seasonal" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d).select($"user_id", $"value",
+        msEpoch($"ts").as("ms"))
+        .withColumn("hour_of_day", floor($"ms" / 3600000.0).cast("long") % 24)
+        .withColumn("day_of_week",
+          (floor($"ms" / 86400000.0).cast("long") + 4) % 7)
+      e.groupBy($"day_of_week", $"hour_of_day")
+        .agg(count(lit(1)).as("n_fixes"),
+          countDistinct($"user_id").as("n_devices"),
+          sumd($"value").as("sum_value"))
+        .orderBy($"day_of_week", $"hour_of_day")
+    }),
+
     // Cohort retention: users grouped by first-active week, activity
     // counted per week-age. Two linear aggregates and one broadcast-
     // able join on user_id — the standard product-analytics query,
@@ -574,6 +595,14 @@ object Windows {
        "round((n_pairs * sxy - sx * sy) / sqrt((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy)), 6) AS autocorr_lag1 " +
        "FROM st WHERE n_pairs >= 3 AND (n_pairs * sxx - sx * sx) > 0 " +
        "AND (n_pairs * syy - sy * sy) > 0 ORDER BY user_id"),
+    "q_ts_seasonal" ->
+      ("WITH e AS (SELECT user_id, value, epoch_ms(date_trunc('milliseconds', ts)) AS ms FROM events), " +
+       "h AS (SELECT user_id, value, " +
+       "CAST(floor(ms / 3600000.0) AS BIGINT) % 24 AS hour_of_day, " +
+       "(CAST(floor(ms / 86400000.0) AS BIGINT) + 4) % 7 AS day_of_week FROM e) " +
+       "SELECT day_of_week, hour_of_day, COUNT(*) AS n_fixes, " +
+       "COUNT(DISTINCT user_id) AS n_devices, " + sqlSumd("value") + " AS sum_value " +
+       "FROM h GROUP BY day_of_week, hour_of_day ORDER BY day_of_week, hour_of_day"),
     "q_ts_retention" ->
       ("WITH e AS (SELECT DISTINCT user_id, CAST(floor(epoch_ms(date_trunc('milliseconds', ts)) / 604800000.0) AS BIGINT) AS wk FROM events), " +
        "c AS (SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY user_id) " +
