@@ -397,6 +397,43 @@ object Windows {
         .orderBy($"user_id", $"event_id")
     }),
 
+    // Compass bearing + turn angle (r8): per-leg initial great-circle
+    // bearing (the standard atan2 formulation, degrees 0–360) and the
+    // signed turn vs the previous leg (normalized to [-180, 180)) —
+    // the heading analytics the reference's bearing field
+    // (main.go:105-106) implies but never computes. Same leg
+    // discipline as q_geo_speeding (consecutive fixes ≤ 30 min apart);
+    // both lag passes share one user-partitioned sort. Transcendentals
+    // round(6), the established cross-engine discipline; first leg's
+    // turn is NULL in both engines.
+    "q_geo_bearing" -> ((s, d) => {
+      import s.implicits._
+      val GapMs = 1800000L
+      val e = Tables.events(s, d).select($"user_id", $"event_id",
+        msEpoch($"ts").as("ms"),
+        ($"value" % 180.0 - 90.0).as("lat"),
+        (($"event_id" % 3600) / 10.0 - 180.0).as("lon"))
+      val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+      val legs = e.withColumn("prev_ms", lag($"ms", 1).over(w))
+        .withColumn("prev_lat", lag($"lat", 1).over(w))
+        .withColumn("prev_lon", lag($"lon", 1).over(w))
+        .filter($"prev_ms".isNotNull && $"ms" > $"prev_ms" &&
+          $"ms" - $"prev_ms" <= GapMs)
+        .withColumn("brg",
+          (degrees(atan2(
+            sin(radians($"lon" - $"prev_lon")) * cos(radians($"lat")),
+            cos(radians($"prev_lat")) * sin(radians($"lat")) -
+              sin(radians($"prev_lat")) * cos(radians($"lat")) *
+                cos(radians($"lon" - $"prev_lon"))))
+            % 360.0 + 360.0) % 360.0)
+      legs.withColumn("prev_brg", lag($"brg", 1).over(w))
+        .select($"user_id", $"event_id",
+          round($"brg", 6).as("bearing_deg"),
+          round((($"brg" - $"prev_brg") % 360.0 + 540.0) % 360.0 - 180.0, 6)
+            .as("turn_deg"))
+        .orderBy($"user_id", $"event_id")
+    }),
+
     // Heartbeat-outage report (r8): the silences themselves — per
     // device, every gap > 30 min between consecutive fixes as an
     // interval row (when did the device go dark, for how long). The
@@ -622,6 +659,23 @@ object Windows {
        "SELECT user_id, event_id, dt_ms, round(leg_km, 6) AS leg_km, " +
        "round(speed_kmh, 6) AS speed_kmh FROM v WHERE speed_kmh > 30000.0 " +
        "ORDER BY user_id, event_id"),
+    "q_geo_bearing" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_ms(date_trunc('milliseconds', ts)) AS ms, " +
+       "value % 180.0 - 90.0 AS lat, (event_id % 3600) / 10.0 - 180.0 AS lon FROM events), " +
+       "g AS (SELECT *, lag(ms) OVER w AS prev_ms, lag(lat) OVER w AS prev_lat, " +
+       "lag(lon) OVER w AS prev_lon FROM e " +
+       "WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)), " +
+       "l AS (SELECT user_id, event_id, ms, " +
+       "(degrees(atan2(sin(radians(lon - prev_lon)) * cos(radians(lat)), " +
+       "cos(radians(prev_lat)) * sin(radians(lat)) - " +
+       "sin(radians(prev_lat)) * cos(radians(lat)) * cos(radians(lon - prev_lon)))) " +
+       "% 360.0 + 360.0) % 360.0 AS brg FROM g " +
+       "WHERE prev_ms IS NOT NULL AND ms > prev_ms AND ms - prev_ms <= 1800000), " +
+       "t AS (SELECT user_id, event_id, brg, " +
+       "lag(brg) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_brg FROM l) " +
+       "SELECT user_id, event_id, round(brg, 6) AS bearing_deg, " +
+       "round(((brg - prev_brg) % 360.0 + 540.0) % 360.0 - 180.0, 6) AS turn_deg " +
+       "FROM t ORDER BY user_id, event_id"),
     "q_ts_outages" ->
       ("WITH e AS (SELECT user_id, event_id, epoch_ms(date_trunc('milliseconds', ts)) AS ms FROM events), " +
        "g AS (SELECT *, lag(ms) OVER w AS prev_ms, lag(event_id) OVER w AS prev_event FROM e " +
