@@ -5,7 +5,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** SURVEY §2.12 — data profiling: the ANALYZE-shaped operators a
   * 100 TB pipeline runs before anything else touches a new table
@@ -121,6 +121,44 @@ object Profiling {
       wide.selectExpr(
           s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, corr_r)")
         .orderBy(col("col_a"), col("col_b"))
+    }),
+
+    // Shannon entropy per categorical column (r8): the information
+    // content of a column's value distribution — the profiling signal
+    // that separates a near-constant column (H→0, droppable/encodable)
+    // from a high-entropy key, plus the cardinality-normalized form
+    // (H / log2(n_distinct)) that compares columns of different arity.
+    // Scale: per-column value counts are partial-agg groupBys on
+    // bounded-cardinality keys (shuffles (value, partial) pairs, never
+    // rows); the entropy fold then runs over the tiny (col, value, n)
+    // relation. Determinism: p = n/N is an exact IEEE division of
+    // integers, log2 is pinned at 6 decimals per value, the per-value
+    // terms go through DECIMAL so summation order can't drift
+    // (the q_llm_unigram_lm discipline), and the final H is rounded
+    // once more at 6.
+    "q_profile_entropy" -> ((s, d) => {
+      val catCols = Seq("l_returnflag", "l_linestatus")
+      val li = Tables.lineitem(s, d)
+      val long = catCols.map(c =>
+        li.groupBy(col(c).as("value")).agg(count(lit(1)).as("n"))
+          .select(lit(c).as("col_name"), col("value"), col("n")))
+        .reduce(_ unionByName _)
+      val tot = long.groupBy(col("col_name"))
+        .agg(sum(col("n")).cast(DoubleType).as("n_total"),
+          count(lit(1)).cast(LongType).as("n_distinct"))
+      val h = long.join(tot, "col_name")
+        .withColumn("p", col("n").cast(DoubleType) / col("n_total"))
+        .withColumn("logp", round(log2(col("p")), 6))
+        .groupBy(col("col_name"), col("n_distinct"))
+        .agg(round(-(sum(graft.Determinism.dec(col("p") * col("logp")))
+          .cast(DoubleType)), 6).as("entropy_bits"))
+      h.withColumn("norm_entropy",
+          when(col("n_distinct") > 1,
+            round(col("entropy_bits") /
+              round(log2(col("n_distinct").cast(DoubleType)), 6), 6))
+            .otherwise(lit(0.0)))
+        .select("col_name", "n_distinct", "entropy_bits", "norm_entropy")
+        .orderBy("col_name")
     })
   )
 
@@ -155,6 +193,23 @@ object Profiling {
           s"SELECT '$a' AS col_a, '$b' AS col_b, c$i AS corr_r FROM w" }
           .mkString(" UNION ALL ") +
         " ORDER BY col_a, col_b"
-    }
+    },
+    "q_profile_entropy" ->
+      ("WITH long AS (" +
+        "SELECT 'l_returnflag' AS col_name, l_returnflag AS value, COUNT(*) AS n FROM lineitem GROUP BY 2 " +
+        "UNION ALL " +
+        "SELECT 'l_linestatus', l_linestatus, COUNT(*) FROM lineitem GROUP BY 2), " +
+        "tot AS (SELECT col_name, CAST(SUM(n) AS DOUBLE) AS n_total, COUNT(*) AS n_distinct " +
+        "FROM long GROUP BY col_name), " +
+        "term AS (SELECT long.col_name, n_distinct, CAST(n AS DOUBLE) / n_total AS p, " +
+        "round(log2(CAST(n AS DOUBLE) / n_total), 6) AS logp " +
+        "FROM long JOIN tot ON long.col_name = tot.col_name), " +
+        "h AS (SELECT col_name, n_distinct, " +
+        "round(-CAST(SUM(CAST(p * logp AS DECIMAL(38,6))) AS DOUBLE), 6) AS entropy_bits " +
+        "FROM term GROUP BY col_name, n_distinct) " +
+        "SELECT col_name, n_distinct, entropy_bits, " +
+        "CASE WHEN n_distinct > 1 THEN round(entropy_bits / round(log2(CAST(n_distinct AS DOUBLE)), 6), 6) " +
+        "ELSE 0.0 END AS norm_entropy " +
+        "FROM h ORDER BY col_name")
   )
 }

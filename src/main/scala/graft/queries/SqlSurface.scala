@@ -83,6 +83,23 @@ object SqlSurface {
     "FROM customer JOIN nation ON c_nationkey = n_nationkey) " +
     "WHERE rk <= 3 ORDER BY n_name, rk"
 
+  /** TPC-H Q18-shaped large-quantity orders (r8): the IN-subquery-
+    * with-HAVING pattern — Spark rewrites the grouped IN subquery to
+    * a semi join against the re-aggregated lineitem, so the same
+    * lineitem relation is scanned twice with different shapes (one
+    * aggregate, one probe). Decimal-exact quantity sums both places;
+    * the 250.0 threshold keeps the survivor set non-trivial at every
+    * SF (204 orders at sf0.01). */
+  val q18Sql: String =
+    "SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS odate, o_totalprice, " +
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty " +
+    "FROM customer JOIN orders ON c_custkey = o_custkey " +
+    "JOIN lineitem ON o_orderkey = l_orderkey " +
+    "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey " +
+    "HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 250.0) " +
+    "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice " +
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
+
   /** CTE + scalar subquery (decorrelation surface). */
   val cteSubquerySql: String =
     "WITH big AS (SELECT o_custkey, COUNT(*) AS n_big FROM orders " +
@@ -122,6 +139,9 @@ object SqlSurface {
     }),
     "q_sql_window_rank" -> ((s, d) => {
       registerAll(s, d); s.sql(windowRankSql)
+    }),
+    "q_sql_tpch_q18ish" -> ((s, d) => {
+      registerAll(s, d); s.sql(q18Sql)
     })
   )
 
@@ -132,6 +152,7 @@ object SqlSurface {
     "q_sql_tpch_q3ish" -> q3Sql,
     "q_sql_tpch_q10ish" -> q10Sql,
     "q_sql_tpch_q5ish" -> q5Sql,
-    "q_sql_window_rank" -> windowRankSql
+    "q_sql_window_rank" -> windowRankSql,
+    "q_sql_tpch_q18ish" -> q18Sql
   )
 }

@@ -550,6 +550,34 @@ object TextAnalysis {
         .select($"doc_id", round(score, 6).as("bm25"))
         .orderBy($"bm25".desc, $"doc_id")
         .limit(100)
+    }),
+
+    // Bigram language model (r8): corpus-wide conditional next-token
+    // probabilities P(w2|w1) = c(w1,w2) / c(w1,·), top-30 bigrams —
+    // the n=2 step from q_llm_unigram_lm toward the n-gram LM family
+    // (perplexity filtering, domain detection). The bigram expansion
+    // is a NARROW per-row transform (no posexplode+self-join: each
+    // doc's token array zips with its own tail in place), then two
+    // partial-agg shuffles — (w1,w2) counts, and w1 margins over the
+    // already-collapsed vocab²-bounded pair relation; the margin
+    // relation is vocab-sized so the corpus-size broadcast gate
+    // applies. Counts stay integer until one IEEE division; top-30 is
+    // a total-ordered TakeOrderedAndProject, never a full sort.
+    "q_llm_bigram_lm" -> ((s, d) => {
+      import s.implicits._
+      val bi = Tables.documents(s, d)
+        .select(toks(lower($"text")).as("tk"))
+        .filter(size($"tk") >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(tk) - 2), i -> struct(tk[i] AS w1, tk[i + 1] AS w2))")).as("b"))
+        .select($"b.w1".as("w1"), $"b.w2".as("w2"))
+      val pairCnt = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_pair"))
+      val startCnt = pairCnt.groupBy($"w1").agg(sum($"n_pair").as("n_w1"))
+      pairCnt.join(hintIfCorpusSmall(s, d, startCnt), "w1")
+        .select($"w1", $"w2", $"n_pair", $"n_w1",
+          round($"n_pair".cast(DoubleType) / $"n_w1".cast(DoubleType), 6).as("cond_p"))
+        .orderBy($"n_pair".desc, $"w1", $"w2")
+        .limit(30)
     })
   )
 
@@ -765,6 +793,16 @@ object TextAnalysis {
         "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN dfw CROSS JOIN st) " +
         s"SELECT doc_id, round($scoreSql, 6) AS bm25 FROM j " +
         "ORDER BY bm25 DESC, doc_id LIMIT 100"
-    }
+    },
+    "q_llm_bigram_lm" ->
+      ("WITH t AS (SELECT string_split(lower(text), ' ') AS tk FROM documents), " +
+       "b AS (SELECT unnest([struct_pack(w1 := tk[i], w2 := tk[i + 1]) " +
+       "for i in range(1, len(tk))]) AS bg FROM t WHERE len(tk) >= 2), " +
+       "p AS (SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS n_pair FROM b GROUP BY 1, 2), " +
+       "sc AS (SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_w1 FROM p GROUP BY w1) " +
+       "SELECT p.w1, w2, n_pair, n_w1, " +
+       "round(CAST(n_pair AS DOUBLE) / CAST(n_w1 AS DOUBLE), 6) AS cond_p " +
+       "FROM p JOIN sc ON p.w1 = sc.w1 " +
+       "ORDER BY n_pair DESC, p.w1, w2 LIMIT 30")
   )
 }

@@ -493,6 +493,71 @@ object Windows {
         .groupBy($"o_cell_lat", $"o_cell_lon", $"d_cell_lat", $"d_cell_lon")
         .agg(count(lit(1)).as("n_trips"))
         .orderBy($"o_cell_lat", $"o_cell_lon", $"d_cell_lat", $"d_cell_lon")
+    }),
+
+    // Truncated exponentially-weighted moving average over the value
+    // stream (r8): the denoised signal every telemetry dashboard draws.
+    // The textbook EWMA is a per-row recursion (y_t = αx_t + (1-α)y_{t-1})
+    // — inherently sequential, so it is re-expressed as its K-term
+    // truncated closed form: a fixed bank of lag() taps with weights
+    // (1-α)^k, renormalized over the taps that exist near the partition
+    // start. With α=0.25, the dropped tail mass (0.75)^9 < 7.6% of the
+    // kernel is a fixed, documented approximation — in exchange the
+    // whole computation is ONE window over (user_id) — a single
+    // shuffle, no iteration, no state. Determinism: the weights are
+    // exact binary fractions (3^k/4^k, products of exactly-representable
+    // doubles), terms are summed in fixed ascending-k textual order in
+    // BOTH engines (identical left-assoc expression trees, the
+    // q_ts_interpolate discipline), then one round(…,6).
+    "q_ts_ewma" -> ((s, d) => {
+      import s.implicits._
+      val K = 8
+      val wts = Iterator.iterate(1.0)(_ * 0.75).take(K + 1).toSeq
+      val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+      val e = Tables.events(s, d)
+        .select($"user_id", $"event_id", msEpoch($"ts").as("ms"), $"value")
+      val num = (1 to K).foldLeft(lit(wts(0)) * $"value") { (acc, k) =>
+        acc + coalesce(lag($"value", k).over(w) * lit(wts(k)), lit(0.0)) }
+      val den = (1 to K).foldLeft(lit(wts(0))) { (acc, k) =>
+        acc + when(lag($"value", k).over(w).isNotNull, lit(wts(k))).otherwise(lit(0.0)) }
+      e.select($"user_id", $"event_id", $"ms", $"value",
+          round(num / den, 6).as("ewma"))
+        .orderBy($"user_id", $"event_id")
+    }),
+
+    // Stay-point detection (r8): maximal runs of consecutive fixes
+    // inside one grid cell, kept when the device lingered ≥3 fixes and
+    // ≥1 h — the classic trajectory-mining primitive (home/work/POI
+    // discovery) over the reference's fix stream. Gaps-and-islands via
+    // the q_geo_trips discipline: lag() flags a cell change, a running
+    // sum numbers the runs — ONE window shuffle on user_id, then a
+    // partial-agg groupBy per run. No self-join, no per-user collect;
+    // at 100 TB each device's timeline streams through its window
+    // partition once. Cell sizes (45°×36°) are tuned to the synthetic
+    // fixes' jump scale so run structure exists at every SF.
+    "q_geo_stay_points" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d).select($"user_id", $"event_id",
+        msEpoch($"ts").as("ms"),
+        ($"value" % 180.0 - 90.0).as("lat"),
+        (($"event_id" % 3600) / 10.0 - 180.0).as("lon"))
+      val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val runs = e
+        .withColumn("cy", floor($"lat" / 45.0))
+        .withColumn("cx", floor($"lon" / 36.0))
+        .withColumn("pcy", lag($"cy", 1).over(w))
+        .withColumn("pcx", lag($"cx", 1).over(w))
+        .withColumn("new_run",
+          when($"pcy".isNull || $"cy" =!= $"pcy" || $"cx" =!= $"pcx", 1L).otherwise(0L))
+        .withColumn("run_seq", sum($"new_run").over(run))
+      runs.groupBy($"user_id", $"run_seq", $"cy", $"cx")
+        .agg(count(lit(1)).as("n_fixes"),
+          min($"ms").as("start_ms"), max($"ms").as("end_ms"))
+        .filter($"n_fixes" >= 3 && $"end_ms" - $"start_ms" >= 3600000L)
+        .select($"user_id", $"run_seq", $"cy", $"cx", $"n_fixes",
+          $"start_ms", $"end_ms", ($"end_ms" - $"start_ms").as("dwell_ms"))
+        .orderBy($"user_id", $"run_seq")
     })
   )
 
@@ -701,6 +766,38 @@ object Windows {
        "JOIN (SELECT * FROM r WHERE rn_d = 1) dd " +
        "ON o.user_id = dd.user_id AND o.trip_id = dd.trip_id) " +
        "SELECT o_cell_lat, o_cell_lon, d_cell_lat, d_cell_lon, COUNT(*) AS n_trips " +
-       "FROM od GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4")
+       "FROM od GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4"),
+    "q_ts_ewma" -> {
+      // Same exact-binary-fraction weights, same ascending-k left-assoc
+      // term order as the Spark expression tree above.
+      val wts = Iterator.iterate(1.0)(_ * 0.75).take(9)
+        .map(w => BigDecimal(w).bigDecimal.toPlainString).toSeq
+      val num = (s"${wts(0)} * value" +:
+        (1 to 8).map(k => s"COALESCE(lag(value, $k) OVER w * ${wts(k)}, 0.0)"))
+        .mkString(" + ")
+      val den = (wts(0) +:
+        (1 to 8).map(k =>
+          s"CASE WHEN lag(value, $k) OVER w IS NOT NULL THEN ${wts(k)} ELSE 0.0 END"))
+        .mkString(" + ")
+      "WITH e AS (SELECT user_id, event_id, epoch_ms(date_trunc('milliseconds', ts)) AS ms, value FROM events) " +
+      s"SELECT user_id, event_id, ms, value, round(($num) / ($den), 6) AS ewma " +
+      "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id) " +
+      "ORDER BY user_id, event_id"
+    },
+    "q_geo_stay_points" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_ms(date_trunc('milliseconds', ts)) AS ms, " +
+       "value % 180.0 - 90.0 AS lat, (event_id % 3600) / 10.0 - 180.0 AS lon FROM events), " +
+       "c AS (SELECT *, CAST(floor(lat / 45.0) AS BIGINT) AS cy, " +
+       "CAST(floor(lon / 36.0) AS BIGINT) AS cx FROM e), " +
+       "g AS (SELECT *, lag(cy) OVER w AS pcy, lag(cx) OVER w AS pcx FROM c " +
+       "WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)), " +
+       "n AS (SELECT *, CASE WHEN pcy IS NULL OR cy <> pcy OR cx <> pcx THEN 1 ELSE 0 END AS new_run FROM g), " +
+       "r AS (SELECT *, SUM(new_run) OVER (PARTITION BY user_id ORDER BY ms, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_seq FROM n) " +
+       "SELECT user_id, CAST(run_seq AS BIGINT) AS run_seq, cy, cx, COUNT(*) AS n_fixes, " +
+       "MIN(ms) AS start_ms, MAX(ms) AS end_ms, MAX(ms) - MIN(ms) AS dwell_ms " +
+       "FROM r GROUP BY user_id, run_seq, cy, cx " +
+       "HAVING COUNT(*) >= 3 AND MAX(ms) - MIN(ms) >= 3600000 " +
+       "ORDER BY user_id, run_seq")
   )
 }
