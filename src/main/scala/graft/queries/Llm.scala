@@ -269,6 +269,32 @@ object Llm {
         .orderBy($"keeper")
     }),
 
+    // Per-source dedup-rate report (r8): the pipeline-health summary a
+    // dedup stage emits — per source, total docs, surviving normalized
+    // uniques, and the duplication rate. The duplicated corpus is
+    // planted NON-uniformly (case-mangled copies for doc_id%3, exact
+    // copies for doc_id%5) so rates genuinely vary by source
+    // composition. One partial-agg distinct per source key — the
+    // distinct sets dedup in parallel across partitions, constant-size
+    // partials ship; no per-source collect anywhere.
+    "q_llm_dedup_stats" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"source", $"text")
+      val src = docs
+        .unionByName(docs.filter($"doc_id" % 3 === 0)
+          .select(($"doc_id" + 1000000L).as("doc_id"), $"source", upper($"text").as("text")))
+        .unionByName(docs.filter($"doc_id" % 5 === 0)
+          .select(($"doc_id" + 2000000L).as("doc_id"), $"source", $"text"))
+      src.select($"source", md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("h"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), countDistinct($"h").as("n_unique"))
+        .select($"source", $"n_docs", $"n_unique",
+          ($"n_docs" - $"n_unique").as("n_dups"),
+          round(lit(1.0) - $"n_unique".cast("double") / $"n_docs".cast("double"), 6)
+            .as("dup_rate"))
+        .orderBy($"source")
+    }),
+
     // Normalized dedup: lower+trim+whitespace-squeeze, sha256 identity.
     "q_llm_norm_dedup" -> ((s, d) => {
       import s.implicits._
@@ -860,6 +886,15 @@ object Llm {
        ", n AS (SELECT doc_id, sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS norm_hash FROM src) " +
        "SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_copies, norm_hash " +
        "FROM n GROUP BY norm_hash ORDER BY keeper"),
+    "q_llm_dedup_stats" ->
+      ("WITH src AS (SELECT doc_id, source, text FROM documents " +
+       "UNION ALL SELECT doc_id + 1000000, source, upper(text) FROM documents WHERE doc_id % 3 = 0 " +
+       "UNION ALL SELECT doc_id + 2000000, source, text FROM documents WHERE doc_id % 5 = 0), " +
+       "n AS (SELECT source, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h FROM src), " +
+       "g AS (SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT h) AS n_unique FROM n GROUP BY source) " +
+       "SELECT source, n_docs, n_unique, n_docs - n_unique AS n_dups, " +
+       "round(1.0 - CAST(n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_rate " +
+       "FROM g ORDER BY source"),
     "q_llm_minhash_neardup" ->
       (shCte + ", " + minhashCandSql +
        ", v AS (SELECT doc_a, doc_b, " +

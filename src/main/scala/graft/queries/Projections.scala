@@ -245,6 +245,65 @@ object Projections {
         .orderBy($"user_id")
     }),
 
+    // Point-in-time (AS OF) snapshot (r8): reconstruct every key's
+    // state as it stood at a literal wall-clock instant — the
+    // time-travel query a CDC-maintained history exists to answer
+    // ("what did the replica look like last Monday?"). Same
+    // order-independent max(struct) fold as q_cdc_snapshot over the
+    // time-bounded prefix of the log; keys born after the cut simply
+    // don't exist yet, exactly as a restored-at-T replica wouldn't.
+    // The cut predicate is spelled on the RAW ns-epoch column (exact:
+    // floor(ns/1e6) < C  ⟺  ns < C·1e6 for integer ns), so it reaches
+    // the parquet scan as a PushedFilters row-group predicate
+    // (PlanSpec-pinned) — at 100 TB a time-partitioned history prunes
+    // whole partitions instead of reading-then-dropping them.
+    "q_cdc_asof_snapshot" -> ((s, d) => {
+      import s.implicits._
+      val AsOfMs = 1705276800000L // 2024-01-15T00:00:00Z
+      Tables.events(s, d)
+        .filter($"ts" < AsOfMs * 1000000L)
+        .select($"user_id", msEpoch($"ts").as("ms"), $"event_id", $"value", $"event_type")
+        .select($"user_id", struct($"ms", $"event_id", $"value", $"event_type").as("st"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"), max($"st").as("w"))
+        .select($"user_id", $"n_events",
+          $"w.event_id".as("last_event_id"), $"w.ms".as("last_ms"),
+          $"w.value".as("last_value"), $"w.event_type".as("last_type"))
+        .orderBy($"user_id")
+    }),
+
+    // Two-instant AS OF diff (r8): classify every key's evolution
+    // between two wall-clock instants T1 < T2 — added (born in the
+    // window), changed (new last event), same (untouched) — the audit
+    // query behind "what did last week's deploy touch". ONE scan and
+    // ONE groupBy: both point-in-time states come out of the same
+    // aggregate as conditional max(struct) folds (w1 over the ms<T1
+    // prefix via a null-gated when(), w2 over everything), so the log
+    // is never read or shuffled twice and no snapshot-vs-snapshot join
+    // exists. The T2 cut is spelled on the raw ns column and lands in
+    // PushedFilters (the q_cdc_asof_snapshot discipline).
+    "q_cdc_asof_diff" -> ((s, d) => {
+      import s.implicits._
+      val T1 = 1704088800000L // 2024-01-01T06:00:00Z
+      val T2 = 1705276800000L // 2024-01-15T00:00:00Z
+      Tables.events(s, d)
+        .filter($"ts" < T2 * 1000000L)
+        .select($"user_id", msEpoch($"ts").as("ms"), $"event_id")
+        .groupBy($"user_id")
+        .agg(
+          max(when($"ms" < T1, struct($"ms", $"event_id"))).as("w1"),
+          max(struct($"ms", $"event_id")).as("w2"),
+          count(when($"ms" >= T1, lit(1))).as("n_between"))
+        .select($"user_id",
+          when($"w1".isNull, lit("added"))
+            .when($"w1.event_id" =!= $"w2.event_id", lit("changed"))
+            .otherwise(lit("same")).as("change_type"),
+          $"w1.event_id".as("event_id_t1"),
+          $"w2.event_id".as("event_id_t2"),
+          $"n_between")
+        .orderBy($"user_id")
+    }),
+
     // Snapshot table diff (r7): the CDC-RECONCILIATION operator —
     // classify every key across two table versions as added/removed/
     // changed/same. This is what validates a CDC-maintained replica
@@ -641,6 +700,33 @@ object Projections {
        "SELECT r.user_id, n_events, event_id AS last_event_id, ms AS last_ms, " +
        "value AS last_value, event_type AS last_type " +
        "FROM r JOIN c ON r.user_id = c.user_id WHERE rn = 1 ORDER BY r.user_id"),
+    "q_cdc_asof_snapshot" ->
+      ("WITH e AS (SELECT user_id, event_id, value, event_type, " +
+       "epoch_ms(date_trunc('milliseconds', ts)) AS ms FROM events " +
+       "WHERE epoch_ms(date_trunc('milliseconds', ts)) < 1705276800000), " +
+       "r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ms DESC, event_id DESC) AS rn " +
+       "FROM e), c AS (SELECT user_id, COUNT(*) AS n_events FROM e GROUP BY user_id) " +
+       "SELECT r.user_id, n_events, event_id AS last_event_id, ms AS last_ms, " +
+       "value AS last_value, event_type AS last_type " +
+       "FROM r JOIN c ON r.user_id = c.user_id WHERE rn = 1 ORDER BY r.user_id"),
+    "q_cdc_asof_diff" ->
+      ("WITH e AS (SELECT user_id, event_id, " +
+       "epoch_ms(date_trunc('milliseconds', ts)) AS ms FROM events " +
+       "WHERE epoch_ms(date_trunc('milliseconds', ts)) < 1705276800000), " +
+       "r2 AS (SELECT user_id, event_id, row_number() OVER " +
+       "(PARTITION BY user_id ORDER BY ms DESC, event_id DESC) AS rn FROM e), " +
+       "r1 AS (SELECT user_id, event_id, row_number() OVER " +
+       "(PARTITION BY user_id ORDER BY ms DESC, event_id DESC) AS rn FROM e " +
+       "WHERE ms < 1704088800000), " +
+       "b AS (SELECT user_id, COUNT(*) FILTER (WHERE ms >= 1704088800000) AS n_between " +
+       "FROM e GROUP BY user_id) " +
+       "SELECT e2.user_id, " +
+       "CASE WHEN e1.event_id IS NULL THEN 'added' " +
+       "WHEN e1.event_id <> e2.event_id THEN 'changed' ELSE 'same' END AS change_type, " +
+       "e1.event_id AS event_id_t1, e2.event_id AS event_id_t2, n_between " +
+       "FROM (SELECT user_id, event_id FROM r2 WHERE rn = 1) e2 " +
+       "LEFT JOIN (SELECT user_id, event_id FROM r1 WHERE rn = 1) e1 ON e1.user_id = e2.user_id " +
+       "JOIN b ON b.user_id = e2.user_id ORDER BY e2.user_id"),
     "q_geo_cell_agg" ->
       ("WITH f AS (SELECT event_id, user_id, value % 180.0 - 90.0 AS lat, " +
        "value % 360.0 - 180.0 AS lon FROM events) " +

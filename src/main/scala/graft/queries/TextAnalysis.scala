@@ -53,6 +53,42 @@ object TextAnalysis {
         .limit(20)
     }),
 
+    // Zipf rank-frequency fit (r8): OLS slope of ln(freq) on ln(rank)
+    // over the whole vocabulary — the one-number corpus health check
+    // (natural text sits near −1; templated/generated text drifts
+    // shallow). The corpus collapses to the VOCAB after one term
+    // shuffle; the rank window runs over that vocab-bounded relation
+    // (the PrefixSum-documented bounded top-level window, never over
+    // raw tokens), and the fit reduces to five moments. ln() doubles
+    // are bit-stable cross-engine (the tfidf/bm25 precedent); products
+    // are formed in IEEE double then DECIMAL-summed so merge order
+    // can't drift, and the final ratios round(6).
+    "q_llm_zipf" -> ((s, d) => {
+      import s.implicits._
+      import graft.Determinism.sumd
+      val v = Tables.documents(s, d)
+        .select(explode(toks(lower($"text"))).as("term"))
+        .groupBy($"term").agg(count(lit(1)).as("cnt"))
+      val ranked = v.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy($"cnt".desc, $"term".asc)).cast("long"))
+      val xy = ranked.select(
+        log($"rank".cast(DoubleType)).as("x"),
+        log($"cnt".cast(DoubleType)).as("y"))
+      xy.select($"x", $"y", ($"x" * $"y").as("xy0"),
+          ($"x" * $"x").as("xx0"), ($"y" * $"y").as("yy0"))
+        .agg(count(lit(1)).as("n"), sumd($"x").as("sx"), sumd($"y").as("sy"),
+          sumd($"xy0").as("sxy"), sumd($"xx0").as("sxx"), sumd($"yy0").as("syy"))
+        .select($"n".as("n_terms"),
+          round((($"n" * $"sxy" - $"sx" * $"sy") /
+            ($"n" * $"sxx" - $"sx" * $"sx")), 6).as("zipf_slope"),
+          round((($"sy" - (($"n" * $"sxy" - $"sx" * $"sy") /
+            ($"n" * $"sxx" - $"sx" * $"sx")) * $"sx") / $"n"), 6).as("zipf_intercept"),
+          round(pow($"n" * $"sxy" - $"sx" * $"sy", 2) /
+            (($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")), 6)
+            .as("r2"))
+    }),
+
     // tf-idf per (term, doc): tf × ln(N/df). N is a broadcast 1-row
     // aggregate cross-joined into the plan — NOT a driver-side count()
     // (which would fire a full extra scan every time the query is
@@ -585,6 +621,22 @@ object TextAnalysis {
     "q_llm_token_stats" ->
       ("WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents) " +
        "SELECT term, COUNT(*) AS cnt FROM t GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20"),
+    "q_llm_zipf" ->
+      ("WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents), " +
+       "g AS (SELECT term, COUNT(*) AS cnt FROM t GROUP BY term), " +
+       "r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rnk FROM g), " +
+       "xy AS (SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y FROM r), " +
+       "m AS (SELECT COUNT(*) AS n, " +
+       "CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx, " +
+       "CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy, " +
+       "CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy, " +
+       "CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx, " +
+       "CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy FROM xy) " +
+       "SELECT n AS n_terms, " +
+       "round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope, " +
+       "round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS zipf_intercept, " +
+       "round(pow(n * sxy - sx * sy, 2) / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2 " +
+       "FROM m"),
     "q_llm_source_topterms" ->
       ("WITH terms AS (SELECT source, doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents), " +
        "stf AS (SELECT source, term, COUNT(*) AS tf FROM terms GROUP BY source, term), " +

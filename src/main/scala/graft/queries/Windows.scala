@@ -558,6 +558,146 @@ object Windows {
         .select($"user_id", $"run_seq", $"cy", $"cx", $"n_fixes",
           $"start_ms", $"end_ms", ($"end_ms" - $"start_ms").as("dwell_ms"))
         .orderBy($"user_id", $"run_seq")
+    }),
+
+    // Cell-transition matrix (r8): first-order Markov structure of the
+    // fleet's movement — for each ordered cell pair, how many
+    // consecutive-fix transitions crossed it and the conditional
+    // P(to | from) over the from-cell's outgoing mass. Feeds
+    // next-location prediction and detects impossible transitions
+    // (teleports) as low-mass off-diagonal entries. ONE user-window
+    // shuffle for the lag, then grid²-bounded partial aggs; the margin
+    // relation is grid-sized so it broadcasts unconditionally.
+    "q_geo_cell_transitions" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d).select($"user_id", $"event_id",
+        msEpoch($"ts").as("ms"),
+        ($"value" % 180.0 - 90.0).as("lat"),
+        (($"event_id" % 3600) / 10.0 - 180.0).as("lon"))
+      val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+      val c = e.select($"user_id", $"event_id", $"ms",
+        floor($"lat" / 45.0).as("cy"), floor($"lon" / 36.0).as("cx"))
+      val tr = c.withColumn("pcy", lag($"cy", 1).over(w))
+        .withColumn("pcx", lag($"cx", 1).over(w))
+        .filter($"pcy".isNotNull)
+        .groupBy($"pcy".as("from_cy"), $"pcx".as("from_cx"),
+          $"cy".as("to_cy"), $"cx".as("to_cx"))
+        .agg(count(lit(1)).as("n_trans"))
+      val m = tr.groupBy($"from_cy", $"from_cx").agg(sum($"n_trans").as("n_from"))
+      tr.join(broadcast(m), Seq("from_cy", "from_cx"))
+        .select($"from_cy", $"from_cx", $"to_cy", $"to_cx", $"n_trans", $"n_from",
+          round($"n_trans".cast(DoubleType) / $"n_from".cast(DoubleType), 6).as("p_trans"))
+        .orderBy($"from_cy", $"from_cx", $"to_cy", $"to_cx")
+    }),
+
+    // DAU / WAU / stickiness (r8): daily actives, 7-day rolling
+    // actives, and their ratio — the engagement triple every event
+    // pipeline reports. The WAU rolling DISTINCT is deliberately NOT a
+    // range self-join (quadratic in days×activity at scale): each
+    // distinct (user, day) activity row explodes to the ≤7 observation
+    // days it contributes to, turning the rolling window into a plain
+    // partial-agg distinct count keyed by day — linear in activity
+    // rows, bounded 7× expansion, no join. The oracle spells the same
+    // semantics as the textbook BETWEEN join; matching results pin the
+    // rewrite's equivalence.
+    "q_ts_dau_wau" -> ((s, d) => {
+      import s.implicits._
+      val ud = Tables.events(s, d)
+        .select($"user_id", floor(msEpoch($"ts") / 86400000.0).as("day"))
+        .distinct()
+      val dau = ud.groupBy($"day").agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select($"user_id", explode(sequence($"day", $"day" + 6)).as("obs_day"))
+        .groupBy($"obs_day").agg(countDistinct($"user_id").as("wau"))
+      dau.join(wau, dau("day") === wau("obs_day"))
+        .select($"day", $"dau", $"wau",
+          round($"dau".cast(DoubleType) / $"wau".cast(DoubleType), 6).as("stickiness"))
+        .orderBy($"day")
+    }),
+
+    // Mean-shift changepoint scan (r8): flags fixes where the average
+    // of the next 5 values departs from the average of the previous 5
+    // by more than a threshold — the windowed two-sample form of CUSUM
+    // level-shift detection over a telemetry series. Both frames hang
+    // off ONE user-partitioned ordering (one shuffle, one sort);
+    // partial windows at series edges are excluded by exact counts.
+    // Window sums go through DECIMAL so the sliding-frame summation
+    // order cannot drift floats across engines.
+    "q_ts_changepoint" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+      val pre = w.rowsBetween(-5, -1)
+      val post = w.rowsBetween(0, 4)
+      Tables.events(s, d)
+        .select($"user_id", $"event_id", msEpoch($"ts").as("ms"), $"value")
+        .withColumn("pre_avg", sum(dec($"value")).over(pre).cast(DoubleType) / 5.0)
+        .withColumn("pre_n", count($"value").over(pre))
+        .withColumn("post_avg", sum(dec($"value")).over(post).cast(DoubleType) / 5.0)
+        .withColumn("post_n", count($"value").over(post))
+        .filter($"pre_n" === 5 && $"post_n" === 5 &&
+          abs($"post_avg" - $"pre_avg") > 90.0)
+        .select($"user_id", $"event_id", $"ms",
+          round($"pre_avg", 6).as("pre_avg"),
+          round($"post_avg", 6).as("post_avg"),
+          round($"post_avg" - $"pre_avg", 6).as("shift"))
+        .orderBy($"user_id", $"event_id")
+    }),
+
+    // Cumulative-user growth curve (r8): per day, how many users were
+    // seen for the FIRST time and the running total of users ever seen
+    // — the acquisition curve every event pipeline reports. The
+    // cumulative sum is NOT a rolling distinct over history (quadratic
+    // re-scan at scale): each user collapses to one first-active day
+    // (partial-agg min), so the running total is a prefix sum over a
+    // DAY-BOUNDED relation (≤ span days at ANY input volume) — the
+    // unpartitioned window is the PrefixSum-documented bounded
+    // top-level window, never over raw rows.
+    "q_ts_cumulative_users" -> ((s, d) => {
+      import s.implicits._
+      val ud = Tables.events(s, d)
+        .select($"user_id", floor(msEpoch($"ts") / 86400000.0).as("day"))
+      val firstDay = ud.groupBy($"user_id").agg(min($"day").as("first_day"))
+      val newPerDay = firstDay.groupBy($"first_day").agg(count(lit(1)).as("new_users"))
+      val days = ud.select($"day").distinct()
+      val w = Window.orderBy($"day").rowsBetween(Window.unboundedPreceding, 0)
+      days.join(newPerDay, days("day") === newPerDay("first_day"), "left")
+        .select($"day", coalesce($"new_users", lit(0L)).as("new_users"))
+        .withColumn("cum_users", sum($"new_users").over(w))
+        .orderBy($"day")
+    }),
+
+    // Radius of gyration (r8): per user, the RMS haversine distance of
+    // their fixes from their own mean location — THE standard mobility
+    // measure separating commuters from travelers (Gonzalez et al.'s
+    // human-mobility metric). Two partial-agg passes over the fixes
+    // (centroid, then second moment) with the user-sized centroid
+    // relation joined back by AQE-broadcast equi-join — no window, no
+    // per-user sort, no pair join. Per-leg haversine doubles are
+    // bit-identical cross-engine (q_geo_trips discipline); the d²
+    // summation goes through DECIMAL so merge order can't drift. The
+    // centroid itself is deliberately NOT surfaced: a mean of exact
+    // 0.1-multiple coordinates lands exactly on decimal-half rounding
+    // boundaries whenever a user's fix count has only 2/5 factors, and
+    // there engine round() implementations legitimately disagree
+    // (observed at sf0.1); rg_km is a sqrt of transcendentals, where
+    // boundary hits are measure-zero.
+    "q_geo_radius_gyration" -> ((s, d) => {
+      import s.implicits._
+      val f = Tables.events(s, d).select($"user_id",
+        ($"value" % 180.0 - 90.0).as("lat"),
+        (($"event_id" % 3600) / 10.0 - 180.0).as("lon"))
+      val cent = f.groupBy($"user_id").agg(
+        (sumd($"lat") / count(lit(1))).as("clat"),
+        (sumd($"lon") / count(lit(1))).as("clon"))
+      val dkm = Scalars.haversineKm($"lat", $"lon", $"clat", $"clon")
+      f.join(cent, "user_id")
+        .select($"user_id", pow(dkm, 2).as("d2"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_fixes"),
+          sum(dec($"d2")).cast(DoubleType).as("sd2"))
+        .select($"user_id", $"n_fixes",
+          round(sqrt($"sd2" / $"n_fixes"), 6).as("rg_km"))
+        .orderBy($"user_id")
     })
   )
 
@@ -798,6 +938,66 @@ object Windows {
        "MIN(ms) AS start_ms, MAX(ms) AS end_ms, MAX(ms) - MIN(ms) AS dwell_ms " +
        "FROM r GROUP BY user_id, run_seq, cy, cx " +
        "HAVING COUNT(*) >= 3 AND MAX(ms) - MIN(ms) >= 3600000 " +
-       "ORDER BY user_id, run_seq")
+       "ORDER BY user_id, run_seq"),
+    "q_geo_cell_transitions" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_ms(date_trunc('milliseconds', ts)) AS ms, " +
+       "value % 180.0 - 90.0 AS lat, (event_id % 3600) / 10.0 - 180.0 AS lon FROM events), " +
+       "c AS (SELECT user_id, event_id, ms, CAST(floor(lat / 45.0) AS BIGINT) AS cy, " +
+       "CAST(floor(lon / 36.0) AS BIGINT) AS cx FROM e), " +
+       "g AS (SELECT *, lag(cy) OVER w AS pcy, lag(cx) OVER w AS pcx FROM c " +
+       "WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)), " +
+       "tr AS (SELECT pcy AS from_cy, pcx AS from_cx, cy AS to_cy, cx AS to_cx, " +
+       "COUNT(*) AS n_trans FROM g WHERE pcy IS NOT NULL GROUP BY 1, 2, 3, 4), " +
+       "m AS (SELECT from_cy, from_cx, CAST(SUM(n_trans) AS BIGINT) AS n_from FROM tr GROUP BY 1, 2) " +
+       "SELECT tr.from_cy, tr.from_cx, to_cy, to_cx, n_trans, n_from, " +
+       "round(CAST(n_trans AS DOUBLE) / CAST(n_from AS DOUBLE), 6) AS p_trans " +
+       "FROM tr JOIN m ON tr.from_cy = m.from_cy AND tr.from_cx = m.from_cx " +
+       "ORDER BY tr.from_cy, tr.from_cx, to_cy, to_cx"),
+    "q_ts_dau_wau" ->
+      ("WITH ud AS (SELECT DISTINCT user_id, " +
+       "CAST(floor(epoch_ms(date_trunc('milliseconds', ts)) / 86400000.0) AS BIGINT) AS day FROM events), " +
+       "dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day), " +
+       "wau AS (SELECT d.day, COUNT(DISTINCT u.user_id) AS wau " +
+       "FROM (SELECT DISTINCT day FROM ud) d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day " +
+       "GROUP BY d.day) " +
+       "SELECT dau.day, dau, wau, round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6) AS stickiness " +
+       "FROM dau JOIN wau ON dau.day = wau.day ORDER BY dau.day"),
+    "q_ts_changepoint" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_ms(date_trunc('milliseconds', ts)) AS ms, value FROM events), " +
+       "w AS (SELECT *, " +
+       "CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (PARTITION BY user_id ORDER BY ms, event_id " +
+       "ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS DOUBLE) / 5.0 AS pre_avg, " +
+       "COUNT(value) OVER (PARTITION BY user_id ORDER BY ms, event_id " +
+       "ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS pre_n, " +
+       "CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (PARTITION BY user_id ORDER BY ms, event_id " +
+       "ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS DOUBLE) / 5.0 AS post_avg, " +
+       "COUNT(value) OVER (PARTITION BY user_id ORDER BY ms, event_id " +
+       "ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS post_n FROM e) " +
+       "SELECT user_id, event_id, ms, round(pre_avg, 6) AS pre_avg, " +
+       "round(post_avg, 6) AS post_avg, round(post_avg - pre_avg, 6) AS shift " +
+       "FROM w WHERE pre_n = 5 AND post_n = 5 AND abs(post_avg - pre_avg) > 90.0 " +
+       "ORDER BY user_id, event_id"),
+    "q_ts_cumulative_users" ->
+      ("WITH ud AS (SELECT user_id, " +
+       "CAST(floor(epoch_ms(date_trunc('milliseconds', ts)) / 86400000.0) AS BIGINT) AS day FROM events), " +
+       "fd AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id), " +
+       "np AS (SELECT first_day, COUNT(*) AS new_users FROM fd GROUP BY first_day), " +
+       "dy AS (SELECT DISTINCT day FROM ud) " +
+       "SELECT dy.day, COALESCE(new_users, 0) AS new_users, " +
+       "CAST(SUM(COALESCE(new_users, 0)) OVER (ORDER BY dy.day " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users " +
+       "FROM dy LEFT JOIN np ON dy.day = np.first_day ORDER BY dy.day"),
+    "q_geo_radius_gyration" ->
+      ("WITH f AS (SELECT user_id, value % 180.0 - 90.0 AS lat, " +
+       "(event_id % 3600) / 10.0 - 180.0 AS lon FROM events), " +
+       "c AS (SELECT user_id, " +
+       "CAST(SUM(CAST(lat AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS clat, " +
+       "CAST(SUM(CAST(lon AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS clon FROM f GROUP BY user_id), " +
+       "d AS (SELECT f.user_id, " +
+       "pow(" + Scalars.sqlHaversine("lat", "lon", "clat", "clon") + ", 2) AS d2 " +
+       "FROM f JOIN c ON f.user_id = c.user_id) " +
+       "SELECT user_id, COUNT(*) AS n_fixes, " +
+       "round(sqrt(CAST(SUM(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)), 6) AS rg_km " +
+       "FROM d GROUP BY user_id ORDER BY user_id")
   )
 }

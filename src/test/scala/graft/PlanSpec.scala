@@ -264,6 +264,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("row_number"), "no window in the snapshot path")
   }
 
+  test("asof_snapshot's time cut reaches the parquet scan as a pushed filter") {
+    // the cut is spelled on the RAW ns-epoch long (exact: floor(ns/1e6)
+    // < C ⟺ ns < C·1e6), not on the derived ms column — a predicate on
+    // the decimal-cast expression would read every row group; this one
+    // prunes them at the scan at 100 TB
+    val p = finalPlan("q_cdc_asof_snapshot")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters"))
+    assert(pushed.exists(_.contains("LessThan(ts")),
+      s"AS OF cut must land in PushedFilters on raw ts:\n${pushed.getOrElse(p)}")
+  }
+
+  test("cell-transition margin relation joins back as a broadcast") {
+    // the P(to|from) denominator relation is grid-bounded (≤ grid²
+    // rows at ANY input volume) — it must broadcast back onto the
+    // transition counts, never shuffle them a second time
+    val p = finalPlan("q_geo_cell_transitions").split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), "margin join must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "transition counts must not re-shuffle for the margin join")
+  }
+
   test("embed_outlier has no pair join: centroids broadcast back, top-k via TakeOrdered") {
     val p = finalPlan("q_llm_embed_outlier")
     assert(p.contains("BroadcastHashJoin"), "per-label centroid arrays must broadcast")
