@@ -159,6 +159,61 @@ object Profiling {
             .otherwise(lit(0.0)))
         .select("col_name", "n_distinct", "entropy_bits", "norm_entropy")
         .orderBy("col_name")
+    }),
+
+    // Benford first-digit audit (r8): the classic fabricated-data /
+    // unit-error detector — compare the first-significant-digit
+    // distribution of a monetary column against Benford's law
+    // log10(1 + 1/d). Determinism: the digit comes from the INTEGER
+    // cents value via string truncation (integer→string formatting is
+    // unambiguous in both engines; a log10-of-double digit extraction
+    // could straddle an exact power of ten), and o_totalprice·100
+    // sits ~1e-10 from an integer so HALF_UP vs half-away rounding
+    // can never disagree. Scale: one partial-agg groupBy on a ≤9-key
+    // domain, one 1-row total broadcast back — constant-size partials,
+    // no row ever shuffles.
+    "q_profile_benford" -> ((s, d) => {
+      val cents = round(col("o_totalprice") * 100.0, 0).cast(LongType)
+      val digit = substring(cents.cast("string"), 1, 1).cast(LongType)
+      val counts = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 0.0)
+        .select(digit.as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).cast(DoubleType).as("total"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          round(col("n").cast(DoubleType) / col("total"), 6).as("obs_p"),
+          round(log10(lit(1.0) + lit(1.0) / col("digit").cast(DoubleType)), 6).as("exp_p"))
+        .withColumn("abs_dev", round(abs(col("obs_p") - col("exp_p")), 6))
+        .orderBy("digit")
+    }),
+
+    // Functional-dependency audit (r8): does determinant → dependent
+    // hold — the schema-inference / data-quality probe behind "is this
+    // column a key", "is that attribute denormalized consistently".
+    // Each candidate pair is ONE partial-agg groupBy on the
+    // determinant (countDistinct of the dependent per key) folded to
+    // a 1-row verdict: #keys, #violating keys, holds. The pair list
+    // is a bounded config, so the long-form union is a fixed handful
+    // of independent aggregates — each linear, none joining rows.
+    "q_profile_fd" -> ((s, d) => {
+      def audit(df: DataFrame, table: String, det: String, dep: String): DataFrame =
+        df.groupBy(col(det)).agg(countDistinct(col(dep)).as("nd"))
+          .agg(count(lit(1)).as("n_keys"),
+            count(when(col("nd") > 1, 1)).as("n_violating"))
+          .select(lit(table).as("table_name"), lit(det).as("determinant"),
+            lit(dep).as("dependent"), col("n_keys"), col("n_violating"),
+            (col("n_violating") === 0).as("holds"))
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      Seq(
+        audit(li, "lineitem", "l_orderkey", "l_linestatus"),
+        audit(li, "lineitem", "l_orderkey", "l_returnflag"),
+        audit(li, "lineitem", "l_partkey", "l_suppkey"),
+        audit(o, "orders", "o_orderkey", "o_orderstatus"),
+        audit(o, "orders", "o_custkey", "o_orderpriority"))
+        .reduce(_ unionByName _)
+        .orderBy("table_name", "determinant", "dependent")
     })
   )
 
@@ -210,6 +265,30 @@ object Profiling {
         "SELECT col_name, n_distinct, entropy_bits, " +
         "CASE WHEN n_distinct > 1 THEN round(entropy_bits / round(log2(CAST(n_distinct AS DOUBLE)), 6), 6) " +
         "ELSE 0.0 END AS norm_entropy " +
-        "FROM h ORDER BY col_name")
+        "FROM h ORDER BY col_name"),
+    "q_profile_benford" ->
+      ("WITH c AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100.0) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit " +
+        "FROM orders WHERE o_totalprice > 0.0), " +
+        "g AS (SELECT digit, COUNT(*) AS n FROM c GROUP BY digit), " +
+        "t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM g), " +
+        "p AS (SELECT digit, n, round(CAST(n AS DOUBLE) / total, 6) AS obs_p, " +
+        "round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS exp_p FROM g CROSS JOIN t) " +
+        "SELECT digit, n, obs_p, exp_p, round(abs(obs_p - exp_p), 6) AS abs_dev " +
+        "FROM p ORDER BY digit"),
+    "q_profile_fd" -> {
+      def one(table: String, det: String, dep: String): String =
+        s"SELECT '$table' AS table_name, '$det' AS determinant, '$dep' AS dependent, " +
+          "COUNT(*) AS n_keys, COUNT(CASE WHEN nd > 1 THEN 1 END) AS n_violating, " +
+          "COUNT(CASE WHEN nd > 1 THEN 1 END) = 0 AS holds " +
+          s"FROM (SELECT $det, COUNT(DISTINCT $dep) AS nd FROM $table GROUP BY $det)"
+      Seq(
+        one("lineitem", "l_orderkey", "l_linestatus"),
+        one("lineitem", "l_orderkey", "l_returnflag"),
+        one("lineitem", "l_partkey", "l_suppkey"),
+        one("orders", "o_orderkey", "o_orderstatus"),
+        one("orders", "o_custkey", "o_orderpriority"))
+        .mkString(" UNION ALL ") +
+        " ORDER BY table_name, determinant, dependent"
+    }
   )
 }

@@ -260,8 +260,7 @@ object Projections {
     "q_cdc_asof_snapshot" -> ((s, d) => {
       import s.implicits._
       val AsOfMs = 1705276800000L // 2024-01-15T00:00:00Z
-      Tables.events(s, d)
-        .filter($"ts" < AsOfMs * 1000000L)
+      Tables.eventsBefore(s, d, AsOfMs)
         .select($"user_id", msEpoch($"ts").as("ms"), $"event_id", $"value", $"event_type")
         .select($"user_id", struct($"ms", $"event_id", $"value", $"event_type").as("st"))
         .groupBy($"user_id")
@@ -286,8 +285,7 @@ object Projections {
       import s.implicits._
       val T1 = 1704088800000L // 2024-01-01T06:00:00Z
       val T2 = 1705276800000L // 2024-01-15T00:00:00Z
-      Tables.events(s, d)
-        .filter($"ts" < T2 * 1000000L)
+      Tables.eventsBefore(s, d, T2)
         .select($"user_id", msEpoch($"ts").as("ms"), $"event_id")
         .groupBy($"user_id")
         .agg(
@@ -621,6 +619,51 @@ object Projections {
           $"event_id",
           format_string("POINT(%f %f)", $"value" * lit(2.0), $"value").as("geo_point"))
         .orderBy($"event_id")
+    }),
+
+    // CDC key-churn monitor (r8): per-key version counts and update
+    // cadence from the CDC event log — the operational query behind
+    // "which keys dominate the change stream" (hot-key skew in the
+    // sink, compaction pressure in the replica, runaway producers).
+    // ONE partial-agg groupBy on the key (count/min/max/countDistinct
+    // all combine map-side) and a top-50 that plans as
+    // TakeOrderedAndProject — no global sort, no window, no second
+    // shuffle at any scale.
+    "q_cdc_churn" -> ((s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"user_id", msEpoch($"ts").as("ms"), $"value")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_versions"),
+          countDistinct($"value").as("nd_values"),
+          min($"ms").as("first_ms"), max($"ms").as("last_ms"))
+        .withColumn("lifespan_ms", $"last_ms" - $"first_ms")
+        .withColumn("avg_gap_ms",
+          when($"n_versions" > 1,
+            round($"lifespan_ms".cast(DoubleType) /
+              ($"n_versions" - 1).cast(DoubleType), 6)))
+        .orderBy($"n_versions".desc, $"user_id")
+        .limit(50)
+    }),
+
+    // POI pairwise distance matrix (r8): great-circle km between every
+    // pair of points of interest — the reference-data relation a
+    // dispatch/routing layer keeps alongside the POI table itself.
+    // The POI side is the small dimension BY CONSTRUCTION (a POI
+    // catalog is thousands of rows while fixes are billions), so the
+    // deliberate n² here is a broadcast self-join over the catalog
+    // only — fixes never enter the plan. Same synthetic POI lattice
+    // as q_geo_nearest_poi (nation-derived, trig-free), ranked by the
+    // proven haversine kernel.
+    "q_geo_distance_matrix" -> ((s, d) => {
+      import s.implicits._
+      def poi = Tables.nation(s, d).select($"n_nationkey".as("poi_id"),
+        (($"n_nationkey" * 7.3) % 120.0 - 60.0).as("lat"),
+        (($"n_nationkey" * 13.7) % 240.0 - 120.0).as("lon"))
+      poi.as("a").join(broadcast(poi.as("b")), $"a.poi_id" < $"b.poi_id")
+        .select($"a.poi_id".as("poi_a"), $"b.poi_id".as("poi_b"),
+          round(Scalars.haversineKm($"a.lat", $"a.lon", $"b.lat", $"b.lon"), 6).as("km"))
+        .orderBy($"poi_a", $"poi_b")
     })
   )
 
@@ -858,6 +901,21 @@ object Projections {
        "WHERE n_buckets >= 3 ORDER BY user_a, user_b"),
     "q_geo_wkt_point" ->
       ("SELECT event_id, printf('POINT(%f %f)', value * 2.0, value) AS geo_point " +
-       "FROM events ORDER BY event_id")
+       "FROM events ORDER BY event_id"),
+    "q_cdc_churn" ->
+      ("WITH e AS (SELECT user_id, epoch_ms(date_trunc('milliseconds', ts)) AS ms, value FROM events), " +
+       "g AS (SELECT user_id, COUNT(*) AS n_versions, COUNT(DISTINCT value) AS nd_values, " +
+       "MIN(ms) AS first_ms, MAX(ms) AS last_ms FROM e GROUP BY user_id) " +
+       "SELECT user_id, n_versions, nd_values, first_ms, last_ms, " +
+       "last_ms - first_ms AS lifespan_ms, " +
+       "CASE WHEN n_versions > 1 THEN round(CAST(last_ms - first_ms AS DOUBLE) / (n_versions - 1), 6) END AS avg_gap_ms " +
+       "FROM g ORDER BY n_versions DESC, user_id LIMIT 50"),
+    "q_geo_distance_matrix" ->
+      ("WITH poi AS (SELECT n_nationkey AS poi_id, " +
+       "(n_nationkey * 7.3) % 120.0 - 60.0 AS lat, " +
+       "(n_nationkey * 13.7) % 240.0 - 120.0 AS lon FROM nation) " +
+       "SELECT a.poi_id AS poi_a, b.poi_id AS poi_b, " +
+       "round(" + Scalars.sqlHaversine("a.lat", "a.lon", "b.lat", "b.lon") + ", 6) AS km " +
+       "FROM poi a JOIN poi b ON a.poi_id < b.poi_id ORDER BY poi_a, poi_b")
   )
 }

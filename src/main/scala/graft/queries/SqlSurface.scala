@@ -100,6 +100,23 @@ object SqlSurface {
     "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice " +
     "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
 
+  /** TPC-H Q12-shaped shipping-priority classification (r8): the
+    * conditional-counting aggregate after a fact join — COUNT(CASE)
+    * classifies each joined row by the ORDERS side's priority while
+    * grouping by the LINEITEM side's status, so the aggregate consumes
+    * both inputs of the join. COUNT(CASE WHEN … THEN 1 END) rather
+    * than SUM(CASE): DuckDB widens SUM(int) to HUGEINT while both
+    * engines agree COUNT is BIGINT. The ship-date range prunes
+    * lineitem at the scan. */
+  val q12Sql: String =
+    "SELECT l_linestatus, " +
+    "COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count, " +
+    "COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count " +
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+    "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+    "GROUP BY l_linestatus ORDER BY l_linestatus"
+
   /** CTE + scalar subquery (decorrelation surface). */
   val cteSubquerySql: String =
     "WITH big AS (SELECT o_custkey, COUNT(*) AS n_big FROM orders " +
@@ -142,6 +159,9 @@ object SqlSurface {
     }),
     "q_sql_tpch_q18ish" -> ((s, d) => {
       registerAll(s, d); s.sql(q18Sql)
+    }),
+    "q_sql_tpch_q12ish" -> ((s, d) => {
+      registerAll(s, d); s.sql(q12Sql)
     })
   )
 
@@ -153,6 +173,7 @@ object SqlSurface {
     "q_sql_tpch_q10ish" -> q10Sql,
     "q_sql_tpch_q5ish" -> q5Sql,
     "q_sql_window_rank" -> windowRankSql,
-    "q_sql_tpch_q18ish" -> q18Sql
+    "q_sql_tpch_q18ish" -> q18Sql,
+    "q_sql_tpch_q12ish" -> q12Sql
   )
 }

@@ -614,6 +614,93 @@ object TextAnalysis {
           round($"n_pair".cast(DoubleType) / $"n_w1".cast(DoubleType), 6).as("cond_p"))
         .orderBy($"n_pair".desc, $"w1", $"w2")
         .limit(30)
+    }),
+
+    // Quality-filter report (r8): the per-document RULE LEDGER a
+    // training pipeline keeps alongside its kept/dropped decision
+    // (Gopher-style heuristics) — not just a score (q_llm_quality_score)
+    // but WHICH rule fired, so filter regressions are diffable and
+    // rules are tunable per corpus. All four rules are narrow per-row
+    // expressions over the text column — no shuffle at all, the whole
+    // report is a single codegen'd projection at any scale. Thresholds
+    // are corpus-calibrated (words 10–99, mean word length 3.7–5.3
+    // here) so every rule actually fires. Comparisons sit on exact
+    // IEEE ratios of integer lengths — identical in both engines.
+    "q_llm_filter_report" -> ((s, d) => {
+      import s.implicits._
+      val tk = toks($"text")
+      val nWords = size(tk).cast(LongType)
+      val meanLen = length(regexp_replace($"text", " ", "")).cast(DoubleType) /
+        size(tk).cast(DoubleType)
+      val uniqRatio = size(array_distinct(tk)).cast(DoubleType) /
+        size(tk).cast(DoubleType)
+      Tables.documents(s, d)
+        .select($"doc_id", nWords.as("n_words"),
+          round(meanLen, 6).as("mean_word_len"),
+          round(uniqRatio, 6).as("uniq_ratio"),
+          (nWords < 20L).as("flag_short"),
+          (nWords > 80L).as("flag_long"),
+          (meanLen < 3.8 || meanLen > 5.2).as("flag_word_len"),
+          (uniqRatio < 0.5).as("flag_repetitive"))
+        .withColumn("kept",
+          !($"flag_short" || $"flag_long" || $"flag_word_len" || $"flag_repetitive"))
+        .orderBy($"doc_id")
+    }),
+
+    // Per-document top TF-IDF terms (r8): the keyword-extraction twin
+    // of q_llm_source_topterms at document granularity — what a
+    // retrieval index or topic labeler stores per doc. Same scale
+    // shape as q_llm_tfidf (two partial-agg shuffles to tf/df, vocab
+    // relation behind the corpus-size broadcast gate); the top-3 is a
+    // per-doc row_number over each doc's OWN terms — the window
+    // partitions by doc_id, so no global relation is ever sorted.
+    // Ranking orders by the RAW weight (ties broken by term) — both
+    // engines compute the same IEEE product, and rounding happens
+    // after selection, the q_llm_source_topterms discipline.
+    "q_llm_doc_topterms" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val n1 = docs.agg(count(lit(1)).cast(DoubleType).as("n_docs"))
+      val terms = docs.select($"doc_id", explode(toks(lower($"text"))).as("term"))
+      val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df = terms.select($"doc_id", $"term").distinct()
+        .groupBy($"term").agg(count(lit(1)).as("df"))
+      tf.join(hintIfCorpusSmall(s, d, df), "term")
+        .crossJoin(broadcast(n1))
+        .withColumn("w_raw", $"tf" * log($"n_docs" / $"df"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"w_raw".desc, $"term".asc))
+          .cast(LongType))
+        .filter($"rk" <= 3)
+        .select($"doc_id", $"rk", $"term", $"tf", $"df",
+          round($"w_raw", 6).as("weight"))
+        .orderBy($"doc_id", $"rk")
+    }),
+
+    // N-gram novelty curve (r8): per document, the share of its
+    // distinct trigram shingles appearing for the FIRST time in
+    // doc_id order — the data-curation signal for "is the tail of
+    // this corpus still contributing new content or just recombining
+    // old n-grams" (dedup thresholds and stop-crawling decisions hang
+    // off it). Shape: shingle explode (the q_llm_contamination
+    // kernel), a shingle-keyed partial-agg min(doc_id) for first
+    // owners, one equi-join back on the shingle key (both sides
+    // arrive partitioned by shingle — co-located), then a per-doc
+    // fold. No pair join: ownership is a group-min, so the hottest
+    // boilerplate shingle costs one partial, not its pair volume.
+    "q_llm_ngram_novelty" -> ((s, d) => {
+      import s.implicits._
+      val sh = Tables.documents(s, d)
+        .select($"doc_id", explode(graft.queries.Llm.shingles3Pub(s, $"text")).as("sh"))
+      val first = sh.groupBy($"sh").agg(min($"doc_id").as("first_doc"))
+      sh.join(first, "sh")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          count(when($"first_doc" === $"doc_id", 1)).as("n_novel"))
+        .withColumn("novelty",
+          round($"n_novel".cast(DoubleType) / $"n_shingles".cast(DoubleType), 6))
+        .orderBy($"doc_id")
     })
   )
 
@@ -855,6 +942,38 @@ object TextAnalysis {
        "SELECT p.w1, w2, n_pair, n_w1, " +
        "round(CAST(n_pair AS DOUBLE) / CAST(n_w1 AS DOUBLE), 6) AS cond_p " +
        "FROM p JOIN sc ON p.w1 = sc.w1 " +
-       "ORDER BY n_pair DESC, p.w1, w2 LIMIT 30")
+       "ORDER BY n_pair DESC, p.w1, w2 LIMIT 30"),
+    "q_llm_filter_report" ->
+      ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, " +
+       "CAST(len(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS mwl, " +
+       "CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS ur " +
+       "FROM documents) " +
+       "SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len, round(ur, 6) AS uniq_ratio, " +
+       "n_words < 20 AS flag_short, n_words > 80 AS flag_long, " +
+       "(mwl < 3.8 OR mwl > 5.2) AS flag_word_len, ur < 0.5 AS flag_repetitive, " +
+       "NOT (n_words < 20 OR n_words > 80 OR mwl < 3.8 OR mwl > 5.2 OR ur < 0.5) AS kept " +
+       "FROM t ORDER BY doc_id"),
+    "q_llm_doc_topterms" ->
+      ("WITH terms AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents), " +
+       "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term), " +
+       "df AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term), " +
+       "n AS (SELECT COUNT(*) AS n FROM documents), " +
+       "j AS (SELECT doc_id, tf.term AS term, tf, df, " +
+       "tf * ln(CAST(n AS DOUBLE) / df) AS w_raw FROM tf " +
+       "JOIN df ON tf.term = df.term CROSS JOIN n), " +
+       "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id " +
+       "ORDER BY w_raw DESC, term) AS rk FROM j) " +
+       "SELECT doc_id, rk, term, tf, df, round(w_raw, 6) AS weight " +
+       "FROM r WHERE rk <= 3 ORDER BY doc_id, rk"),
+    "q_llm_ngram_novelty" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+       "sh0 AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
+       "for i in range(1, len(toks) - 1)]) AS shingles FROM t), " +
+       "ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh0 WHERE len(shingles) > 0), " +
+       "f AS (SELECT sh, MIN(doc_id) AS first_doc FROM ex GROUP BY sh) " +
+       "SELECT ex.doc_id, COUNT(*) AS n_shingles, " +
+       "COUNT(CASE WHEN first_doc = ex.doc_id THEN 1 END) AS n_novel, " +
+       "round(CAST(COUNT(CASE WHEN first_doc = ex.doc_id THEN 1 END) AS DOUBLE) / COUNT(*), 6) AS novelty " +
+       "FROM ex JOIN f ON ex.sh = f.sh GROUP BY ex.doc_id ORDER BY ex.doc_id")
   )
 }

@@ -337,4 +337,47 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), "loser removal must be an anti join")
     assert(!p.contains("row_number"), "keep-best stays the max(struct) aggregate")
   }
+
+  test("churn's top-50 plans as TakeOrderedAndProject over one partial agg") {
+    // the hot-key report must never globally sort the key relation or
+    // open a window — partial top-k per partition, merged on the driver
+    val p = finalPlan("q_cdc_churn")
+    assert(p.contains("TakeOrderedAndProject"), "top-50 must partial-top-k")
+    assert(!p.contains("Window"), "no window in the churn path")
+  }
+
+  test("fd audit is joinless: independent partial aggregates unioned") {
+    // each candidate pair folds to a 1-row verdict before the union —
+    // nothing ever joins, so the audit is embarrassingly parallel
+    val p = finalPlan("q_profile_fd").split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), s"no join of any kind in the FD audit:\n$p")
+    assert(p.contains("Union"), "long form assembles via union")
+  }
+
+  test("distance_matrix broadcasts the catalog and never reads the fix stream") {
+    // the deliberate n² stays on the small POI side; the events table
+    // must be absent from the plan entirely
+    val p = finalPlan("q_geo_distance_matrix")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the a.poi_id < b.poi_id self-join should broadcast the catalog")
+    assert(!p.contains("events.parquet"), "fixes never enter the plan")
+  }
+
+  test("ngram_novelty's ownership join is equi-keyed on the shingle") {
+    // first-owner resolution is a group-min joined back on the shingle
+    // key — no pair join, no cartesian anywhere, even with broadcast off
+    val c1 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val p = finalPlan("q_llm_ngram_novelty").split("== Initial Plan ==")(0)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "ownership join must be a partitionable equi-join")
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+        "no pair/cross join in the novelty path")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", c1)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
 }
