@@ -199,7 +199,11 @@ object Llm {
     * q_llm_minhash_neardup (pair + exact score) and
     * q_llm_minhash_estimate (adds the slot-match estimator). Cached
     * post-verify: the relation is tiny (near-dup mass). */
-  private def minhashVerified(s: SparkSession, d: String): DataFrame = {
+  /** Banded-LSH candidate pairs scored with EXACT Jaccard, UNfiltered —
+    * the relation [[minhashVerified]] thresholds, kept separate so the
+    * q_llm_minhash_pr QA query can measure candidate precision below
+    * the threshold too. */
+  private def minhashScored(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sh = shingled(s, d).cache()
     val sigs = sh
@@ -229,6 +233,11 @@ object Llm {
       .withColumn("n_int", size(array_intersect($"sh_a", $"sh_b")).cast(DoubleType))
       .withColumn("jaccard",
         $"n_int" / (size($"sh_a") + size($"sh_b") - $"n_int"))
+  }
+
+  private def minhashVerified(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    minhashScored(s, d)
       .filter($"jaccard" >= 0.5)
       .cache()
   }
@@ -293,6 +302,62 @@ object Llm {
           round(lit(1.0) - $"n_unique".cast("double") / $"n_docs".cast("double"), 6)
             .as("dup_rate"))
         .orderBy($"source")
+    }),
+
+    // Token-inflation by dedup (r8): how many TOKENS (not docs) each
+    // source's duplicates add — the number that prices dedup for a
+    // training run, since epochs cost tokens and a 1.4× doc-dup rate
+    // on long docs inflates compute more than on short ones. Same
+    // injected-duplicate convention as q_llm_dedup_stats; identical
+    // texts tokenize identically, so the group collapses to (hash →
+    // copies, tokens-of-one-copy) partials and per-source totals are
+    // two nested partial-agg folds — tokens never shuffle, counts do.
+    "q_llm_dup_inflation" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"source", $"text")
+      val src = docs
+        .unionByName(docs.filter($"doc_id" % 3 === 0)
+          .select(($"doc_id" + 1000000L).as("doc_id"), $"source", upper($"text").as("text")))
+        .unionByName(docs.filter($"doc_id" % 5 === 0)
+          .select(($"doc_id" + 2000000L).as("doc_id"), $"source", $"text"))
+      src
+        .select($"source",
+          md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("h"),
+          size(split($"text", " ")).cast(LongType).as("tok"))
+        .groupBy($"source", $"h")
+        .agg(count(lit(1)).as("copies"), min($"tok").as("tok"))
+        .groupBy($"source")
+        .agg(sum($"copies").as("n_docs"), count(lit(1)).as("n_unique"),
+          sum($"copies" * $"tok").as("tokens_total"),
+          sum($"tok").as("tokens_unique"))
+        .select($"source", $"n_docs", $"n_unique", $"tokens_total", $"tokens_unique",
+          round($"tokens_total".cast(DoubleType) / $"tokens_unique".cast(DoubleType), 6)
+            .as("inflation"))
+        .orderBy($"source")
+    }),
+
+    // MinHash-LSH quality audit (r8): precision/recall of the banded
+    // candidate generator against EXACT Jaccard ground truth at the
+    // 0.5 threshold — the QA query that justifies (or re-tunes) the
+    // 16-sig/4-band config before trusting it at scale. Candidates
+    // come from the real band join UNfiltered; truth reuses the
+    // capped shingle-share pipeline (exact via hot-set correction).
+    // Both relations collapse to 1-row counts before meeting, so the
+    // audit adds two constant-size folds to pipelines that already
+    // exist — no new pair join.
+    "q_llm_minhash_pr" -> ((s, d) => {
+      import s.implicits._
+      val c = minhashScored(s, d)
+        .agg(count(lit(1)).as("n_candidates"),
+          count(when($"jaccard" >= 0.5, 1)).as("n_hits"))
+      val t = ngramPairScores(s, d).filter($"jaccard" >= 0.5)
+        .agg(count(lit(1)).as("n_truth"))
+      c.crossJoin(broadcast(t))
+        .select($"n_candidates", $"n_truth", $"n_hits",
+          round($"n_hits".cast(DoubleType) / $"n_candidates".cast(DoubleType), 6)
+            .as("prec"),
+          round($"n_hits".cast(DoubleType) / $"n_truth".cast(DoubleType), 6)
+            .as("recall"))
     }),
 
     // Normalized dedup: lower+trim+whitespace-squeeze, sha256 identity.
@@ -895,6 +960,31 @@ object Llm {
        "SELECT source, n_docs, n_unique, n_docs - n_unique AS n_dups, " +
        "round(1.0 - CAST(n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_rate " +
        "FROM g ORDER BY source"),
+    "q_llm_dup_inflation" ->
+      ("WITH src AS (SELECT doc_id, source, text FROM documents " +
+       "UNION ALL SELECT doc_id + 1000000, source, upper(text) FROM documents WHERE doc_id % 3 = 0 " +
+       "UNION ALL SELECT doc_id + 2000000, source, text FROM documents WHERE doc_id % 5 = 0), " +
+       "n AS (SELECT source, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h, " +
+       "CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM src), " +
+       "g AS (SELECT source, h, COUNT(*) AS copies, MIN(tok) AS tok FROM n GROUP BY source, h), " +
+       "a AS (SELECT source, CAST(SUM(copies) AS BIGINT) AS n_docs, COUNT(*) AS n_unique, " +
+       "CAST(SUM(copies * tok) AS BIGINT) AS tokens_total, CAST(SUM(tok) AS BIGINT) AS tokens_unique " +
+       "FROM g GROUP BY source) " +
+       "SELECT source, n_docs, n_unique, tokens_total, tokens_unique, " +
+       "round(CAST(tokens_total AS DOUBLE) / CAST(tokens_unique AS DOUBLE), 6) AS inflation " +
+       "FROM a ORDER BY source"),
+    "q_llm_minhash_pr" ->
+      (shCte + ", " + minhashCandSql + ", " + ngramPairSql +
+       ", cs AS (SELECT doc_a, doc_b, " +
+       "CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) / " +
+       "(len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS j " +
+       "FROM cand JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b), " +
+       "prc AS (SELECT COUNT(*) AS n_candidates, COUNT(CASE WHEN j >= 0.5 THEN 1 END) AS n_hits FROM cs), " +
+       "tru AS (SELECT COUNT(*) AS n_truth FROM v WHERE jaccard >= 0.5) " +
+       "SELECT n_candidates, n_truth, n_hits, " +
+       "round(CAST(n_hits AS DOUBLE) / n_candidates, 6) AS prec, " +
+       "round(CAST(n_hits AS DOUBLE) / n_truth, 6) AS recall " +
+       "FROM prc CROSS JOIN tru"),
     "q_llm_minhash_neardup" ->
       (shCte + ", " + minhashCandSql +
        ", v AS (SELECT doc_a, doc_b, " +

@@ -664,6 +664,44 @@ object Projections {
         .select($"a.poi_id".as("poi_a"), $"b.poi_id".as("poi_b"),
           round(Scalars.haversineKm($"a.lat", $"a.lon", $"b.lat", $"b.lon"), 6).as("km"))
         .orderBy($"poi_a", $"poi_b")
+    }),
+
+    // Per-user location entropy (r8): Shannon entropy of each device's
+    // grid-cell visit distribution — the mobility-literature
+    // predictability measure that pairs with q_geo_radius_gyration
+    // (Rg says how FAR a user ranges, entropy says how CONCENTRATED
+    // the ranging is; a commuter has large Rg, low entropy). Shape:
+    // one (user, cell) partial-agg count, one user-keyed total fold,
+    // one co-partitioned join back — every relation is user- or
+    // (user, cell)-keyed, nothing global. Determinism is the
+    // q_profile_entropy discipline: exact integer IEEE division for
+    // p, log2 pinned at 6dp per value, DECIMAL-summed terms, final
+    // round(6); normalized by log2(n_cells) for cross-user compare.
+    "q_geo_entropy" -> ((s, d) => {
+      import s.implicits._
+      val W = 1.0
+      val cells = Tables.events(s, d)
+        .select($"user_id",
+          floor(($"value" % 180.0 - 90.0) / W).as("ci"),
+          floor(((($"event_id" % 3600) / 10.0) - 180.0) / W).as("cj"))
+        .groupBy($"user_id", $"ci", $"cj")
+        .agg(count(lit(1)).as("n"))
+      val tot = cells.groupBy($"user_id")
+        .agg(sum($"n").cast(DoubleType).as("n_total"),
+          count(lit(1)).as("n_cells"))
+      cells.join(tot, "user_id")
+        .withColumn("p", $"n".cast(DoubleType) / $"n_total")
+        .withColumn("logp", round(log2($"p"), 6))
+        .groupBy($"user_id", $"n_cells")
+        .agg(round(-(sum(graft.Determinism.dec($"p" * $"logp"))
+          .cast(DoubleType)), 6).as("entropy_bits"))
+        .withColumn("norm_entropy",
+          when($"n_cells" > 1,
+            round($"entropy_bits" /
+              round(log2($"n_cells".cast(DoubleType)), 6), 6))
+            .otherwise(lit(0.0)))
+        .select($"user_id", $"n_cells", $"entropy_bits", $"norm_entropy")
+        .orderBy($"user_id")
     })
   )
 
@@ -916,6 +954,23 @@ object Projections {
        "(n_nationkey * 13.7) % 240.0 - 120.0 AS lon FROM nation) " +
        "SELECT a.poi_id AS poi_a, b.poi_id AS poi_b, " +
        "round(" + Scalars.sqlHaversine("a.lat", "a.lon", "b.lat", "b.lon") + ", 6) AS km " +
-       "FROM poi a JOIN poi b ON a.poi_id < b.poi_id ORDER BY poi_a, poi_b")
+       "FROM poi a JOIN poi b ON a.poi_id < b.poi_id ORDER BY poi_a, poi_b"),
+    "q_geo_entropy" ->
+      ("WITH c AS (SELECT user_id, " +
+       "floor((value % 180.0 - 90.0) / 1.0) AS ci, " +
+       "floor(((event_id % 3600) / 10.0 - 180.0) / 1.0) AS cj, " +
+       "COUNT(*) AS n FROM events GROUP BY 1, 2, 3), " +
+       "tot AS (SELECT user_id, CAST(SUM(n) AS DOUBLE) AS n_total, COUNT(*) AS n_cells " +
+       "FROM c GROUP BY user_id), " +
+       "term AS (SELECT c.user_id, n_cells, CAST(n AS DOUBLE) / n_total AS p, " +
+       "round(log2(CAST(n AS DOUBLE) / n_total), 6) AS logp " +
+       "FROM c JOIN tot ON c.user_id = tot.user_id), " +
+       "h AS (SELECT user_id, n_cells, " +
+       "round(-CAST(SUM(CAST(p * logp AS DECIMAL(38,6))) AS DOUBLE), 6) AS entropy_bits " +
+       "FROM term GROUP BY user_id, n_cells) " +
+       "SELECT user_id, n_cells, entropy_bits, " +
+       "CASE WHEN n_cells > 1 THEN round(entropy_bits / round(log2(CAST(n_cells AS DOUBLE)), 6), 6) " +
+       "ELSE 0.0 END AS norm_entropy " +
+       "FROM h ORDER BY user_id")
   )
 }

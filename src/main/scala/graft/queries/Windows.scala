@@ -698,6 +698,32 @@ object Windows {
         .select($"user_id", $"n_fixes",
           round(sqrt($"sd2" / $"n_fixes"), 6).as("rg_km"))
         .orderBy($"user_id")
+    }),
+
+    // Inter-arrival gap percentiles (r8): the tail profile of each
+    // device's report cadence — p50 says what "normal" looks like,
+    // p99/max expose dropouts that an average hides (the SLA view of
+    // the heartbeat/outage family). One lag window per user for the
+    // gaps (the q_win_lag_delta shuffle), then ONE partial-agg
+    // groupBy: Spark's exact percentile merges per-partition value
+    // maps, so gigabyte-scale per-user histories fold to bounded
+    // partials — no second sort. Gaps are exact ms longs; the linear
+    // interpolation then runs on integers exactly representable in
+    // double, pinned at 6dp (the q_agg_percentile discipline).
+    "q_ts_gap_percentiles" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+      Tables.events(s, d)
+        .select($"user_id", msEpoch($"ts").as("ms"), $"event_id")
+        .withColumn("gap", $"ms" - lag($"ms", 1).over(w))
+        .filter($"gap".isNotNull)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          round(expr("percentile(gap, 0.5)"), 6).as("p50_ms"),
+          round(expr("percentile(gap, 0.9)"), 6).as("p90_ms"),
+          round(expr("percentile(gap, 0.99)"), 6).as("p99_ms"),
+          max($"gap").as("max_ms"))
+        .orderBy($"user_id")
     })
   )
 
@@ -998,6 +1024,15 @@ object Windows {
        "FROM f JOIN c ON f.user_id = c.user_id) " +
        "SELECT user_id, COUNT(*) AS n_fixes, " +
        "round(sqrt(CAST(SUM(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)), 6) AS rg_km " +
-       "FROM d GROUP BY user_id ORDER BY user_id")
+       "FROM d GROUP BY user_id ORDER BY user_id"),
+    "q_ts_gap_percentiles" ->
+      (eCte +
+       ", g AS (SELECT user_id, ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS gap FROM e) " +
+       "SELECT user_id, COUNT(*) AS n_gaps, " +
+       "round(quantile_cont(gap, 0.5), 6) AS p50_ms, " +
+       "round(quantile_cont(gap, 0.9), 6) AS p90_ms, " +
+       "round(quantile_cont(gap, 0.99), 6) AS p99_ms, " +
+       "MAX(gap) AS max_ms " +
+       "FROM g WHERE gap IS NOT NULL GROUP BY user_id ORDER BY user_id")
   )
 }
