@@ -86,7 +86,20 @@ object PlanDump {
       "q_sql_tpch_q5ish" -> ("full Q5 six-table join through the SQL text (r8): all-BHJ star at " +
         "this SF, date range pushed to the orders scan, Catalyst free to reorder"),
       "q_llm_corpus_dedup" -> ("end-to-end corpus dedup (r8): pair relation -> CC -> keep-best " +
-        "max(struct) -> ANTI join; loser side is dedup-rate-sized so AQE broadcasts it"))
+        "max(struct) -> ANTI join; loser side is dedup-rate-sized so AQE broadcasts it"),
+      "q_cdc_asof_snapshot" -> ("AS OF snapshot (r8): time cut spelled on the RAW stored ts " +
+        "column via Tables.eventsBefore — lands in PushedFilters in EITHER testdata encoding " +
+        "(ns-long or µs-NTZ), so a time-partitioned history prunes at the scan"),
+      "q_llm_ngram_novelty" -> ("n-gram novelty (r8): first-owner resolution is a shingle-keyed " +
+        "group-min joined back on the SAME key (co-partitioned) — hot boilerplate costs one " +
+        "partial, never pair volume"),
+      "q_profile_fd" -> ("functional-dependency audit (r8): JOINLESS — each candidate pair folds " +
+        "to a 1-row verdict through its own partial-agg groupBy, assembled by Union"),
+      "q_cdc_churn" -> ("CDC key churn (r8): one partial-agg groupBy on the key + top-50 as " +
+        "TakeOrderedAndProject — no window, no global sort"),
+      "q_llm_minhash_pr" -> ("LSH quality audit (r8): band-join candidates and shingle-share " +
+        "truth each collapse to 1-row counts before meeting — two constant-size folds, no new " +
+        "pair join"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — final physical plans at sf0.1 (AQE-settled)\n\n")
