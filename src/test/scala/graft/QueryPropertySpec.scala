@@ -93,4 +93,72 @@ class QueryPropertySpec extends AnyFunSuite {
       .select($"doc_id").as[Long].collect().toSet
     assert(out.map(_.getAs[Long]("doc_id")).forall(hitDocs.contains))
   }
+
+  test("benford: digits are 1..9, observed shares sum to 1, Benford column is the law") {
+    val out = queries.Profiling.queries("q_profile_benford")(spark, sf).collect()
+    val digits = out.map(_.getAs[Long]("digit"))
+    assert(digits.forall(d => d >= 1 && d <= 9))
+    assert(math.abs(out.map(_.getAs[Double]("obs_p")).sum - 1.0) < 1e-4)
+    out.foreach { r =>
+      val d = r.getAs[Long]("digit").toDouble
+      assert(math.abs(r.getAs[Double]("exp_p") - math.log10(1 + 1 / d)) < 1e-6)
+    }
+  }
+
+  test("fd audit: unique-key pairs hold, multi-valued pairs violate") {
+    val out = queries.Profiling.queries("q_profile_fd")(spark, sf).collect()
+      .map(r => r.getAs[String]("determinant") ->
+        ((r.getAs[Boolean]("holds"), r.getAs[Long]("n_violating")))).toMap
+    // o_orderkey is the orders primary key — the FD must hold exactly
+    assert(out("o_orderkey") === ((true, 0L)))
+    // a customer places orders at many priorities — must violate
+    assert(!out("o_custkey")._1 && out("o_custkey")._2 > 0)
+  }
+
+  test("gap percentiles: monotone p50 <= p90 <= p99 <= max, n_gaps = n_events - 1") {
+    val out = queries.Windows.queries("q_ts_gap_percentiles")(spark, sf).cache()
+    try {
+      assert(out.filter($"p50_ms" > $"p90_ms" || $"p90_ms" > $"p99_ms" ||
+        $"p99_ms" > $"max_ms".cast("double")).count() === 0)
+      val expected = Tables.events(spark, sf).groupBy($"user_id")
+        .agg((count(lit(1)) - 1).as("exp_gaps"))
+      assert(out.join(expected, "user_id")
+        .filter($"n_gaps" =!= $"exp_gaps").count() === 0)
+    } finally out.unpersist()
+  }
+
+  test("location entropy: 0 <= H <= log2(n_cells), normalized in [0,1]") {
+    val out = queries.Projections.queries("q_geo_entropy")(spark, sf).collect()
+    out.foreach { r =>
+      val h = r.getAs[Double]("entropy_bits")
+      val n = r.getAs[Long]("n_cells").toDouble
+      assert(h >= -1e-9 && h <= math.log(n) / math.log(2) + 1e-4)
+      // a perfectly uniform user rounds to fractionally above 1:
+      // numerator and denominator are EACH pinned at 6dp before the
+      // division (the cross-engine determinism trade), so the ratio
+      // can exceed 1 by ~|roundoff/H| ≈ 5e-6 at these cell counts
+      val nh = r.getAs[Double]("norm_entropy")
+      assert(nh >= 0.0 && nh <= 1.0 + 1e-4)
+    }
+  }
+
+  test("ngram novelty: values in [0,1], the earliest doc is fully novel") {
+    val out = queries.TextAnalysis.queries("q_llm_ngram_novelty")(spark, sf).cache()
+    try {
+      assert(out.filter($"novelty" < 0.0 || $"novelty" > 1.0).count() === 0)
+      // the smallest doc_id in the output owns every one of its
+      // shingles by construction of min(doc_id) ownership
+      val first = out.orderBy($"doc_id").limit(1).collect()(0)
+      assert(first.getAs[Double]("novelty") === 1.0)
+    } finally out.unpersist()
+  }
+
+  test("minhash PR audit: hits bounded by candidates and truth, rates in [0,1]") {
+    val r = queries.Llm.queries("q_llm_minhash_pr")(spark, sf).collect()(0)
+    val (c, t, h) = (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_truth"),
+      r.getAs[Long]("n_hits"))
+    assert(h <= c && h <= t)
+    assert(r.getAs[Double]("prec") >= 0.0 && r.getAs[Double]("prec") <= 1.0)
+    assert(r.getAs[Double]("recall") >= 0.0 && r.getAs[Double]("recall") <= 1.0)
+  }
 }
