@@ -146,7 +146,21 @@ object ScaleProbe {
       // construction — the probe times the k×-growing term-explode +
       // df/stats scans on the empty-hit path (runtime must stay
       // linear); the top-100 output bound is structural, not probed.
-      "q_ts_interpolate", "q_ts_autocorr", "q_geo_hotspots", "q_llm_bm25")
+      "q_ts_interpolate", "q_ts_autocorr", "q_geo_hotspots", "q_llm_bm25",
+      // r8 late (2): gap_percentiles / geo_entropy / churn are
+      // per-user (users disjoint per copy, series and positions
+      // preserved) — gap/entropy rows EXACTLY k×, churn output is a
+      // FLAT top-50 over a k×-growing aggregate; filter_report /
+      // doc_topterms / ngram_novelty / dup_inflation are per-doc or
+      // per-source over copy-suffixed tokens (novelty's first-owner
+      // resolution stays within a copy; dup_inflation rows FLAT at
+      // |sources| while its totals grow). minhash_pr: copies are
+      // shingle-disjoint so candidates/truth/hits each grow EXACTLY
+      // k× while precision/recall stay pinned — the audit's verdict
+      // is scale-invariant by construction
+      "q_ts_gap_percentiles", "q_geo_entropy", "q_cdc_churn",
+      "q_llm_filter_report", "q_llm_doc_topterms", "q_llm_ngram_novelty",
+      "q_llm_dup_inflation", "q_llm_minhash_pr")
 
     // GRAFT_SCALE_ONLY=q1,q2 narrows the run to a subset (new-operator
     // probes without re-timing the whole recorded family)
@@ -176,6 +190,14 @@ object ScaleProbe {
         val pairs = graft.SparkEntry.queries("q_llm_pairwise_label_sim")(spark, dir)
           .agg(sum(col("n_pairs"))).collect()(0).getLong(0)
         println(s"SCALE x$k q_llm_pairwise_label_sim PAIR_COUNT=$pairs")
+      }
+      // minhash_pr: the evidence is INSIDE the 1-row output — counts
+      // must grow k× (copies are shingle-disjoint) while P/R stay put
+      if (only.exists(_.contains("q_llm_minhash_pr"))) {
+        val r = graft.SparkEntry.queries("q_llm_minhash_pr")(spark, dir).collect()(0)
+        println(s"SCALE x$k q_llm_minhash_pr cand=${r.getAs[Long]("n_candidates")} " +
+          s"truth=${r.getAs[Long]("n_truth")} hits=${r.getAs[Long]("n_hits")} " +
+          s"prec=${r.getAs[Double]("prec")} recall=${r.getAs[Double]("recall")}")
       }
     }
     spark.stop()
