@@ -254,6 +254,27 @@ object Aggregations {
           bool_or($"o_totalprice" > 400000.0).as("any_huge"),
           count(lit(1)).as("n"))
         .orderBy($"o_orderpriority")
+    }),
+
+    // Weighted averages (r8): Σ(w·x)/Σ(w) — the aggregation a unit
+    // price IS (quantity-weighted) and a net-revenue rate needs
+    // (discount-weighted); AVG of a ratio column is the classic wrong
+    // answer this operator exists to replace. Both numerator and
+    // denominator are independent DECIMAL-exact partial-aggregable
+    // sums (the per-row product stays IEEE, the q_agg discipline), so
+    // the whole thing is still ONE map-side-combining shuffle; the
+    // division happens once per group at the end.
+    "q_agg_weighted" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(sum(dec($"l_extendedprice" * $"l_quantity")).cast(DoubleType) /
+            sum(dec($"l_quantity")).cast(DoubleType), 6).as("qty_wavg_price"),
+          round(sum(dec($"l_extendedprice" * (lit(1.0) - $"l_discount"))).cast(DoubleType) /
+            sum(dec(lit(1.0) - $"l_discount")).cast(DoubleType), 6).as("disc_wavg_price"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
     })
   )
 
@@ -335,6 +356,14 @@ object Aggregations {
     "q_agg_bool" ->
       ("SELECT o_orderpriority, bool_and(o_totalprice > 50000.0) AS all_big, " +
        "bool_or(o_totalprice > 400000.0) AS any_huge, COUNT(*) AS n " +
-       "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority")
+       "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_agg_weighted" ->
+      ("SELECT l_returnflag, " +
+       "round(" + sqlSumd("l_extendedprice * l_quantity") + " / " +
+       sqlSumd("l_quantity") + ", 6) AS qty_wavg_price, " +
+       "round(" + sqlSumd("l_extendedprice * (1.0 - l_discount)") + " / " +
+       sqlSumd("1.0 - l_discount") + ", 6) AS disc_wavg_price, " +
+       "COUNT(*) AS n " +
+       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
   )
 }

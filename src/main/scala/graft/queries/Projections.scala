@@ -702,6 +702,33 @@ object Projections {
             .otherwise(lit(0.0)))
         .select($"user_id", $"n_cells", $"entropy_bits", $"norm_entropy")
         .orderBy($"user_id")
+    }),
+
+    // Home/work anchor detection (r8): each device's top-2 grid cells
+    // by fix count — the mobility-literature anchor heuristic (the
+    // two dominant dwell locations are home and work/second base);
+    // feeds labeling, geofence seeding, and the entropy/Rg profile's
+    // interpretation. One (user, cell) partial-agg count, then the
+    // rank window runs PER USER over that user's own cells — the
+    // window input is cells-per-user, not fixes, so the aggregate
+    // absorbs the volume. Total tiebreak (count desc, cell asc).
+    "q_geo_home_work" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val W = 1.0
+      Tables.events(s, d)
+        .select($"user_id",
+          floor(($"value" % 180.0 - 90.0) / W).as("ci"),
+          floor(((($"event_id" % 3600) / 10.0) - 180.0) / W).as("cj"))
+        .groupBy($"user_id", $"ci", $"cj")
+        .agg(count(lit(1)).as("n_fixes"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"user_id")
+            .orderBy($"n_fixes".desc, $"ci", $"cj")).cast("long"))
+        .filter($"rk" <= 2)
+        .withColumn("anchor", when($"rk" === 1, "primary").otherwise("secondary"))
+        .select($"user_id", $"rk", $"anchor", $"ci", $"cj", $"n_fixes")
+        .orderBy($"user_id", $"rk")
     })
   )
 
@@ -971,6 +998,16 @@ object Projections {
        "SELECT user_id, n_cells, entropy_bits, " +
        "CASE WHEN n_cells > 1 THEN round(entropy_bits / round(log2(CAST(n_cells AS DOUBLE)), 6), 6) " +
        "ELSE 0.0 END AS norm_entropy " +
-       "FROM h ORDER BY user_id")
+       "FROM h ORDER BY user_id"),
+    "q_geo_home_work" ->
+      ("WITH c AS (SELECT user_id, " +
+       "CAST(floor((value % 180.0 - 90.0) / 1.0) AS BIGINT) AS ci, " +
+       "CAST(floor(((event_id % 3600) / 10.0 - 180.0) / 1.0) AS BIGINT) AS cj, " +
+       "COUNT(*) AS n_fixes FROM events GROUP BY 1, 2, 3), " +
+       "r AS (SELECT user_id, ci, cj, n_fixes, " +
+       "CAST(row_number() OVER (PARTITION BY user_id " +
+       "ORDER BY n_fixes DESC, ci, cj) AS BIGINT) AS rk FROM c) " +
+       "SELECT user_id, rk, CASE WHEN rk = 1 THEN 'primary' ELSE 'secondary' END AS anchor, " +
+       "ci, cj, n_fixes FROM r WHERE rk <= 2 ORDER BY user_id, rk")
   )
 }

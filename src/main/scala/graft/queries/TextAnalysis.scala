@@ -701,6 +701,31 @@ object TextAnalysis {
         .withColumn("novelty",
           round($"n_novel".cast(DoubleType) / $"n_shingles".cast(DoubleType), 6))
         .orderBy($"doc_id")
+    }),
+
+    // Heaps-law vocabulary growth (r8): one row per document that
+    // INTRODUCED vocabulary — new-type count + the cumulative curve —
+    // the diminishing-returns view a crawl-budget decision reads
+    // (sub-linear growth = healthy natural text; a persistently
+    // linear curve means templated/noisy tail; this synthetic corpus
+    // saturates its 31-word vocabulary by doc 8, which the curve
+    // shows directly). First-occurrence is a term-keyed partial-agg
+    // min (one vocab-sized shuffle — the corpus never pairs with
+    // itself); after groupBy(first_doc) the relation is ≤|vocab|
+    // rows, so the cumulative window is vocab-bounded (the
+    // source_topterms documented exception), never corpus-sized.
+    "q_llm_vocab_growth" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, d)
+        .select($"doc_id", explode(toks(lower($"text"))).as("term"))
+        .groupBy($"term").agg(min($"doc_id").as("first_doc"))
+        .groupBy($"first_doc").agg(count(lit(1)).as("new_terms"))
+        .withColumn("vocab_size", sum($"new_terms").over(
+          Window.orderBy($"first_doc")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select($"first_doc", $"new_terms", $"vocab_size")
+        .orderBy($"first_doc")
     })
   )
 
@@ -974,6 +999,13 @@ object TextAnalysis {
        "SELECT ex.doc_id, COUNT(*) AS n_shingles, " +
        "COUNT(CASE WHEN first_doc = ex.doc_id THEN 1 END) AS n_novel, " +
        "round(CAST(COUNT(CASE WHEN first_doc = ex.doc_id THEN 1 END) AS DOUBLE) / COUNT(*), 6) AS novelty " +
-       "FROM ex JOIN f ON ex.sh = f.sh GROUP BY ex.doc_id ORDER BY ex.doc_id")
+       "FROM ex JOIN f ON ex.sh = f.sh GROUP BY ex.doc_id ORDER BY ex.doc_id"),
+    "q_llm_vocab_growth" ->
+      ("WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents), " +
+       "f AS (SELECT term, MIN(doc_id) AS first_doc FROM t GROUP BY term), " +
+       "b AS (SELECT first_doc, COUNT(*) AS new_terms FROM f GROUP BY first_doc) " +
+       "SELECT first_doc, new_terms, " +
+       "CAST(SUM(new_terms) OVER (ORDER BY first_doc ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size " +
+       "FROM b ORDER BY first_doc")
   )
 }

@@ -724,6 +724,56 @@ object Windows {
           round(expr("percentile(gap, 0.99)"), 6).as("p99_ms"),
           max($"gap").as("max_ms"))
         .orderBy($"user_id")
+    }),
+
+    // Pareto cumulative share (r8): the ABC/80-20 report — what share
+    // of total order value do the top-k orders carry. Scale shape:
+    // the top-100 extraction is a TakeOrderedAndProject (partial
+    // top-k per partition, never a global sort of the fact table);
+    // the global-ordered cumulative window then runs over ONLY those
+    // 100 rows, so the one single-partition window in this plan is
+    // bounded by the report size at any input volume (the
+    // PrefixSum-documented exception). Grand total is a 1-row
+    // DECIMAL-exact broadcast; explicit rowsBetween so the frame is
+    // ROWS (not RANGE) under the unique (price, key) ordering.
+    "q_win_cum_share" -> ((s, d) => {
+      import s.implicits._
+      val tot = Tables.orders(s, d)
+        .agg(sum(dec($"o_totalprice")).cast(DoubleType).as("grand"))
+      val top = Tables.orders(s, d)
+        .select($"o_orderkey", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey").limit(100)
+      val w = Window.orderBy($"o_totalprice".desc, $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      top
+        .withColumn("rk", row_number().over(
+          Window.orderBy($"o_totalprice".desc, $"o_orderkey")).cast("long"))
+        .withColumn("cum", sum(dec($"o_totalprice")).over(w).cast(DoubleType))
+        .crossJoin(broadcast(tot))
+        .select($"rk", $"o_orderkey", $"o_totalprice",
+          round($"cum" / $"grand", 6).as("cum_share"))
+        .orderBy($"rk")
+    }),
+
+    // Week-over-week growth (r8): the lag-AFTER-aggregate shape — the
+    // weekly series per event type is grouped first (partial-agg
+    // shuffle on a bounded (week, type) domain), THEN the growth lag
+    // runs over the tiny aggregated relation partitioned by type. At
+    // 100 TB the window input is |weeks|·|types| rows regardless of
+    // event volume — the aggregate absorbs the scale, the window
+    // never sees it.
+    "q_ts_wow_growth" -> ((s, d) => {
+      import s.implicits._
+      val wk = Tables.events(s, d)
+        .groupBy(date_trunc("week", tsMs($"ts")).as("week"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"event_type").orderBy($"week")
+      wk.withColumn("prev_n", lag($"n", 1).over(w))
+        .withColumn("wow_growth",
+          when($"prev_n".isNotNull,
+            round(($"n" - $"prev_n").cast(DoubleType) / $"prev_n".cast(DoubleType), 6)))
+        .select($"week", $"event_type", $"n", $"prev_n", $"wow_growth")
+        .orderBy($"week", $"event_type")
     })
   )
 
@@ -1033,6 +1083,26 @@ object Windows {
        "round(quantile_cont(gap, 0.9), 6) AS p90_ms, " +
        "round(quantile_cont(gap, 0.99), 6) AS p99_ms, " +
        "MAX(gap) AS max_ms " +
-       "FROM g WHERE gap IS NOT NULL GROUP BY user_id ORDER BY user_id")
+       "FROM g WHERE gap IS NOT NULL GROUP BY user_id ORDER BY user_id"),
+    "q_win_cum_share" ->
+      ("WITH tot AS (SELECT " + sqlSumd("o_totalprice") + " AS grand FROM orders), " +
+       "top AS (SELECT o_orderkey, o_totalprice FROM orders " +
+       "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100), " +
+       "r AS (SELECT o_orderkey, o_totalprice, " +
+       "CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk, " +
+       "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER " +
+       "(ORDER BY o_totalprice DESC, o_orderkey ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum " +
+       "FROM top) " +
+       "SELECT rk, o_orderkey, o_totalprice, round(cum / grand, 6) AS cum_share " +
+       "FROM r CROSS JOIN tot ORDER BY rk"),
+    "q_ts_wow_growth" ->
+      ("WITH e AS (SELECT date_trunc('week', date_trunc('milliseconds', ts)) AS week, " +
+       "event_type FROM events), " +
+       "g AS (SELECT week, event_type, COUNT(*) AS n FROM e GROUP BY 1, 2), " +
+       "l AS (SELECT week, event_type, n, " +
+       "lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n FROM g) " +
+       "SELECT week, event_type, n, prev_n, " +
+       "CASE WHEN prev_n IS NOT NULL THEN round(CAST(n - prev_n AS DOUBLE) / prev_n, 6) END AS wow_growth " +
+       "FROM l ORDER BY week, event_type")
   )
 }
