@@ -363,6 +363,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("events.parquet"), "fixes never enter the plan")
   }
 
+  test("cum_share extracts top-100 via TakeOrderedAndProject before the bounded window") {
+    // the fact table must never globally sort; the single-partition
+    // cumulative window may only exist AFTER the 100-row cut
+    val p = finalPlan("q_win_cum_share")
+    assert(p.contains("TakeOrderedAndProject"), "top-100 must partial-top-k")
+  }
+
+  test("wow_growth's lag window runs over the aggregated weekly relation") {
+    // aggregate absorbs the event volume; the window's child must be
+    // the (week, type) aggregate, so a Window appears above a
+    // HashAggregate and no window touches the raw scan
+    val p = finalPlan("q_ts_wow_growth").split("== Initial Plan ==")(0)
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx >= 0 && winIdx < aggIdx,
+      "lag must run above the weekly aggregate, not the raw events")
+  }
+
   test("ngram_novelty's ownership join is equi-keyed on the shingle") {
     // first-owner resolution is a group-min joined back on the shingle
     // key — no pair join, no cartesian anywhere, even with broadcast off
