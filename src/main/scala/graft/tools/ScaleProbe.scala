@@ -160,7 +160,14 @@ object ScaleProbe {
       // is scale-invariant by construction
       "q_ts_gap_percentiles", "q_geo_entropy", "q_cdc_churn",
       "q_llm_filter_report", "q_llm_doc_topterms", "q_llm_ngram_novelty",
-      "q_llm_dup_inflation", "q_llm_minhash_pr")
+      "q_llm_dup_inflation", "q_llm_minhash_pr",
+      // r8 final batch: wow_growth output is (weeks × types) — FLAT
+      // under clone scaling (copies keep the week/type domain; only n
+      // grows k×); home_work is top-2 cells per user — EXACTLY k×
+      // rows (users disjoint per copy); vocab_growth rows = number of
+      // vocab-introducing docs — copies suffix tokens, so each copy
+      // introduces its own 31-word vocabulary and rows grow k×
+      "q_ts_wow_growth", "q_geo_home_work", "q_llm_vocab_growth")
 
     // GRAFT_SCALE_ONLY=q1,q2 narrows the run to a subset (new-operator
     // probes without re-timing the whole recorded family)
