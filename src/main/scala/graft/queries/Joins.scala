@@ -176,6 +176,47 @@ object Joins {
         .orderBy($"t_event_id")
     }),
 
+    // As-of join with a freshness tolerance (r8): the GPS-enrichment
+    // semantic the plain as-of can't express — "the latest fix, but
+    // only if it is at most 5 minutes old; otherwise report the probe
+    // unenriched". Same union + single-sort carry-forward machinery as
+    // q_join_asof (one user-keyed shuffle, no pair inflation), plus a
+    // narrow staleness gate AFTER the carry — the tolerance never
+    // re-enters the join, so the plan is identical in shape and the
+    // match-rate column comes free. kdb's `aj0`/Flink's interval-
+    // bounded enrich as one extra projected predicate.
+    "q_join_asof_tolerance" -> ((s, d) => {
+      import s.implicits._
+      val TolMs = 300000L // 5-minute freshness gate
+      val e = Tables.events(s, d).withColumn("ts_ms", tsMs($"ts"))
+      val qStructT = "struct<q_event_id:bigint,q_ts:timestamp,q_value:double>"
+      val quotes = e.filter($"event_type" === "view")
+        .select($"user_id", $"ts_ms".as("ts"), lit(0).as("is_click"),
+          $"event_id".as("evt"),
+          struct($"event_id".as("q_event_id"), $"ts_ms".as("q_ts"),
+            $"value".as("q_value")).cast(qStructT).as("q"),
+          lit(null).cast("bigint").as("t_event_id"))
+      val trades = e.filter($"event_type" === "click")
+        .select($"user_id", $"ts_ms".as("ts"), lit(1).as("is_click"),
+          $"event_id".as("evt"),
+          lit(null).cast(qStructT).as("q"),
+          $"event_id".as("t_event_id"))
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".asc, $"is_click".asc, $"evt".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      quotes.unionByName(trades)
+        .withColumn("lastq", last($"q", ignoreNulls = true).over(w))
+        .filter($"is_click" === 1)
+        .withColumn("fresh", $"lastq".isNotNull &&
+          (unix_millis($"ts") - unix_millis($"lastq.q_ts")) <= TolMs)
+        .select($"t_event_id", $"user_id", $"ts".as("t_ts"),
+          when($"fresh", $"lastq.q_event_id").as("q_event_id"),
+          when($"fresh", $"lastq.q_ts").as("q_ts"),
+          when($"fresh", $"lastq.q_value").as("q_value"),
+          $"fresh")
+        .orderBy($"t_event_id")
+    }),
+
     // 4-table chain — exercises join reorder; dims broadcast.
     "q_join_multiway" -> ((s, d) => {
       import s.implicits._
@@ -242,6 +283,21 @@ object Joins {
        "ROW_NUMBER() OVER (PARTITION BY t_event_id ORDER BY q_ts DESC, q_event_id DESC) AS rn " +
        "FROM t LEFT JOIN q ON t.user_id = q.q_user_id AND q.q_ts <= t.t_ts) " +
        "SELECT t_event_id, user_id, t_ts, q_event_id, q_ts, q_value FROM j WHERE rn = 1 ORDER BY t_event_id"),
+    "q_join_asof_tolerance" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, value, date_trunc('milliseconds', ts) AS ts_ms FROM events), " +
+       "t AS (SELECT event_id AS t_event_id, user_id, ts_ms AS t_ts FROM e WHERE event_type = 'click'), " +
+       "q AS (SELECT event_id AS q_event_id, user_id AS q_user_id, ts_ms AS q_ts, value AS q_value FROM e WHERE event_type = 'view'), " +
+       "j AS (SELECT t.*, q.q_event_id, q.q_ts, q.q_value, " +
+       "ROW_NUMBER() OVER (PARTITION BY t_event_id ORDER BY q_ts DESC, q_event_id DESC) AS rn " +
+       "FROM t LEFT JOIN q ON t.user_id = q.q_user_id AND q.q_ts <= t.t_ts), " +
+       "f AS (SELECT t_event_id, user_id, t_ts, q_event_id, q_ts, q_value, " +
+       "(q_event_id IS NOT NULL AND epoch_ms(t_ts) - epoch_ms(q_ts) <= 300000) AS fresh " +
+       "FROM j WHERE rn = 1) " +
+       "SELECT t_event_id, user_id, t_ts, " +
+       "CASE WHEN fresh THEN q_event_id END AS q_event_id, " +
+       "CASE WHEN fresh THEN q_ts END AS q_ts, " +
+       "CASE WHEN fresh THEN q_value END AS q_value, fresh " +
+       "FROM f ORDER BY t_event_id"),
     "q_join_multiway" ->
       ("SELECT o_orderkey, c_name, n_name, r_name, o_totalprice FROM orders " +
        "JOIN customer ON o_custkey = c_custkey " +
