@@ -363,6 +363,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("events.parquet"), "fixes never enter the plan")
   }
 
+  test("asof_tolerance keeps the joinless carry-forward shape of q_join_asof") {
+    // the as-of family resolves matches by union + ONE user-keyed sort
+    // + last(ignoreNulls) — no join operator may appear (a pair join
+    // here would inflate quotes x trades), and the freshness gate must
+    // not add a second window
+    val p = finalPlan("q_join_asof_tolerance").split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), s"no join in the carry-forward as-of:\n$p")
+    assert(p.linesIterator.count(_.contains("Window [")) === 1,
+      "exactly one carry-forward window")
+  }
+
   test("cum_share extracts top-100 via TakeOrderedAndProject before the bounded window") {
     // the fact table must never globally sort; the single-partition
     // cumulative window may only exist AFTER the 100-row cut
