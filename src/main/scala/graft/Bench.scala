@@ -52,18 +52,31 @@ object Bench {
     // "49,900" and corrupt both the stdout line and BENCH_FULL.json
     def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // Diagnostic second pass over the slowest queries: separates
+    // Diagnostic second pass over the slow queries: separates
     // one-shot cost (plan analysis + codegen + JIT + cache fill) from
     // steady-state compute. r02 evidence: on the driver machine the
     // single-pass numbers for multi-stage queries ran 6-11x local while
     // scans ran 1.0x — the rewarm column shows whether that gap is
     // fixed overhead under load or real per-row cost. NOT in `value`
     // (headline stays single-pass for cross-round comparability).
-    // top-8 (was top-5, VERDICT r7 item 1): wide enough that the six
-    // load-inflated multi-stage queries (tpch q3/q10ish, stream twins,
-    // ts_retention) carry their own steady-state evidence in every
-    // driver run instead of needing an after-the-fact local rerun.
-    val rewarm = results.sortBy(-_._2).take(8).map { case (name, _) =>
+    // ADAPTIVE set (was fixed top-8, VERDICT r8 item 1): every query
+    // whose single-pass exceeds 4× the fast-set median rewarms itself,
+    // so ANY load-inflated query carries its own steady-state evidence
+    // in-run — three rounds of after-the-fact RunQ attribution sweeps
+    // (r6 six, r7 six, r8 eight queries) all exonerated to session
+    // load, and the fixed top-8 window was why the r8 eight needed the
+    // manual sweep at all. Floor of 8 keeps cross-round continuity;
+    // the threshold keys off the MEDIAN (robust to the slow tail).
+    val medianDt = {
+      val ts = results.map(_._2).sorted
+      if (ts.isEmpty) 0.0 else ts(ts.size / 2)
+    }
+    val rewarmNames = {
+      val byCost = results.sortBy(-_._2)
+      val over = byCost.filter(_._2 > 4.0 * medianDt).map(_._1)
+      (over ++ byCost.take(8).map(_._1)).distinct
+    }
+    val rewarm = rewarmNames.map { name =>
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -83,7 +96,12 @@ object Bench {
         ",\"unit\":\"sec\",\"sf\":\"" + sfDir + "\",\"rewarm\":" + rewarmJson +
         ",\"warmup\":" + warmupJson +
         ",\"queries\":{", ",", "}}")
-    val fullPath = Paths.get("BENCH_FULL.json").toAbsolutePath
+    // Split output paths (VERDICT r8 item 5, second offense in r7):
+    // the driver invokes Bench bare and owns BENCH_FULL.json; local
+    // seal passes set GRAFT_BENCH_OUT=BENCH_LOCAL.json so the two
+    // artifacts version separately instead of overwriting each other.
+    val outName = sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    val fullPath = Paths.get(outName).toAbsolutePath
     Files.writeString(fullPath, fullJson + "\n")
     val slow = results.filter(_._2 >= 0.25).sortBy(-_._2).take(45)
     val slowSet = slow.map(_._1).toSet

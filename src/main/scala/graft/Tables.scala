@@ -42,13 +42,25 @@ object Tables {
         throw new IllegalStateException(s"unsupported events.ts type: $other")
     }
 
+  /** The ONE raw events reader both [[t]] and [[eventsBefore]] go
+    * through, so any future encoding handling lands in one place
+    * instead of drifting between the two loaders (ADVICE r8).
+    * Sets its own correctness-critical session confs rather than
+    * trusting every entry point's convention: nanosAsLong (Spark 4
+    * refuses TIMESTAMP(NANOS) parquet without it; harmless for µs
+    * data) and session timeZone=UTC — the NTZ normalization in
+    * [[normalizeEvents]] interprets the stored wall clock as UTC, and
+    * a session built without the pin would silently shift every event
+    * time (ADVICE r8). */
+  private def rawEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.read.parquet(s"$sfDir/events.parquet")
+  }
+
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // TIMESTAMP(NANOS) parquet is only readable under this flag
-      // (Spark 4 refuses the type otherwise); harmless for µs data.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      normalizeEvents(spark.read.parquet(s"$sfDir/$name.parquet"))
-    } else spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") normalizeEvents(rawEvents(spark, sfDir))
+    else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
   /** `events` with an exclusive event-time upper cut (`ts < cutMs`),
@@ -59,8 +71,7 @@ object Tables {
     * parquet scan's PushedFilters and prunes row groups / time
     * partitions at 100 TB instead of reading-then-dropping. */
   def eventsBefore(spark: SparkSession, sfDir: String, cutMs: Long): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val raw = rawEvents(spark, sfDir)
     val cut: Column = raw.schema("ts").dataType match {
       case LongType => col("ts") < cutMs * 1000000L
       case TimestampNTZType =>

@@ -44,11 +44,63 @@ object Multimodal {
       (pmod(col("doc_id"), lit(480)) + 1).cast("int").as("height"),
       lit(16000).as("sample_rate"))
 
-  /** ---- STUB ----
+  /** REAL image decode (r9, VERDICT r8 item 3): pure-JDK javax.imageio
+    * — PNG/BMP/GIF/JPEG with zero container dependencies. Emits a
+    * 16-dim pixel-stats feature vector:
+    *   [0..2]  mean R, G, B            (scaled to [0,1])
+    *   [3..5]  stddev R, G, B          (scaled to [0,1])
+    *   [6]     mean luma  (Rec.601: 0.299R + 0.587G + 0.114B)
+    *   [7]     stddev luma
+    *   [8..15] 8-bin luma histogram, L1-normalized
+    * `None` when the payload is not a decodable image — the caller
+    * falls back to the byte-histogram stub (the audio/video path,
+    * where this container genuinely lacks codecs). Decoding is a
+    * per-row CPU kernel inside the same typed narrow map — no shuffle,
+    * no plan-shape change vs the stub. */
+  def decodeImage(payload: Array[Byte]): Option[Array[Float]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val n = w.toDouble * h.toDouble
+        var sr, sg, sb, sl, sr2, sg2, sb2, sl2 = 0.0
+        val hist = new Array[Float](8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val r = (p >> 16) & 0xff
+            val g = (p >> 8) & 0xff
+            val b = p & 0xff
+            val l = 0.299 * r + 0.587 * g + 0.114 * b
+            sr += r; sg += g; sb += b; sl += l
+            sr2 += r.toDouble * r; sg2 += g.toDouble * g; sb2 += b.toDouble * b; sl2 += l * l
+            hist(math.min(7, (l / 32.0).toInt)) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        def mean(s: Double) = (s / n / 255.0).toFloat
+        def std(s: Double, s2: Double) = {
+          val m = s / n
+          (math.sqrt(math.max(0.0, s2 / n - m * m)) / 255.0).toFloat
+        }
+        Some(Array(
+          mean(sr), mean(sg), mean(sb),
+          std(sr, sr2), std(sg, sg2), std(sb, sb2),
+          mean(sl), std(sl, sl2)) ++ hist.map(_ / n.toFloat))
+      }
+    } catch { case _: Throwable => None }
+
+  /** ---- STUB (audio/video only since r9) ----
     * Deterministic fake decoder: a 16-bin byte histogram, L1-normalized,
-    * as the "feature vector". A real implementation decodes the media
-    * (libjpeg/ffmpeg) and runs a feature extractor; the signature,
-    * typed-Dataset batch shape and narrow-map plan are identical. */
+    * as the "feature vector". Audio/video codecs aren't in this
+    * container; a real implementation (ffmpeg) swaps in with the same
+    * signature, typed-Dataset batch shape and narrow-map plan. Images
+    * take the REAL [[decodeImage]] path. */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)
     var i = 0
@@ -57,11 +109,16 @@ object Multimodal {
     hist.map(_ / total)
   }
 
-  /** Decode/feature-extract: typed narrow map, no shuffle. */
+  /** Decode/feature-extract: typed narrow map, no shuffle. Images go
+    * through the real javax.imageio decode; payloads that don't parse
+    * as an image (and the audio/video kinds) take the stub. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].map { r =>
-      MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, decodeStub(r.payload))
+      val feats =
+        if (r.kind == "image") decodeImage(r.payload).getOrElse(decodeStub(r.payload))
+        else decodeStub(r.payload)
+      MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, feats)
     }
   }
 

@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
 object Joins {
   import Determinism._
 
+  /** Freshness gate of q_join_asof_tolerance — ONE constant
+    * interpolated into both the DataFrame query and its DuckDB twin
+    * (ADVICE r8: two disconnected literals let a re-tune silently
+    * desynchronize the oracle). */
+  val AsofToleranceMs = 300000L // 5 minutes
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Large×large equi-join → sort-merge above the broadcast threshold.
@@ -187,7 +193,7 @@ object Joins {
     // bounded enrich as one extra projected predicate.
     "q_join_asof_tolerance" -> ((s, d) => {
       import s.implicits._
-      val TolMs = 300000L // 5-minute freshness gate
+      val TolMs = AsofToleranceMs
       val e = Tables.events(s, d).withColumn("ts_ms", tsMs($"ts"))
       val qStructT = "struct<q_event_id:bigint,q_ts:timestamp,q_value:double>"
       val quotes = e.filter($"event_type" === "view")
@@ -291,7 +297,7 @@ object Joins {
        "ROW_NUMBER() OVER (PARTITION BY t_event_id ORDER BY q_ts DESC, q_event_id DESC) AS rn " +
        "FROM t LEFT JOIN q ON t.user_id = q.q_user_id AND q.q_ts <= t.t_ts), " +
        "f AS (SELECT t_event_id, user_id, t_ts, q_event_id, q_ts, q_value, " +
-       "(q_event_id IS NOT NULL AND epoch_ms(t_ts) - epoch_ms(q_ts) <= 300000) AS fresh " +
+       s"(q_event_id IS NOT NULL AND epoch_ms(t_ts) - epoch_ms(q_ts) <= $AsofToleranceMs) AS fresh " +
        "FROM j WHERE rn = 1) " +
        "SELECT t_event_id, user_id, t_ts, " +
        "CASE WHEN fresh THEN q_event_id END AS q_event_id, " +

@@ -138,6 +138,28 @@ object Pipeline {
         col("w.event_id").as("last_event_id"), col("w.ms").as("last_ms"),
         col("w.value").as("last_value"), col("w.event_type").as("last_type"))
 
+  /** Incrementally-maintained latest-state snapshot WITH Debezium
+    * tombstone semantics (r9) — the streaming twin of
+    * q_cdc_snapshot_deletes. `events` additionally carries an `op`
+    * column ('d' = delete); a key whose LAST event (by the unique
+    * (ms, event_id) order) is a tombstone is withheld from the emitted
+    * state. The op rides inside the same order-independent max(struct)
+    * fold AFTER the unique prefix, so interleaved deletes across
+    * micro-batches in any arrival order converge to the batch answer
+    * (StreamingPipelineSpec proves it), and a key deleted-then-
+    * re-upserted correctly reappears. State stays one folded row per
+    * key — the tombstone filter is a stateless projection on top. */
+  def snapshotStateWithDeletes(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"),
+        struct(col("ms"), col("event_id"), col("op"), col("value"), col("event_type")).as("st"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("st")).as("w"))
+      .filter(col("w.op") =!= lit("d"))
+      .select(col("user_id"), col("n_events"),
+        col("w.event_id").as("last_event_id"), col("w.ms").as("last_ms"),
+        col("w.value").as("last_value"), col("w.event_type").as("last_type"))
+
   /** Streaming corpus fingerprint: per-source running MinHash sketch
     * over a document stream — the incremental form of
     * q_llm_source_minhash (r7). min() is order-insensitive and

@@ -213,6 +213,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
   }
 
+  test("Multimodal: real javax.imageio decode on generated PNG/BMP bytes") {
+    def imageBytes(fmt: String, w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    // solid 4×4 PNG (R=200,G=100,B=50): exact means, zero stddev, and
+    // the whole luma mass (0.299·200+0.587·100+0.114·50 = 124.2) in bin 3
+    val solid = Multimodal.decodeImage(
+      imageBytes("png", 4, 4)((_, _) => (200 << 16) | (100 << 8) | 50)).get
+    assert(math.abs(solid(0) - 200f / 255f) < 1e-4)
+    assert(math.abs(solid(1) - 100f / 255f) < 1e-4)
+    assert(math.abs(solid(2) - 50f / 255f) < 1e-4)
+    assert(solid(3) == 0f && solid(4) == 0f && solid(5) == 0f && solid(7) == 0f)
+    assert(math.abs(solid(6) - 124.2f / 255f) < 1e-3)
+    assert(solid(8 + 3) == 1f && solid.drop(8).sum == 1f)
+    // half-black half-white 2×1 BMP: mean 0.5, stddev 0.5 on every
+    // channel; luma mass split between bins 0 and 7
+    val bw = Multimodal.decodeImage(
+      imageBytes("bmp", 2, 1)((x, _) => if (x == 0) 0x000000 else 0xffffff)).get
+    (0 to 2).foreach(i => assert(math.abs(bw(i) - 0.5f) < 1e-4))
+    (3 to 5).foreach(i => assert(math.abs(bw(i) - 0.5f) < 1e-4))
+    assert(bw(8) == 0.5f && bw(8 + 7) == 0.5f)
+    // non-image bytes refuse to decode
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+    // extractFeatures routes image payloads through the REAL decode
+    // (pixel stats, not the 16-bin byte histogram the stub would give)
+    val png = imageBytes("png", 4, 4)((_, _) => (200 << 16) | (100 << 8) | 50)
+    val media = Seq((1L, "image", png, 4, 4, 0), (2L, "audio", png, 0, 0, 16000))
+      .toDF("media_id", "kind", "payload", "width", "height", "sample_rate")
+    val byId = Multimodal.extractFeatures(spark, media).collect()
+      .map(f => f.media_id -> f.features).toMap
+    assert(byId(1L).toSeq == solid.toSeq)            // image → real decode
+    assert(byId(2L).toSeq == Multimodal.decodeStub(png).toSeq) // audio → stub
+  }
+
   test("Multimodal: resize and frame-sample stubs keep the binary contract") {
     val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf).limit(30))
     val resized = Multimodal.resizeStub(spark, media, 16)

@@ -28,6 +28,72 @@ class ScaleLayoutSpec extends AnyFunSuite {
     assert(df.count() == clicks)
   }
 
+  test("date-partitioned events: static AS-OF pruning + DYNAMIC partition pruning on a date-ranged join") {
+    // The last untested claim in the 100 TB story (VERDICT r8 item 6):
+    // SURVEY §4.3 prescribes partitioning raw GPS by date(ts), but the
+    // flat testdata made PartitionPruning a no-op everywhere. This
+    // writes the date-partitioned events copy the production layout
+    // would have and pins BOTH pruning modes in the physical plan.
+    import graft.Determinism
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Layout.writePartitioned(
+      Tables.events(spark, sf)
+        .withColumn("ms", Determinism.msEpoch(col("ts")))
+        .withColumn("event_date", to_date(timestamp_millis(col("ms"))))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_type"), col("ms"), col("event_date")),
+      dir, "event_date")
+    val part = spark.read.parquet(dir)
+
+    // 1. STATIC pruning: the q_cdc_asof_snapshot fold with its cut
+    // spelled on the partition column. event_date = date(ts), so
+    // event_date < '2024-01-15' ⟺ ts < 2024-01-15T00:00Z — the same
+    // prefix q_cdc_asof_snapshot folds; on this layout the cut prunes
+    // whole date directories instead of row groups.
+    val AsOfMs = 1705276800000L // 2024-01-15T00:00:00Z, the query's literal
+    val snap = part.filter(col("event_date") < lit("2024-01-15").cast("date"))
+      .select(col("user_id"),
+        struct(col("ms"), col("event_id"), col("value"), col("event_type")).as("st"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("st")).as("w"))
+    snap.collect()
+    val snapPlan = snap.queryExecution.executedPlan.toString
+    assert(snapPlan.contains("PartitionFilters:") &&
+      snapPlan.replaceAll("\\s+", " ").matches(".*PartitionFilters: \\[[^\\]]*event_date[^\\]]*\\].*"),
+      s"AS-OF cut not in PartitionFilters:\n${snapPlan.take(2000)}")
+    // same state as the flat-layout query computes
+    assert(snap.count() ==
+      Tables.eventsBefore(spark, sf, AsOfMs).select("user_id").distinct().count())
+
+    // 2. DYNAMIC pruning: a date-ranged join against a small filtered
+    // dim (a calendar/campaign table). The dim's dates are unknown at
+    // plan time, so static pruning can't fire — DPP turns the dim's
+    // broadcast result into a runtime partition filter on the fact
+    // scan (dynamicpruningexpression), the mechanism that keeps a
+    // date-dim join from scanning all of a 100 TB history.
+    val dates = part.select(col("event_date")).distinct()
+      .orderBy(col("event_date")).limit(3)
+      .collect().map(_.getDate(0))
+    // the dim must be a REAL table (parquet), not an in-memory
+    // LocalRelation — ConvertToLocalRelation folds a filter over a
+    // local relation into the relation itself, and DPP's
+    // hasSelectivePredicate then sees no Filter to derive the runtime
+    // subquery from (exactly how a calendar/campaign dim ships anyway)
+    spark.createDataFrame(
+        dates.zipWithIndex.map { case (d, i) => (d, if (i < 2) "keep" else "drop") }.toSeq)
+      .toDF("event_date", "tag")
+      .write.mode("overwrite").parquet(s"$dir-dim")
+    val dim = spark.read.parquet(s"$dir-dim")
+    val joined = part.join(dim.filter(col("tag") === "keep"), Seq("event_date"))
+    val n = joined.collect().length
+    val joinPlan = joined.queryExecution.executedPlan.toString
+    assert(joinPlan.contains("dynamicpruningexpression"),
+      s"no dynamic partition pruning in:\n${joinPlan.take(3000)}")
+    // semantics: exactly the kept dates' rows
+    val expected = part.filter(col("event_date").isin(dates.take(2).map(_.toString): _*)).count()
+    assert(n.toLong == expected, s"$n vs $expected")
+  }
+
   test("bucketed tables join with ZERO exchanges (co-located SMJ)") {
     val base = java.nio.file.Files.createTempDirectory("graft_buck").toString
     Layout.writeBucketed(Tables.lineitem(spark, sf)

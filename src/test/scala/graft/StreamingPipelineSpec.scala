@@ -282,6 +282,44 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(got(2L) == ((2L, 2L, 60L, 3.0, "view")))   // batch-2 state wins
   }
 
+  test("tombstone snapshot: stream == batch under interleaved deletes") {
+    // (user_id, ms, event_id, op, value, event_type). Four keys cover
+    // the whole delete algebra, with arrival order ADVERSARIAL to the
+    // event-time order so only the order-independent fold saves it:
+    //   u1: delete arrives FIRST, then earlier upserts → stays deleted
+    //   u2: deleted in batch 1, re-upserted later in batch 2 → reappears
+    //   u3: upsert-then-stale-delete (delete is NOT last) → survives
+    //   u4: never deleted → plain snapshot semantics
+    val batch1: Seq[(Long, Long, Long, String, Double, String)] = Seq(
+      (1L, 100L, 9L, "d", 0.0, "del"), (2L, 40L, 3L, "d", 0.0, "del"),
+      (3L, 80L, 7L, "u", 5.5, "view"), (4L, 10L, 1L, "u", 1.0, "click"))
+    val batch2: Seq[(Long, Long, Long, String, Double, String)] = Seq(
+      (1L, 50L, 5L, "u", 2.0, "view"), (2L, 60L, 6L, "u", 4.0, "click"),
+      (3L, 70L, 4L, "d", 0.0, "del"), (4L, 20L, 2L, "u", 3.0, "view"))
+    val cols = Seq("user_id", "ms", "event_id", "op", "value", "event_type")
+    val in = MemoryStream[(Long, Long, Long, String, Double, String)]
+    in.addData(batch1: _*)
+    val q = Pipeline.snapshotStateWithDeletes(in.toDF.toDF(cols: _*))
+      .writeStream.format("memory").queryName("snapdel_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    in.addData(batch2: _*)
+    q.processAllAvailable()
+    val stream = spark.table("snapdel_out").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getString(5)))).toMap
+    q.stop()
+    val batch = Pipeline.snapshotStateWithDeletes(
+        (batch1 ++ batch2).toDF(cols: _*)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getString(5)))).toMap
+    assert(stream == batch)                          // stream ≡ batch
+    assert(!stream.contains(1L))                     // last event is the tombstone
+    assert(stream(2L) == ((2L, 6L, 60L, 4.0, "click"))) // delete-then-reupsert reappears
+    assert(stream(3L) == ((2L, 7L, 80L, 5.5, "view")))  // stale delete doesn't kill
+    assert(stream(4L) == ((2L, 2L, 20L, 3.0, "view")))  // untouched key: plain snapshot
+  }
+
   test("exactly-once: restart from checkpoint does not re-deliver") {
     val dbz = (i: Int) =>
       s"""{"payload":{"after":{"id":"E$i","latitude":1.0,"longitude":2.0},"op":"c"}}"""
