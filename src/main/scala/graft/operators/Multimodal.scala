@@ -122,9 +122,47 @@ object Multimodal {
     }
   }
 
-  /** ---- STUB ----
-    * "Resize": a real pipeline re-encodes pixels; the stub truncates the
-    * payload, preserving the binary-in/binary-out contract. */
+  /** REAL image resize (r9): decode → AWT bilinear scale into a
+    * bounding box (aspect preserved, never upscale) → PNG re-encode,
+    * all pure JDK. Returns None for non-decodable payloads. */
+  def resizeImage(payload: Array[Byte], maxDim: Int): Option[(Array[Byte], Int, Int)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val scale = math.min(1.0,
+          maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+        val (w, h) = (math.max(1, (img.getWidth * scale).toInt),
+          math.max(1, (img.getHeight * scale).toInt))
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some((bos.toByteArray, w, h))
+      }
+    } catch { case _: Throwable => None }
+
+  /** Resize: REAL for decodable images (bounded longest edge, PNG
+    * re-encode); the byte-truncation stub only for the audio/video
+    * kinds and undecodable payloads. Same binary-in/binary-out
+    * contract and narrow-map plan either way. */
+  def resize(spark: SparkSession, media: DataFrame, maxDim: Int): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].map { r =>
+      (if (r.kind == "image") resizeImage(r.payload, maxDim) else None) match {
+        case Some((bytes, w, h)) => r.copy(payload = bytes, width = w, height = h)
+        case None => r.copy(payload = r.payload.take(maxDim),
+          width = math.min(r.width, maxDim), height = math.min(r.height, maxDim))
+      }
+    }.toDF()
+  }
+
+  /** ---- STUB (kept for the audio/video fallback contract) ---- */
   def resizeStub(spark: SparkSession, media: DataFrame, maxBytes: Int): DataFrame = {
     import spark.implicits._
     media.as[MediaRow].map { r =>

@@ -82,23 +82,25 @@ final class JdbcOutboxSink(url: String, table: String,
       }
   }
 
+  private[streaming] def ensureLedger(conn: Connection): Unit = {
+    if (!ledgerExists(conn))
+      try conn.createStatement().execute(
+        s"""CREATE TABLE $ledgerTable (
+           |  batch_id BIGINT NOT NULL,
+           |  part_id INT NOT NULL,
+           |  n_rows BIGINT NOT NULL,
+           |  PRIMARY KEY (batch_id, part_id))""".stripMargin)
+      catch {
+        // create race, or a folding the probe missed: re-check
+        // instead of decoding vendor SQLStates — the table existing
+        // is success for an idempotent ensure
+        case _: java.sql.SQLException if ledgerExists(conn) => ()
+      }
+  }
+
   private def ensureLedger(): Unit = {
     val conn = DriverManager.getConnection(url)
-    try {
-      if (!ledgerExists(conn))
-        try conn.createStatement().execute(
-          s"""CREATE TABLE $ledgerTable (
-             |  batch_id BIGINT NOT NULL,
-             |  part_id INT NOT NULL,
-             |  n_rows BIGINT NOT NULL,
-             |  PRIMARY KEY (batch_id, part_id))""".stripMargin)
-        catch {
-          // create race, or a folding the probe missed: re-check
-          // instead of decoding vendor SQLStates — the table existing
-          // is success for an idempotent ensure
-          case _: java.sql.SQLException if ledgerExists(conn) => ()
-        }
-    } finally conn.close()
+    try ensureLedger(conn) finally conn.close()
   }
 
   override def write(rawBatch: DataFrame, batchId: Long): Unit = {
@@ -116,6 +118,19 @@ final class JdbcOutboxSink(url: String, table: String,
       val conn = DriverManager.getConnection(u)
       try {
         conn.setAutoCommit(false)
+        // Re-ensure ON THE TASK'S OWN CONNECTION: the driver-side
+        // ensure above uses a connection that is CLOSED before tasks
+        // start, and on an embedded per-process database (DuckDB; the
+        // observed full-suite race) dropping the last connection tears
+        // the instance down — a task reopening the file while that
+        // shutdown/checkpoint is in flight can see a database without
+        // the ledger and die probing it. Within this connection the
+        // DDL is transactionally visible to every later statement; a
+        // rolled-back partition rolls the CREATE back too, and the
+        // replay's re-ensure recreates it — idempotent either way. On
+        // a server database this probe is one metadata point-read per
+        // partition per batch, noise next to the inserts.
+        ensureLedger(conn)
         if (committed(conn, lt, batchId, pid)) {
           // the ledger-check SELECT itself opened a transaction; end
           // it, or conn.close() aborts the whole replay task (Derby

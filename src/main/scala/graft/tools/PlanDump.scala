@@ -53,6 +53,9 @@ object PlanDump {
         "it degrades to a term-keyed shuffle join with no extra pass"),
       "q_llm_embed_outlier" -> "centroid outlier scan: per-(label,dim) partial aggregate, tiny centroid arrays broadcast back, TakeOrderedAndProject top-k — no pair join",
       "q_cdc_snapshot" -> "latest-state materialization: order-independent max(struct) hash aggregate, no per-key sort",
+      "q_cdc_snapshot_deletes" -> ("tombstone snapshot (r9): op rides inside the same max(struct) " +
+        "fold after the unique (ms,event_id) prefix — ONE partial-aggregable groupBy, delete " +
+        "handling is a post-agg filter on the folded row, no window, no second pass"),
       "q_ts_resample" -> "resample + gap-fill: narrow per-user sequence Generate for the grid, shuffle only on user_id (agg + forward-fill window share the partitioning)",
       "q_llm_incr_dedup" -> ("incremental dedup (r7): the incoming batch's band relation is the " +
         "BROADCAST side of the candidate join — the base corpus side never shuffles for " +

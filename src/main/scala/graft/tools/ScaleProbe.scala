@@ -91,6 +91,12 @@ object ScaleProbe {
       "q_cdc_scd2", "q_cdc_snapshot",
       // r4: blocked + length-bucketed — must grow sub-quadratically
       "q_llm_edit_distance",
+      // r9: tombstone snapshot — same single partial-agg fold as
+      // q_cdc_snapshot; users are disjoint per copy so keys grow k×,
+      // but the event_id shift (100000800 ≢ 0 mod 7) re-samples WHICH
+      // synthetic tombstones land last per copy — survivor rows grow
+      // ~k× statistically, not bit-identically per copy
+      "q_cdc_snapshot_deletes",
       // r7: corpus sketches — output pinned at |sources| rows (and
       // |sources|² pairs) no matter how large the corpus grows; the
       // runtime is one kernel pass + one source-keyed partial-agg

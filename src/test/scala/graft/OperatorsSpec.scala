@@ -250,6 +250,23 @@ class OperatorsSpec extends AnyFunSuite {
       .map(f => f.media_id -> f.features).toMap
     assert(byId(1L).toSeq == solid.toSeq)            // image → real decode
     assert(byId(2L).toSeq == Multimodal.decodeStub(png).toSeq) // audio → stub
+
+    // REAL resize: 64×16 → longest edge 8 ⇒ 8×2, PNG re-encoded and
+    // re-decodable; solid color survives the bilinear scale exactly
+    val wide = imageBytes("png", 64, 16)((_, _) => (200 << 16) | (100 << 8) | 50)
+    val media2 = Seq((3L, "image", wide, 64, 16, 0))
+      .toDF("media_id", "kind", "payload", "width", "height", "sample_rate")
+    val resized = Multimodal.resize(spark, media2, 8)
+      .as[Multimodal.MediaRow].collect()(0)
+    assert(resized.width == 8 && resized.height == 2)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized.payload))
+    assert(back.getWidth == 8 && back.getHeight == 2)
+    assert((back.getRGB(3, 1) & 0xffffff) == ((200 << 16) | (100 << 8) | 50))
+    // never upscales: already within bounds → dims preserved
+    val same = Multimodal.resize(spark, media2, 100)
+      .as[Multimodal.MediaRow].collect()(0)
+    assert(same.width == 64 && same.height == 16)
   }
 
   test("Multimodal: resize and frame-sample stubs keep the binary contract") {
