@@ -377,6 +377,48 @@ object Llm {
             .as("recall"))
     }),
 
+    // URL-canonicalization dedup (r9): the crawl-pipeline step that
+    // runs BEFORE any content dedup — the same page reached via
+    // tracking-tagged, case-drifted, fragment-bearing, or
+    // trailing-slash URL spellings must collapse to one fetch key.
+    // Variants are synthesized deterministically per doc (the corpus
+    // has no URL column): +utm params, UPPERCASED host with trailing
+    // slash, real+tracking param mix with a fragment, and the clean
+    // ?lang form. Canonicalization is four order-fixed rewrites
+    // spelled identically in both engines (literal replacements only
+    // — no backreference syntax divergence): strip fragment, strip
+    // utm_* params, lowercase scheme+host (lower the extracted prefix,
+    // concat the untouched remainder — paths stay case-sensitive),
+    // strip trailing slash. Scale shape: narrow per-row rewrites +
+    // ONE hash shuffle on the canonical string with map-side partial
+    // counts — no joins, no windows; at 100 TB this is the cheapest
+    // member of the dedup family and the first one a crawl runs.
+    "q_llm_url_dedup" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select($"doc_id", $"source", $"lang")
+      val base = concat(lit("https://"), $"source", lit(".example.com/docs/"),
+        $"doc_id".cast(StringType))
+      val v1 = docs.select(($"doc_id" * 10 + 1).as("url_id"),
+        concat(base, lit("?utm_source=feed&utm_campaign=news")).as("url"))
+      val v2 = docs.filter($"doc_id" % 3 === 0).select(($"doc_id" * 10 + 2).as("url_id"),
+        concat(lit("https://"), upper($"source"), lit(".EXAMPLE.COM/docs/"),
+          $"doc_id".cast(StringType), lit("/")).as("url"))
+      val v3 = docs.filter($"doc_id" % 4 === 0).select(($"doc_id" * 10 + 3).as("url_id"),
+        concat(base, lit("?lang="), $"lang", lit("&utm_medium=email#top")).as("url"))
+      val v4 = docs.select(($"doc_id" * 10 + 4).as("url_id"),
+        concat(base, lit("?lang="), $"lang").as("url"))
+      v1.unionByName(v2).unionByName(v3).unionByName(v4)
+        .withColumn("c", regexp_replace($"url", "#.*", ""))
+        .withColumn("c", regexp_replace($"c", "[?&]utm_[a-z]+=[^&#]*", ""))
+        .withColumn("c", concat(lower(regexp_extract($"c", "^https://[^/?#]+", 0)),
+          regexp_replace($"c", "^https://[^/?#]+", "")))
+        .withColumn("canonical_url", regexp_replace($"c", "/$", ""))
+        .groupBy($"canonical_url")
+        .agg(min($"url_id").as("keeper"), count(lit(1)).as("n_variants"))
+        .select($"keeper", $"n_variants", $"canonical_url")
+        .orderBy($"keeper")
+    }),
+
     // Normalized dedup: lower+trim+whitespace-squeeze, sha256 identity.
     "q_llm_norm_dedup" -> ((s, d) => {
       import s.implicits._
@@ -968,6 +1010,21 @@ object Llm {
        ", n AS (SELECT doc_id, sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS norm_hash FROM src) " +
        "SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_copies, norm_hash " +
        "FROM n GROUP BY norm_hash ORDER BY keeper"),
+    "q_llm_url_dedup" ->
+      ("WITH docs AS (SELECT doc_id, source, lang, " +
+       "'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR) AS base FROM documents), " +
+       "u AS (SELECT doc_id*10+1 AS url_id, base || '?utm_source=feed&utm_campaign=news' AS url FROM docs " +
+       "UNION ALL SELECT doc_id*10+2, 'https://' || upper(source) || '.EXAMPLE.COM/docs/' || " +
+       "CAST(doc_id AS VARCHAR) || '/' FROM docs WHERE doc_id % 3 = 0 " +
+       "UNION ALL SELECT doc_id*10+3, base || '?lang=' || lang || '&utm_medium=email#top' FROM docs WHERE doc_id % 4 = 0 " +
+       "UNION ALL SELECT doc_id*10+4, base || '?lang=' || lang FROM docs), " +
+       "s2 AS (SELECT url_id, regexp_replace(regexp_replace(url, '#.*', ''), " +
+       "'[?&]utm_[a-z]+=[^&#]*', '', 'g') AS c FROM u), " +
+       "c AS (SELECT url_id, regexp_replace(" +
+       "lower(regexp_extract(c, '^https://[^/?#]+')) || regexp_replace(c, '^https://[^/?#]+', ''), " +
+       "'/$', '') AS canonical_url FROM s2) " +
+       "SELECT MIN(url_id) AS keeper, COUNT(*) AS n_variants, canonical_url " +
+       "FROM c GROUP BY canonical_url ORDER BY keeper"),
     "q_llm_dedup_stats" ->
       ("WITH src AS (SELECT doc_id, source, text FROM documents " +
        "UNION ALL SELECT doc_id + 1000000, source, upper(text) FROM documents WHERE doc_id % 3 = 0 " +

@@ -64,6 +64,24 @@ object Windows {
         .orderBy($"o_orderkey")
     }),
 
+    // Equal-count bucketing (r9): ntile — the one ranking-window
+    // primitive the §2.5 family lacked (rownum/rank/dense/pct/cume
+    // covered; ntile is the decile/quantile-BUCKET assignment a
+    // quality-scored corpus uses to stratify: "train on the top 3
+    // deciles per source"). Order is made TOTAL (n_chars, doc_id) so
+    // the bucket assignment is deterministic under ties — ntile is
+    // pure row-position math, unlike rank it has no tie semantics of
+    // its own. One shuffle on source; deciles compute inside each
+    // partition, nothing global.
+    "q_win_ntile" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"source").orderBy($"n_chars".asc, $"doc_id".asc)
+      Tables.documents(s, d)
+        .select($"doc_id", $"source", $"n_chars",
+          ntile(10).over(w).cast("long").as("decile"))
+        .orderBy($"doc_id")
+    }),
+
     // Per-device delta between consecutive fixes: Δvalue and Δt-ms.
     "q_win_lag_delta" -> ((s, d) => {
       import s.implicits._
@@ -792,6 +810,10 @@ object Windows {
        "DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS drnk, " +
        "NTILE(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS quartile " +
        "FROM orders ORDER BY o_orderkey"),
+    "q_win_ntile" ->
+      ("SELECT doc_id, source, n_chars, " +
+       "CAST(NTILE(10) OVER (PARTITION BY source ORDER BY n_chars ASC, doc_id ASC) AS BIGINT) AS decile " +
+       "FROM documents ORDER BY doc_id"),
     "q_win_pctrank" ->
       ("SELECT o_orderkey, o_orderpriority, o_totalprice, " +
        "PERCENT_RANK() OVER wt AS pct_rnk, CUME_DIST() OVER wt AS cdist, " +

@@ -97,6 +97,11 @@ object ScaleProbe {
       // synthetic tombstones land last per copy — survivor rows grow
       // ~k× statistically, not bit-identically per copy
       "q_cdc_snapshot_deletes",
+      // r9: url_dedup's variants derive per-doc (ids shifted per copy,
+      // canonical strings embed doc_id → disjoint across copies) —
+      // canonical groups grow EXACTLY k×; ntile is one per-source
+      // window over k× docs — rows EXACTLY k×
+      "q_llm_url_dedup", "q_win_ntile",
       // r7: corpus sketches — output pinned at |sources| rows (and
       // |sources|² pairs) no matter how large the corpus grows; the
       // runtime is one kernel pass + one source-keyed partial-agg

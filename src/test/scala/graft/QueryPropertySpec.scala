@@ -153,6 +153,28 @@ class QueryPropertySpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("url dedup: canonicalization collapses case, tracking params, fragments, slashes") {
+    val out = queries.Llm.queries("q_llm_url_dedup")(spark, sf).cache()
+    try {
+      val n = Tables.documents(spark, sf).count()
+      val n3 = Tables.documents(spark, sf).filter($"doc_id" % 3 === 0).count()
+      val n4 = Tables.documents(spark, sf).filter($"doc_id" % 4 === 0).count()
+      // exactly two canonical groups per doc (base form, ?lang form) —
+      // the uppercase/slash and fragment/tracking variants fold in
+      assert(out.count() === 2 * n)
+      assert(out.agg(sum($"n_variants")).collect()(0).getLong(0) === 2 * n + n3 + n4)
+      // survivors are the canonical-first ids: v1 for the base group,
+      // v3 (when present) else v4 for the lang group
+      assert(out.filter($"keeper" % 10 === 2).count() === 0)
+      val rows = out.collect()
+      rows.foreach { r =>
+        val u = r.getAs[String]("canonical_url")
+        assert(!u.contains("EXAMPLE.COM") && !u.contains("#") &&
+          !u.contains("utm_") && !u.endsWith("/"), u)
+      }
+    } finally out.unpersist()
+  }
+
   test("minhash PR audit: hits bounded by candidates and truth, rates in [0,1]") {
     val r = queries.Llm.queries("q_llm_minhash_pr")(spark, sf).collect()(0)
     val (c, t, h) = (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_truth"),
