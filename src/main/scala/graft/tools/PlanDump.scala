@@ -56,6 +56,11 @@ object PlanDump {
       "q_cdc_snapshot_deletes" -> ("tombstone snapshot (r9): op rides inside the same max(struct) " +
         "fold after the unique (ms,event_id) prefix — ONE partial-aggregable groupBy, delete " +
         "handling is a post-agg filter on the folded row, no window, no second pass"),
+      "q_llm_url_dedup" -> ("URL-canonicalization dedup (r9): narrow per-row regex rewrites over " +
+        "the scan, ONE partial-agg hash groupBy on the canonical string — no joins, no windows; " +
+        "the cheapest dedup-family member at any corpus size"),
+      "q_win_ntile" -> ("ntile decile bucketing (r9): one source-partitioned window over a total " +
+        "(n_chars, doc_id) order — single shuffle on source, per-partition bucket math"),
       "q_ts_resample" -> "resample + gap-fill: narrow per-user sequence Generate for the grid, shuffle only on user_id (agg + forward-fill window share the partitioning)",
       "q_llm_incr_dedup" -> ("incremental dedup (r7): the incoming batch's band relation is the " +
         "BROADCAST side of the candidate join — the base corpus side never shuffles for " +

@@ -37,6 +37,23 @@ class DuckdbOutboxSpec extends AnyFunSuite {
     s"jdbc:duckdb:$dir/outbox.db"
   }
 
+  /** Pin the embedded database instance for the test's lifetime. An
+    * embedded DuckDB tears the whole instance down whenever its last
+    * connection closes, and this suite's open/close cycles (DDL conn,
+    * per-partition task conns, count() probes) make reopen race that
+    * teardown — observed under full-suite load as BOTH directions of
+    * the same lifecycle race: a reopen mid-checkpoint seeing the
+    * pre-DDL file ("ledger does not exist", fixed in the sink by the
+    * task-side re-ensure) and a reopen replaying an already-
+    * checkpointed WAL ("Table ... already exists!" at connection
+    * startup). One connection held open end-to-end means the instance
+    * never tears down mid-test; production server databases have no
+    * such lifecycle. */
+  private def withDb(url: String)(body: => Unit): Unit = {
+    val keepAlive = java.sql.DriverManager.getConnection(url)
+    try body finally keepAlive.close()
+  }
+
   test("lowercase DDL stores a lowercase identifier here (the premise of this suite)") {
     assume(driverAvailable, "duckdb_jdbc not on the test classpath")
     val conn = java.sql.DriverManager.getConnection(freshUrl())
@@ -61,6 +78,7 @@ class DuckdbOutboxSpec extends AnyFunSuite {
     assume(driverAvailable, "duckdb_jdbc not on the test classpath")
     import spark.implicits._
     val url = freshUrl()
+    withDb(url) {
     val conn = java.sql.DriverManager.getConnection(url)
     conn.createStatement().execute("CREATE TABLE outbox_data (k INT, v DOUBLE)")
     // the LIKE-wildcard trap (ADVICE r6): a table whose name matches
@@ -110,11 +128,15 @@ class DuckdbOutboxSpec extends AnyFunSuite {
     assert(sink.pruneLedger(4L) > 0)
     sink.write(batch.filter($"k" <= 10), 4L) // inside retention: still skips
     assert(count() == 110)
+    }
   }
 
   test("pruneLedger before any write returns 0 instead of throwing (ADVICE r6)") {
     assume(driverAvailable, "duckdb_jdbc not on the test classpath")
-    val sink = new graft.streaming.JdbcOutboxSink(freshUrl(), "never_written")
-    assert(sink.pruneLedger(100L) == 0)
+    val url = freshUrl()
+    withDb(url) {
+      val sink = new graft.streaming.JdbcOutboxSink(url, "never_written")
+      assert(sink.pruneLedger(100L) == 0)
+    }
   }
 }
