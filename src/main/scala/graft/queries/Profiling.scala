@@ -214,6 +214,44 @@ object Profiling {
         audit(o, "orders", "o_custkey", "o_orderpriority"))
         .reduce(_ unionByName _)
         .orderBy("table_name", "determinant", "dependent")
+    }),
+
+    // Population Stability Index drift check (r9): per event_type, the
+    // PSI between the value distribution of the corpus's earlier half
+    // and its later half — the standard "did the feature distribution
+    // move under me" gate a training pipeline runs before every refit
+    // (PSI < 0.1 stable / 0.1–0.25 watch / > 0.25 retrain). Scale: the
+    // corpus collapses to (type, bin, half-counts) — a bounded
+    // |types|×10 relation — in ONE conditional-count groupBy with
+    // map-side partials; the global min/max anchors are a one-row
+    // broadcast. Determinism: the time split compares integer ms
+    // (ms*2 < lo+hi — no float midpoint); bin = floor((v−lo)/(hi−lo)
+    // ·10) is one shared IEEE expression; Laplace-smoothed p,q are
+    // exact-integer divisions; the PSI terms go through DECIMAL so
+    // per-bin summation order can't drift.
+    "q_profile_psi" -> ((s, d) => {
+      import s.implicits._
+      import graft.Determinism.msEpoch
+      val e = Tables.events(s, d)
+      val m = broadcast(e.agg(
+        min(msEpoch($"ts")).as("lo_ms"), max(msEpoch($"ts")).as("hi_ms"),
+        min($"value").as("lo_v"), max($"value").as("hi_v")))
+      val binned = e.crossJoin(m).select($"event_type",
+        when(msEpoch($"ts") * 2 < $"lo_ms" + $"hi_ms", 0).otherwise(1).as("half"),
+        least(lit(9), greatest(lit(0),
+          floor(($"value" - $"lo_v") / ($"hi_v" - $"lo_v") * 10.0).cast("int"))).as("bin"))
+      val c = binned.groupBy($"event_type", $"bin").agg(
+        count(when($"half" === 0, 1)).as("n0"),
+        count(when($"half" === 1, 1)).as("n1"))
+      val t = c.groupBy($"event_type").agg(sum($"n0").as("t0"), sum($"n1").as("t1"))
+      val p0 = ($"n0" + 1).cast(DoubleType) / ($"t0" + 10).cast(DoubleType)
+      val p1 = ($"n1" + 1).cast(DoubleType) / ($"t1" + 10).cast(DoubleType)
+      c.join(t, "event_type")
+        .select($"event_type", p0.as("p0"), p1.as("p1"))
+        .groupBy($"event_type")
+        .agg(round(sum(graft.Determinism.dec(($"p0" - $"p1") * log($"p0" / $"p1")))
+          .cast(DoubleType), 6).as("psi"))
+        .orderBy($"event_type")
     })
   )
 
@@ -289,6 +327,25 @@ object Profiling {
         one("orders", "o_custkey", "o_orderpriority"))
         .mkString(" UNION ALL ") +
         " ORDER BY table_name, determinant, dependent"
-    }
+    },
+    "q_profile_psi" ->
+      ("WITH m AS (SELECT min(epoch_ms(date_trunc('milliseconds', ts))) AS lo_ms, " +
+       "max(epoch_ms(date_trunc('milliseconds', ts))) AS hi_ms, " +
+       "min(value) AS lo_v, max(value) AS hi_v FROM events), " +
+       "b AS (SELECT event_type, " +
+       "CASE WHEN epoch_ms(date_trunc('milliseconds', ts)) * 2 < lo_ms + hi_ms THEN 0 ELSE 1 END AS half, " +
+       "least(9, greatest(0, CAST(floor((value - lo_v) / (hi_v - lo_v) * 10.0) AS INTEGER))) AS bin " +
+       "FROM events CROSS JOIN m), " +
+       "c AS (SELECT event_type, bin, " +
+       "COUNT(CASE WHEN half = 0 THEN 1 END) AS n0, " +
+       "COUNT(CASE WHEN half = 1 THEN 1 END) AS n1 FROM b GROUP BY event_type, bin), " +
+       "t AS (SELECT event_type, SUM(n0) AS t0, SUM(n1) AS t1 FROM c GROUP BY event_type), " +
+       "p AS (SELECT c.event_type, " +
+       "CAST(n0 + 1 AS DOUBLE) / CAST(t0 + 10 AS DOUBLE) AS p0, " +
+       "CAST(n1 + 1 AS DOUBLE) / CAST(t1 + 10 AS DOUBLE) AS p1 " +
+       "FROM c JOIN t ON c.event_type = t.event_type) " +
+       "SELECT event_type, " +
+       "round(CAST(SUM(CAST((p0 - p1) * ln(p0 / p1) AS DECIMAL(38,6))) AS DOUBLE), 6) AS psi " +
+       "FROM p GROUP BY event_type ORDER BY event_type")
   )
 }

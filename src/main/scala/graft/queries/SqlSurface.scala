@@ -135,6 +135,70 @@ object SqlSurface {
     "NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AS no_orders " +
     "FROM customer c ORDER BY c_custkey"
 
+  /** TPC-H Q2-shaped minimum-cost supplier (r9): the correlated scalar
+    * MIN subquery whose body is itself a 4-table join — the hardest
+    * decorrelation shape in the dialect. Catalyst rewrites it to a
+    * per-part MIN aggregate over the region-filtered join joined back
+    * on (l_partkey, price); the outer and inner lineitem scans carry
+    * different pushed filters. DISTINCT collapses price-tied
+    * (part, supplier) pairs so (p_partkey, s_name) is a total key;
+    * min price equality on double is safe — both engines compare the
+    * same parquet-read IEEE values, no arithmetic. */
+  val q2Sql: String =
+    "SELECT DISTINCT p_partkey, p_name, s_name, l_extendedprice AS min_price " +
+    "FROM part JOIN lineitem ON p_partkey = l_partkey " +
+    "JOIN supplier ON l_suppkey = s_suppkey " +
+    "JOIN nation ON s_nationkey = n_nationkey " +
+    "JOIN region ON n_regionkey = r_regionkey " +
+    "WHERE r_name = 'EUROPE' AND p_size <= 15 " +
+    "AND l_extendedprice = (" +
+    "SELECT MIN(l2.l_extendedprice) FROM lineitem l2 " +
+    "JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey " +
+    "JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey " +
+    "JOIN region r2 ON n2.n_regionkey = r2.r_regionkey " +
+    "WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE') " +
+    "ORDER BY p_partkey, s_name LIMIT 100"
+
+  /** TPC-H Q21-shaped sole-problem-supplier count (r9): EXISTS and
+    * NOT EXISTS both correlated to the SAME outer lineitem row (not
+    * the grouping key) — the decorrelation must produce one semi and
+    * one anti join against two differently-filtered re-scans of
+    * lineitem keyed on l_orderkey. Reshaped to this schema's columns:
+    * "kept the order waiting" becomes "is the only supplier whose
+    * line was returned on a finished multi-supplier order". */
+  val q21Sql: String =
+    "SELECT s_name, COUNT(*) AS numwait " +
+    "FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey " +
+    "JOIN orders ON o_orderkey = l1.l_orderkey " +
+    "JOIN nation ON s_nationkey = n_nationkey " +
+    "WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R' " +
+    "AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey " +
+    "AND l2.l_suppkey <> l1.l_suppkey) " +
+    "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey " +
+    "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') " +
+    "AND n_name IN ('NATION_3', 'NATION_7', 'NATION_11', 'NATION_19') " +
+    "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 50"
+
+  /** TPC-H Q22-shaped dormant-rich-customer rollup (r9): an
+    * UNCORRELATED scalar subquery (global mean balance — broadcast as
+    * a one-row relation under every comparison) gating a correlated
+    * NOT EXISTS anti join. The mean is spelled SUM(decimal)/COUNT —
+    * exact sum then ONE double division — so the > boundary cannot
+    * drift between engines the way a float-order AVG could ("no big
+    * order" replaces TPC-H's "no order at all": this generator gives
+    * every customer at least one order). */
+  val q22Sql: String =
+    "WITH avg_bal AS (" +
+    "SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS a " +
+    "FROM customer WHERE c_acctbal > 0.0) " +
+    "SELECT c_nationkey AS cntry, COUNT(*) AS numcust, " +
+    "CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal " +
+    "FROM customer c " +
+    "WHERE c_acctbal > (SELECT a FROM avg_bal) " +
+    "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+    "AND o.o_totalprice > 300000.0) " +
+    "GROUP BY c_nationkey ORDER BY cntry"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_revenue_by_nation" -> ((s, d) => {
       registerAll(s, d); s.sql(revenueByNationSql)
@@ -162,6 +226,15 @@ object SqlSurface {
     }),
     "q_sql_tpch_q12ish" -> ((s, d) => {
       registerAll(s, d); s.sql(q12Sql)
+    }),
+    "q_sql_tpch_q2ish" -> ((s, d) => {
+      registerAll(s, d); s.sql(q2Sql)
+    }),
+    "q_sql_tpch_q21ish" -> ((s, d) => {
+      registerAll(s, d); s.sql(q21Sql)
+    }),
+    "q_sql_tpch_q22ish" -> ((s, d) => {
+      registerAll(s, d); s.sql(q22Sql)
     })
   )
 
@@ -174,6 +247,9 @@ object SqlSurface {
     "q_sql_tpch_q5ish" -> q5Sql,
     "q_sql_window_rank" -> windowRankSql,
     "q_sql_tpch_q18ish" -> q18Sql,
-    "q_sql_tpch_q12ish" -> q12Sql
+    "q_sql_tpch_q12ish" -> q12Sql,
+    "q_sql_tpch_q2ish" -> q2Sql,
+    "q_sql_tpch_q21ish" -> q21Sql,
+    "q_sql_tpch_q22ish" -> q22Sql
   )
 }

@@ -792,6 +792,67 @@ object Windows {
             round(($"n" - $"prev_n").cast(DoubleType) / $"prev_n".cast(DoubleType), 6)))
         .select($"week", $"event_type", $"n", $"prev_n", $"wow_growth")
         .orderBy($"week", $"event_type")
+    }),
+
+    // 7-day rolling Pearson correlation between two event streams'
+    // daily volumes (r9) — the co-movement monitor ("do clicks and
+    // views still track each other this week?") that flags pipeline
+    // breakage upstream of any single-series anomaly check. Scale: the
+    // corpus collapses to ONE row per day (conditional-count groupBy
+    // with map-side partials) before the window runs, so the frame
+    // slides over a days-bounded relation — the same bounded-input
+    // discipline as q_ts_wow_growth. Determinism: x and y are integer
+    // counts; every windowed sum (Σx, Σy, Σxy, Σx², Σy²) is exact
+    // integer arithmetic CAST to double only at the closed-form corr,
+    // one shared expression shape in both engines.
+    "q_ts_rolling_corr" -> ((s, d) => {
+      import s.implicits._
+      val day = Tables.events(s, d)
+        .groupBy(date_trunc("day", tsMs($"ts")).as("day"))
+        .agg(
+          count(when($"event_type" === "click", 1)).as("x"),
+          count(when($"event_type" === "view", 1)).as("y"))
+      val f = Window.orderBy($"day").rowsBetween(-6, 0)
+      def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+      val n = dbl(count(lit(1)).over(f))
+      val sx = dbl(sum($"x").over(f)); val sy = dbl(sum($"y").over(f))
+      val sxy = dbl(sum($"x" * $"y").over(f))
+      val sxx = dbl(sum($"x" * $"x").over(f)); val syy = dbl(sum($"y" * $"y").over(f))
+      val den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+      day.select($"day", $"x", $"y",
+          when(den > 0.0, round((n * sxy - sx * sy) / sqrt(den), 6)).as("roll_corr_7d"))
+        .orderBy($"day")
+    }),
+
+    // Per-user burstiness of daily activity (r9): Fano factor
+    // (var/mean, the overdispersion test — Poisson traffic sits at 1)
+    // and the Goh–Barabási burstiness coefficient B=(σ−μ)/(σ+μ)∈[−1,1]
+    // over the user's observed daily counts — the signal that separates
+    // steady telemetry emitters from bursty bot-like sessions. Scale:
+    // two partial-agg groupBys, (user,day) then user — no window, no
+    // join; 10⁹ users is just a wider hash shuffle. Determinism: nd,
+    // Σn, Σn² are exact integers; population variance is the one shared
+    // closed form s2/nd − (s1/nd)², clamped at 0 (greatest) so the
+    // zero-variance case can't go sqrt-negative from rounding in either
+    // engine.
+    "q_ts_burstiness" -> ((s, d) => {
+      import s.implicits._
+      val daily = Tables.events(s, d)
+        .groupBy($"user_id", date_trunc("day", tsMs($"ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val st = daily.groupBy($"user_id").agg(
+        count(lit(1)).cast(DoubleType).as("nd"),
+        sum($"n").cast(DoubleType).as("s1"),
+        sum($"n" * $"n").cast(DoubleType).as("s2"))
+      val mu = $"s1" / $"nd"
+      val variance = greatest($"s2" / $"nd" - mu * mu, lit(0.0))
+      val sigma = sqrt(variance)
+      st.select($"user_id",
+          $"nd".cast("long").as("n_days"), $"s1".cast("long").as("n_events"),
+          round(mu, 6).as("mean_daily"),
+          round(variance / mu, 6).as("fano"),
+          when(sigma + mu > 0.0, round((sigma - mu) / (sigma + mu), 6)).as("burstiness"))
+        .orderBy($"user_id")
     })
   )
 
@@ -1125,6 +1186,34 @@ object Windows {
        "lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n FROM g) " +
        "SELECT week, event_type, n, prev_n, " +
        "CASE WHEN prev_n IS NOT NULL THEN round(CAST(n - prev_n AS DOUBLE) / prev_n, 6) END AS wow_growth " +
-       "FROM l ORDER BY week, event_type")
+       "FROM l ORDER BY week, event_type"),
+    "q_ts_rolling_corr" ->
+      ("WITH e AS (SELECT date_trunc('day', date_trunc('milliseconds', ts)) AS day, event_type FROM events), " +
+       "d AS (SELECT day, " +
+       "COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS x, " +
+       "COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS y " +
+       "FROM e GROUP BY day), " +
+       "w AS (SELECT day, x, y, " +
+       "CAST(COUNT(*) OVER f AS DOUBLE) AS n, " +
+       "CAST(SUM(x) OVER f AS DOUBLE) AS sx, CAST(SUM(y) OVER f AS DOUBLE) AS sy, " +
+       "CAST(SUM(x*y) OVER f AS DOUBLE) AS sxy, " +
+       "CAST(SUM(x*x) OVER f AS DOUBLE) AS sxx, CAST(SUM(y*y) OVER f AS DOUBLE) AS syy " +
+       "FROM d WINDOW f AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) " +
+       "SELECT day, x, y, " +
+       "CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) > 0.0 " +
+       "THEN round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) END AS roll_corr_7d " +
+       "FROM w ORDER BY day"),
+    "q_ts_burstiness" ->
+      ("WITH e AS (SELECT user_id, date_trunc('day', date_trunc('milliseconds', ts)) AS day FROM events), " +
+       "d AS (SELECT user_id, day, COUNT(*) AS n FROM e GROUP BY user_id, day), " +
+       "s AS (SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS nd, " +
+       "CAST(SUM(n) AS DOUBLE) AS s1, CAST(SUM(n*n) AS DOUBLE) AS s2 FROM d GROUP BY user_id) " +
+       "SELECT user_id, CAST(nd AS BIGINT) AS n_days, CAST(s1 AS BIGINT) AS n_events, " +
+       "round(s1/nd, 6) AS mean_daily, " +
+       "round(greatest(s2/nd - (s1/nd)*(s1/nd), 0.0) / (s1/nd), 6) AS fano, " +
+       "CASE WHEN sqrt(greatest(s2/nd - (s1/nd)*(s1/nd), 0.0)) + s1/nd > 0.0 " +
+       "THEN round((sqrt(greatest(s2/nd - (s1/nd)*(s1/nd), 0.0)) - s1/nd) / " +
+       "(sqrt(greatest(s2/nd - (s1/nd)*(s1/nd), 0.0)) + s1/nd), 6) END AS burstiness " +
+       "FROM s ORDER BY user_id")
   )
 }
