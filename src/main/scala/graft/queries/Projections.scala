@@ -393,6 +393,38 @@ object Projections {
         .orderBy($"cell_lat", $"cell_lon")
     }),
 
+    // k-ring density smoothing (r9): each grid cell's fix count
+    // replaced by the uniform 3×3-neighborhood mean (missing neighbors
+    // count as zero) — the denoising pass a hotspot map runs before
+    // thresholding, so one cell-straddling cluster isn't split into
+    // two sub-threshold halves. Scale: the corpus collapses to the
+    // GRID first (one partial-agg groupBy — the q_geo_cell_agg
+    // relation), then the 9-offset expansion runs over cells, not
+    // fixes: a broadcast cross join with a 9-row literal and ONE more
+    // partial-agg shuffle on the target cell. Never a self-join of the
+    // grid, never a fix-level explode. Determinism: counts are
+    // integers; the only float op is the final /9.0.
+    "q_geo_cell_smooth" -> ((s, d) => {
+      import s.implicits._
+      val fixes = Tables.events(s, d).select(
+        ($"value" % 180.0 - 90.0).as("lat"), ($"value" % 360.0 - 180.0).as("lon"))
+      val g = fixes.filter($"lat".between(-60.0, 60.0) && $"lon".between(-120.0, 120.0))
+        .groupBy(floor($"lat" / 0.5).as("cell_lat"), floor($"lon" / 0.5).as("cell_lon"))
+        .agg(count(lit(1)).as("n"))
+      val offsets = Seq(-1, 0, 1).flatMap(dx => Seq(-1, 0, 1).map(dy => (dx, dy)))
+        .toDF("dx", "dy")
+      g.crossJoin(broadcast(offsets))
+        .groupBy(($"cell_lat" + $"dx").as("cell_lat"),
+          ($"cell_lon" + $"dy").as("cell_lon"))
+        .agg(
+          sum(when($"dx" === 0 && $"dy" === 0, $"n").otherwise(0L)).as("n_self"),
+          sum($"n").as("ring_total"),
+          round(sum($"n").cast(org.apache.spark.sql.types.DoubleType) / 9.0, 6)
+            .as("smoothed"))
+        .filter($"n_self" > 0)
+        .orderBy($"cell_lat", $"cell_lon")
+    }),
+
     // Bounded-radius nearest-POI spatial join (r7): each fix matched
     // to its nearest point-of-interest within R=2.0° — the geofencing/
     // enrichment query over the reference's GPS domain, in its EXACT
@@ -886,6 +918,21 @@ object Projections {
        sqlSumd("lat") + " AS sum_lat " +
        "FROM f WHERE lat BETWEEN -60.0 AND 60.0 AND lon BETWEEN -120.0 AND 120.0 " +
        "GROUP BY 1, 2 ORDER BY cell_lat, cell_lon"),
+    "q_geo_cell_smooth" ->
+      ("WITH f AS (SELECT value % 180.0 - 90.0 AS lat, value % 360.0 - 180.0 AS lon FROM events), " +
+       "g AS (SELECT CAST(floor(lat / 0.5) AS BIGINT) AS cell_lat, " +
+       "CAST(floor(lon / 0.5) AS BIGINT) AS cell_lon, COUNT(*) AS n " +
+       "FROM f WHERE lat BETWEEN -60.0 AND 60.0 AND lon BETWEEN -120.0 AND 120.0 GROUP BY 1, 2), " +
+       "o AS (SELECT dx.x AS dx, dy.x AS dy FROM (SELECT unnest([-1,0,1]) AS x) dx " +
+       "CROSS JOIN (SELECT unnest([-1,0,1]) AS x) dy), " +
+       "c AS (SELECT cell_lat + dx AS t_lat, cell_lon + dy AS t_lon, n, dx, dy FROM g CROSS JOIN o) " +
+       "SELECT t_lat AS cell_lat, t_lon AS cell_lon, " +
+       "CAST(SUM(CASE WHEN dx = 0 AND dy = 0 THEN n ELSE 0 END) AS BIGINT) AS n_self, " +
+       "CAST(SUM(n) AS BIGINT) AS ring_total, " +
+       "round(CAST(SUM(n) AS DOUBLE) / 9.0, 6) AS smoothed " +
+       "FROM c GROUP BY t_lat, t_lon " +
+       "HAVING SUM(CASE WHEN dx = 0 AND dy = 0 THEN n ELSE 0 END) > 0 " +
+       "ORDER BY cell_lat, cell_lon"),
     "q_geo_nearest_poi" ->
       ("WITH f AS (SELECT event_id, value % 180.0 - 90.0 AS lat, " +
        "(event_id % 3600) / 10.0 - 180.0 AS lon FROM events), " +

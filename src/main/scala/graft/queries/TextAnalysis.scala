@@ -726,6 +726,67 @@ object TextAnalysis {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .select($"first_doc", $"new_terms", $"vocab_size")
         .orderBy($"first_doc")
+    }),
+
+    // CCNet-style perplexity bucketing (r9): score every doc against
+    // the corpus unigram LM (the q_llm_unigram_lm cross-entropy),
+    // then split each SOURCE into four equal-count buckets by score —
+    // the head/middle/tail partition CCNet uses to keep the
+    // lowest-perplexity slice per domain. Scale: the LM is the
+    // vocab-bounded relation under the corpus-size broadcast gate; the
+    // ntile window runs over DOCS per source (one shuffle on source),
+    // and the output collapses to |sources|×4 rows. Determinism: xent
+    // is the unigram_lm discipline (decimal-summed, rounded at 6), and
+    // the bucket order (xent, doc_id) is total, so ntile membership is
+    // identical in both engines.
+    "q_llm_ppl_buckets" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val terms = Tables.documents(s, d)
+        .select($"doc_id", $"source", explode(toks(lower($"text"))).as("term"))
+      val vocab = terms.groupBy($"term").agg(count(lit(1)).as("cnt"))
+      val tot = vocab.agg(sum($"cnt").cast(DoubleType).as("t_total"))
+      val lm = vocab.crossJoin(broadcast(tot))
+        .select($"term", round(log($"cnt" / $"t_total"), 6).as("logp"))
+      val xent = terms.groupBy($"doc_id", $"source", $"term").agg(count(lit(1)).as("tf"))
+        .join(hintIfCorpusSmall(s, d, lm), "term")
+        .groupBy($"doc_id", $"source")
+        .agg(round(-(sum(graft.Determinism.dec($"logp" * $"tf")).cast(DoubleType)) /
+          sum($"tf"), 6).as("xent"))
+      xent.withColumn("bucket",
+          ntile(4).over(Window.partitionBy($"source").orderBy($"xent", $"doc_id"))
+            .cast("long"))
+        .groupBy($"source", $"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(graft.Determinism.dec($"xent")).cast(DoubleType) /
+            count(lit(1)), 6).as("mean_xent"),
+          min($"xent").as("min_xent"), max($"xent").as("max_xent"))
+        .orderBy($"source", $"bucket")
+    }),
+
+    // Per-doc character-level entropy (r9): the compression-proxy
+    // quality signal (low entropy ⇒ repetitive/templated text, high ⇒
+    // random noise; natural prose sits ~4 bits/char) the Gopher-rule
+    // family reads next to token repetition. Scale: the char explode
+    // is a narrow per-row flatMap (≤n_chars rows per doc) into ONE
+    // (doc, char) partial-agg shuffle — same linear shape as the token
+    // ops. Determinism: p = n/tot is an exact integer division, the
+    // per-char −p·log2 p terms go through DECIMAL, one final round.
+    "q_llm_char_entropy" -> ((s, d) => {
+      import s.implicits._
+      val cc = Tables.documents(s, d)
+        .select($"doc_id", explode(split($"text", "")).as("c"))
+        .filter(length($"c") > 0)
+        .groupBy($"doc_id", $"c").agg(count(lit(1)).as("n"))
+      val t = cc.groupBy($"doc_id")
+        .agg(sum($"n").as("tot"), count(lit(1)).as("n_distinct"))
+      val p = $"n".cast(DoubleType) / $"tot"
+      cc.join(t, "doc_id")
+        .groupBy($"doc_id")
+        .agg(max($"n_distinct").cast("long").as("n_chars_distinct"),
+          round(sum(graft.Determinism.dec(-p * log(2.0, p))).cast(DoubleType), 6)
+            .as("char_entropy"))
+        .orderBy($"doc_id")
     })
   )
 
@@ -1006,6 +1067,27 @@ object TextAnalysis {
        "b AS (SELECT first_doc, COUNT(*) AS new_terms FROM f GROUP BY first_doc) " +
        "SELECT first_doc, new_terms, " +
        "CAST(SUM(new_terms) OVER (ORDER BY first_doc ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size " +
-       "FROM b ORDER BY first_doc")
+       "FROM b ORDER BY first_doc"),
+    "q_llm_ppl_buckets" ->
+      ("WITH terms AS (SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS term FROM documents), " +
+       "v AS (SELECT term, COUNT(*) AS cnt FROM terms GROUP BY term), " +
+       "tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS t_total FROM v), " +
+       "lm AS (SELECT term, round(ln(cnt / t_total), 6) AS logp FROM v CROSS JOIN tot), " +
+       "tf AS (SELECT doc_id, source, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, source, term), " +
+       "x AS (SELECT doc_id, source, " +
+       "round(-CAST(SUM(CAST(logp * tf AS DECIMAL(38,6))) AS DOUBLE) / SUM(tf), 6) AS xent " +
+       "FROM tf JOIN lm ON tf.term = lm.term GROUP BY doc_id, source), " +
+       "b AS (SELECT source, xent, NTILE(4) OVER (PARTITION BY source ORDER BY xent, doc_id) AS bucket FROM x) " +
+       "SELECT source, bucket, COUNT(*) AS n_docs, " +
+       "round(CAST(SUM(CAST(xent AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS mean_xent, " +
+       "min(xent) AS min_xent, max(xent) AS max_xent " +
+       "FROM b GROUP BY source, bucket ORDER BY source, bucket"),
+    "q_llm_char_entropy" ->
+      ("WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents), " +
+       "cc AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY doc_id, c), " +
+       "t AS (SELECT doc_id, SUM(n) AS tot, COUNT(*) AS n_distinct FROM cc GROUP BY doc_id) " +
+       "SELECT cc.doc_id, CAST(max(n_distinct) AS BIGINT) AS n_chars_distinct, " +
+       "round(CAST(SUM(CAST(-(CAST(n AS DOUBLE)/tot) * log2(CAST(n AS DOUBLE)/tot) AS DECIMAL(38,6))) AS DOUBLE), 6) AS char_entropy " +
+       "FROM cc JOIN t ON cc.doc_id = t.doc_id GROUP BY cc.doc_id ORDER BY cc.doc_id")
   )
 }
