@@ -853,6 +853,47 @@ object Windows {
           round(variance / mu, 6).as("fano"),
           when(sigma + mu > 0.0, round((sigma - mu) / (sigma + mu), 6)).as("burstiness"))
         .orderBy($"user_id")
+    }),
+
+    // Lead/lag cross-correlation scan (r9): Pearson correlation of the
+    // click series against the view series shifted by −3..+3 days,
+    // with the argmax flagged — the "which stream leads" diagnostic
+    // that turns q_ts_rolling_corr's co-movement signal into a
+    // causality hint (a peak at lag k>0 means clicks lead views by k
+    // days). Scale: the corpus collapses to one row per EPOCH-DAY
+    // INDEX (pure integer ms arithmetic — no calendar functions to
+    // disagree on), and the 7 shifts are an equi-join of that bounded
+    // day relation against itself on dd+lag after a broadcast cross
+    // join with the 7-row lag literal — never a window per shift.
+    // Determinism: all five sums are exact integers per lag; one
+    // closed-form corr; the is_best flag compares two identical
+    // rounded doubles.
+    "q_ts_lag_xcorr" -> ((s, d) => {
+      import s.implicits._
+      val day = Tables.events(s, d)
+        .select(floor(msEpoch($"ts") / lit(86400000L)).cast("long").as("dd"),
+          $"event_type")
+        .groupBy($"dd")
+        .agg(count(when($"event_type" === "click", 1)).as("x"),
+          count(when($"event_type" === "view", 1)).as("y"))
+      val lags = Seq(-3, -2, -1, 0, 1, 2, 3).toDF("lag")
+      val left = day.select($"dd", $"x")
+      val right = day.select($"dd".as("dd2"), $"y")
+      def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+      val m = left.crossJoin(broadcast(lags))
+        .join(right, $"dd2" === $"dd" + $"lag")
+        .groupBy($"lag")
+        .agg(dbl(count(lit(1))).as("n"),
+          dbl(sum($"x")).as("sx"), dbl(sum($"y")).as("sy"),
+          dbl(sum($"x" * $"y")).as("sxy"),
+          dbl(sum($"x" * $"x")).as("sxx"), dbl(sum($"y" * $"y")).as("syy"))
+      val den = ($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")
+      m.select($"lag", $"n".cast("long").as("n_pairs"),
+          when(den > 0.0,
+            round(($"n" * $"sxy" - $"sx" * $"sy") / sqrt(den), 6)).as("xcorr"))
+        .withColumn("is_best",
+          coalesce($"xcorr" === max($"xcorr").over(Window.partitionBy()), lit(false)))
+        .orderBy($"lag")
     })
   )
 
@@ -1214,6 +1255,24 @@ object Windows {
        "CASE WHEN sqrt(greatest(s2/nd - (s1/nd)*(s1/nd), 0.0)) + s1/nd > 0.0 " +
        "THEN round((sqrt(greatest(s2/nd - (s1/nd)*(s1/nd), 0.0)) - s1/nd) / " +
        "(sqrt(greatest(s2/nd - (s1/nd)*(s1/nd), 0.0)) + s1/nd), 6) END AS burstiness " +
-       "FROM s ORDER BY user_id")
+       "FROM s ORDER BY user_id"),
+    "q_ts_lag_xcorr" ->
+      ("WITH e AS (SELECT CAST(floor(epoch_ms(date_trunc('milliseconds', ts)) / 86400000) AS BIGINT) AS dd, " +
+       "event_type FROM events), " +
+       "d AS (SELECT dd, COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS x, " +
+       "COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS y FROM e GROUP BY dd), " +
+       "l AS (SELECT unnest([-3,-2,-1,0,1,2,3]) AS lag), " +
+       "p AS (SELECT lag, d1.x AS x, d2.y AS y FROM d d1 CROSS JOIN l " +
+       "JOIN d d2 ON d2.dd = d1.dd + lag), " +
+       "m AS (SELECT lag, CAST(COUNT(*) AS DOUBLE) AS n, " +
+       "CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy, " +
+       "CAST(SUM(x*y) AS DOUBLE) AS sxy, " +
+       "CAST(SUM(x*x) AS DOUBLE) AS sxx, CAST(SUM(y*y) AS DOUBLE) AS syy " +
+       "FROM p GROUP BY lag), " +
+       "c AS (SELECT lag, CAST(n AS BIGINT) AS n_pairs, " +
+       "CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) > 0.0 " +
+       "THEN round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) END AS xcorr FROM m) " +
+       "SELECT lag, n_pairs, xcorr, coalesce(xcorr = max(xcorr) OVER (), false) AS is_best " +
+       "FROM c ORDER BY lag")
   )
 }

@@ -183,4 +183,136 @@ class QueryPropertySpec extends AnyFunSuite {
     assert(r.getAs[Double]("prec") >= 0.0 && r.getAs[Double]("prec") <= 1.0)
     assert(r.getAs[Double]("recall") >= 0.0 && r.getAs[Double]("recall") <= 1.0)
   }
+
+  test("rolling corr: |r| <= 1, one row per day, day-1 frame is degenerate") {
+    val out = queries.Windows.queries("q_ts_rolling_corr")(spark, sf).cache()
+    try {
+      val nDays = Tables.events(spark, sf)
+        .select(date_trunc("day", Determinism.tsMs($"ts"))).distinct.count()
+      assert(out.count() === nDays)
+      assert(out.filter(abs($"roll_corr_7d") > 1.000001).count() === 0)
+      // the first day's frame holds a single point — corr undefined
+      assert(out.orderBy($"day").limit(1).collect()(0).isNullAt(3))
+    } finally out.unpersist()
+  }
+
+  test("burstiness: B in [-1,1], fano >= 0, per-user event counts reconcile") {
+    val out = queries.Windows.queries("q_ts_burstiness")(spark, sf).cache()
+    try {
+      assert(out.filter(abs($"burstiness") > 1.000001).count() === 0)
+      assert(out.filter($"fano" < -1e-9).count() === 0)
+      val total = Tables.events(spark, sf).count()
+      assert(out.agg(sum($"n_events")).collect()(0).getLong(0) === total)
+      // mean_daily * n_days == n_events (rounding tolerance)
+      assert(out.filter(
+        abs($"mean_daily" * $"n_days" - $"n_events") > 1e-3).count() === 0)
+    } finally out.unpersist()
+  }
+
+  test("psi: non-negative for every event type (Csiszar f-divergence)") {
+    val out = queries.Profiling.queries("q_profile_psi")(spark, sf).cache()
+    try {
+      val types = Tables.events(spark, sf).select($"event_type").distinct.count()
+      assert(out.count() === types)
+      assert(out.filter($"psi" < -1e-9).count() === 0)
+    } finally out.unpersist()
+  }
+
+  test("lag xcorr: 7 lags, pair counts shrink by |lag|, exactly one argmax") {
+    val out = queries.Windows.queries("q_ts_lag_xcorr")(spark, sf).cache()
+    try {
+      assert(out.count() === 7)
+      val nDays = Tables.events(spark, sf)
+        .select(floor(Determinism.msEpoch($"ts") / lit(86400000L))).distinct.count()
+      // contiguous day coverage in the synthetic stream => n_pairs = days - |lag|
+      out.collect().foreach { r =>
+        assert(r.getAs[Long]("n_pairs") === nDays - math.abs(r.getAs[Int]("lag")))
+      }
+      assert(out.filter($"is_best").count() === 1)
+      assert(out.filter(abs($"xcorr") > 1.000001).count() === 0)
+    } finally out.unpersist()
+  }
+
+  test("ppl buckets: per-source doc counts reconcile and bucket order follows xent") {
+    val out = queries.TextAnalysis.queries("q_llm_ppl_buckets")(spark, sf).cache()
+    try {
+      val perSource = Tables.documents(spark, sf)
+        .groupBy($"source").agg(count(lit(1)).as("n_src"))
+      val bad = out.groupBy($"source").agg(sum($"n_docs").as("n_b"))
+        .join(perSource, "source").filter($"n_b" =!= $"n_src").count()
+      assert(bad === 0)
+      // buckets partition the score range: bucket k's max <= bucket k+1's min
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"source").orderBy($"bucket")
+      val inversions = out
+        .withColumn("prev_max", lag($"max_xent", 1).over(w))
+        .filter($"prev_max".isNotNull && $"min_xent" < $"prev_max" - lit(1e-9))
+        .count()
+      assert(inversions === 0)
+    } finally out.unpersist()
+  }
+
+  test("char entropy: bounded by log2 of distinct chars, one row per doc") {
+    val out = queries.TextAnalysis.queries("q_llm_char_entropy")(spark, sf).cache()
+    try {
+      assert(out.count() === Tables.documents(spark, sf).count())
+      assert(out.filter($"char_entropy" < -1e-9).count() === 0)
+      assert(out.filter(
+        $"char_entropy" > log(2.0, $"n_chars_distinct".cast("double")) + lit(1e-4))
+        .count() === 0)
+    } finally out.unpersist()
+  }
+
+  test("cell smooth: grid matches cell_agg, self mass reconciles, smoothed = ring/9") {
+    val out = queries.Projections.queries("q_geo_cell_smooth")(spark, sf).cache()
+    val grid = queries.Projections.queries("q_geo_cell_agg")(spark, sf).cache()
+    try {
+      // smoothing preserves the populated-grid support (n_self > 0 filter)
+      assert(out.count() === grid.count())
+      assert(out.join(grid, Seq("cell_lat", "cell_lon"), "left_anti").count() === 0)
+      // every cell's self mass equals its cell_agg count; total mass reconciles
+      val mism = out.join(grid, Seq("cell_lat", "cell_lon"))
+        .filter($"n_self" =!= $"n_fixes").count()
+      assert(mism === 0)
+      assert(out.filter($"ring_total" < $"n_self").count() === 0)
+      assert(out.filter(
+        abs($"smoothed" - $"ring_total".cast("double") / 9.0) > 1e-6).count() === 0)
+    } finally { out.unpersist(); grid.unpersist() }
+  }
+
+  test("q2ish: each returned price is the true regional minimum for its part") {
+    val out = queries.SqlSurface.queries("q_sql_tpch_q2ish")(spark, sf).cache()
+    try {
+      assert(out.count() > 0)
+      // independent re-derivation of the per-part EUROPE minimum
+      val li = Tables.lineitem(spark, sf)
+      val sup = Tables.supplier(spark, sf)
+      val nat = Tables.nation(spark, sf)
+      val reg = Tables.region(spark, sf).filter($"r_name" === "EUROPE")
+      val mins = li.join(sup, $"l_suppkey" === $"s_suppkey")
+        .join(nat, $"s_nationkey" === $"n_nationkey")
+        .join(reg, $"n_regionkey" === $"r_regionkey")
+        .groupBy($"l_partkey").agg(min($"l_extendedprice").as("true_min"))
+      val bad = out.join(mins, $"p_partkey" === $"l_partkey")
+        .filter($"min_price" =!= $"true_min").count()
+      assert(bad === 0)
+    } finally out.unpersist()
+  }
+
+  test("q22ish: every counted customer is above the global mean balance") {
+    val out = queries.SqlSurface.queries("q_sql_tpch_q22ish")(spark, sf).cache()
+    try {
+      // independent re-derivation of the gated customer set
+      val cust = Tables.customer(spark, sf)
+      val meanBal = cust.filter($"c_acctbal" > 0.0)
+        .agg((sum(Determinism.dec($"c_acctbal")).cast("double") / count(lit(1))))
+        .collect()(0).getDouble(0)
+      val big = Tables.orders(spark, sf).filter($"o_totalprice" > 300000.0)
+        .select($"o_custkey").distinct
+      val expected = cust.filter($"c_acctbal" > meanBal)
+        .join(big, $"c_custkey" === $"o_custkey", "left_anti")
+        .count()
+      assert(out.agg(sum($"numcust")).collect()(0).getLong(0) === expected)
+    } finally out.unpersist()
+  }
 }
