@@ -178,7 +178,21 @@ object ScaleProbe {
       // rows (users disjoint per copy); vocab_growth rows = number of
       // vocab-introducing docs — copies suffix tokens, so each copy
       // introduces its own 31-word vocabulary and rows grow k×
-      "q_ts_wow_growth", "q_geo_home_work", "q_llm_vocab_growth")
+      "q_ts_wow_growth", "q_geo_home_work", "q_llm_vocab_growth",
+      // r9 batch 2: rolling_corr / lag_xcorr collapse to the day
+      // domain — rows FLAT (days / 7 lags) AND the corr values are
+      // INVARIANT (every copy multiplies each day's x and y by the
+      // same k, and Pearson corr is scale-free); burstiness and
+      // char_entropy are per-user / per-doc — rows EXACTLY k×, values
+      // identical per copy; psi rows FLAT at |types| (both halves
+      // scale k× so p,q move only by the Laplace +1/+10 smoothing);
+      // ppl_buckets rows FLAT at |sources|×4 with n_docs k× (suffixed
+      // copies shift every doc's xent by the same +ln k, so bucket
+      // membership is preserved); cell_smooth rows FLAT at the grid
+      // (positions preserved per copy) with counts k×
+      "q_ts_rolling_corr", "q_ts_burstiness", "q_ts_lag_xcorr",
+      "q_profile_psi", "q_llm_ppl_buckets", "q_llm_char_entropy",
+      "q_geo_cell_smooth")
 
     // GRAFT_SCALE_ONLY=q1,q2 narrows the run to a subset (new-operator
     // probes without re-timing the whole recorded family)
