@@ -199,6 +199,35 @@ object SqlSurface {
     "AND o.o_totalprice > 300000.0) " +
     "GROUP BY c_nationkey ORDER BY cntry"
 
+  /** TPC-H Q14-shaped promo revenue share (r9): the conditional-ratio
+    * aggregate — numerator and denominator of one fraction computed in
+    * a single pass over the date-pruned join (no second scan, no
+    * self-join); both sums decimal-exact, ONE double division at the
+    * end, so the ratio cannot drift. */
+  val q14Sql: String =
+    "SELECT round(100.0 * " +
+    "CAST(SUM(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) / " +
+    "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 6) AS promo_revenue_pct, " +
+    "COUNT(*) AS n_items " +
+    "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+    "WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00' " +
+    "AND l_shipdate < TIMESTAMP '1996-09-01 00:00:00'"
+
+  /** TPC-H Q16-shaped supplier diversity count (r9): COUNT(DISTINCT)
+    * after a join, gated by a NOT IN subquery — the null-aware anti
+    * join shape (NOT IN, unlike NOT EXISTS, must return zero rows if
+    * the subquery ever yields NULL; Spark plans the single-column
+    * broadcast case as a null-aware anti join rather than a BNLJ).
+    * The excluded set is the negative-balance suppliers; (brand, type,
+    * size) makes the post-DISTINCT order total. */
+  val q16Sql: String =
+    "SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt " +
+    "FROM part JOIN lineitem ON p_partkey = l_partkey " +
+    "WHERE p_size IN (1, 5, 9, 13, 17, 21) " +
+    "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0) " +
+    "GROUP BY p_brand, p_type, p_size " +
+    "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 50"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_revenue_by_nation" -> ((s, d) => {
       registerAll(s, d); s.sql(revenueByNationSql)
@@ -235,6 +264,12 @@ object SqlSurface {
     }),
     "q_sql_tpch_q22ish" -> ((s, d) => {
       registerAll(s, d); s.sql(q22Sql)
+    }),
+    "q_sql_tpch_q14ish" -> ((s, d) => {
+      registerAll(s, d); s.sql(q14Sql)
+    }),
+    "q_sql_tpch_q16ish" -> ((s, d) => {
+      registerAll(s, d); s.sql(q16Sql)
     })
   )
 
@@ -250,6 +285,8 @@ object SqlSurface {
     "q_sql_tpch_q12ish" -> q12Sql,
     "q_sql_tpch_q2ish" -> q2Sql,
     "q_sql_tpch_q21ish" -> q21Sql,
-    "q_sql_tpch_q22ish" -> q22Sql
+    "q_sql_tpch_q22ish" -> q22Sql,
+    "q_sql_tpch_q14ish" -> q14Sql,
+    "q_sql_tpch_q16ish" -> q16Sql
   )
 }

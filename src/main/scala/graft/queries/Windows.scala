@@ -894,6 +894,37 @@ object Windows {
         .withColumn("is_best",
           coalesce($"xcorr" === max($"xcorr").over(Window.partitionBy()), lit(false)))
         .orderBy($"lag")
+    }),
+
+    // Longest consecutive-day activity streak per user (r9): the
+    // gaps-and-islands pattern — group key = dd − row_number(), a
+    // constant within each unbroken run — the engagement metric
+    // ("14-day streak") and the last classic window idiom the family
+    // lacked. Scale: the corpus first collapses to DISTINCT
+    // (user, day) — a partial-agg relation bounded by users × days —
+    // then both windows run per-user over that user's own ≤|days|
+    // rows. Determinism: dd is the integer epoch-day index (pure ms
+    // arithmetic); the per-user ranking (len DESC, start_dd) is total
+    // because streak starts are unique within a user.
+    "q_ts_streaks" -> ((s, d) => {
+      import s.implicits._
+      val days = Tables.events(s, d)
+        .select($"user_id",
+          floor(msEpoch($"ts") / lit(86400000L)).cast("long").as("dd"))
+        .distinct()
+      val g = days.withColumn("grp",
+        $"dd" - row_number().over(Window.partitionBy($"user_id").orderBy($"dd")))
+      val streaks = g.groupBy($"user_id", $"grp")
+        .agg(count(lit(1)).as("len"), min($"dd").as("start_dd"), max($"dd").as("end_dd"))
+      streaks
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"user_id").orderBy($"len".desc, $"start_dd")))
+        .withColumn("n_streaks",
+          count(lit(1)).over(Window.partitionBy($"user_id")))
+        .filter($"rk" === 1)
+        .select($"user_id", $"len".as("longest_streak"),
+          $"start_dd", $"end_dd", $"n_streaks")
+        .orderBy($"user_id")
     })
   )
 
@@ -1273,6 +1304,18 @@ object Windows {
        "CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) > 0.0 " +
        "THEN round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) END AS xcorr FROM m) " +
        "SELECT lag, n_pairs, xcorr, coalesce(xcorr = max(xcorr) OVER (), false) AS is_best " +
-       "FROM c ORDER BY lag")
+       "FROM c ORDER BY lag"),
+    "q_ts_streaks" ->
+      ("WITH e AS (SELECT user_id, CAST(floor(epoch_ms(date_trunc('milliseconds', ts)) / 86400000) AS BIGINT) AS dd FROM events), " +
+       "d AS (SELECT DISTINCT user_id, dd FROM e), " +
+       "g AS (SELECT user_id, dd, dd - row_number() OVER (PARTITION BY user_id ORDER BY dd) AS grp FROM d), " +
+       "s AS (SELECT user_id, grp, COUNT(*) AS len, min(dd) AS start_dd, max(dd) AS end_dd " +
+       "FROM g GROUP BY user_id, grp), " +
+       "r AS (SELECT user_id, len, start_dd, end_dd, " +
+       "row_number() OVER (PARTITION BY user_id ORDER BY len DESC, start_dd) AS rk, " +
+       "COUNT(*) OVER (PARTITION BY user_id) AS n_streaks FROM s) " +
+       "SELECT user_id, CAST(len AS BIGINT) AS longest_streak, start_dd, end_dd, " +
+       "CAST(n_streaks AS BIGINT) AS n_streaks " +
+       "FROM r WHERE rk = 1 ORDER BY user_id")
   )
 }

@@ -192,7 +192,11 @@ object ScaleProbe {
       // (positions preserved per copy) with counts k×
       "q_ts_rolling_corr", "q_ts_burstiness", "q_ts_lag_xcorr",
       "q_profile_psi", "q_llm_ppl_buckets", "q_llm_char_entropy",
-      "q_geo_cell_smooth")
+      "q_geo_cell_smooth",
+      // r9 batch 3: streaks are per-user (users disjoint per copy,
+      // day sets preserved) — rows EXACTLY k×, per-copy values
+      // identical
+      "q_ts_streaks")
 
     // GRAFT_SCALE_ONLY=q1,q2 narrows the run to a subset (new-operator
     // probes without re-timing the whole recorded family)

@@ -299,6 +299,23 @@ class QueryPropertySpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("streaks: one row per user, streak bounds consistent, islands partition the days") {
+    val out = queries.Windows.queries("q_ts_streaks")(spark, sf).cache()
+    try {
+      val perUser = Tables.events(spark, sf)
+        .select($"user_id",
+          floor(Determinism.msEpoch($"ts") / lit(86400000L)).as("dd"))
+        .distinct.groupBy($"user_id").agg(count(lit(1)).as("n_days"))
+      assert(out.count() === perUser.count())
+      // longest streak spans exactly its own length and fits the day budget
+      val bad = out.join(perUser, "user_id").filter(
+        $"end_dd" - $"start_dd" + 1 =!= $"longest_streak" ||
+        $"longest_streak" > $"n_days" || $"longest_streak" < 1 || $"n_streaks" < 1)
+        .count()
+      assert(bad === 0)
+    } finally out.unpersist()
+  }
+
   test("q22ish: every counted customer is above the global mean balance") {
     val out = queries.SqlSurface.queries("q_sql_tpch_q22ish")(spark, sf).cache()
     try {
