@@ -409,4 +409,53 @@ class PlanSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
   }
+
+  test("rolling_corr and lag_xcorr windows/joins run over the day aggregate") {
+    // both ops must collapse the corpus to the day domain BEFORE any
+    // window or self-join — the window/join input is calendar-bounded
+    val p1 = finalPlan("q_ts_rolling_corr").split("== Initial Plan ==")(0)
+    assert(p1.indexOf("Window") < p1.indexOf("HashAggregate"),
+      "the frame must slide above the per-day aggregate")
+    val p2 = finalPlan("q_ts_lag_xcorr").split("== Initial Plan ==")(0)
+    assert(p2.contains("BroadcastHashJoin") || p2.contains("BroadcastNestedLoop"),
+      "the 7-shift expansion must ride a broadcast, not a shuffle")
+    assert(!p2.contains("CartesianProduct"),
+      "no cartesian in the shift join path")
+  }
+
+  test("cell_smooth expands the GRID, not the fixes (agg below the offset join)") {
+    val p = finalPlan("q_geo_cell_smooth").split("== Initial Plan ==")(0)
+    // the 9-offset cross join must sit above the first (cell) aggregate
+    val joinIdx = math.max(p.indexOf("BroadcastNestedLoop"), p.indexOf("CartesianProduct"))
+    val lastAgg = p.lastIndexOf("HashAggregate")
+    assert(joinIdx >= 0, "offset expansion must be a broadcast cross join")
+    assert(lastAgg > joinIdx,
+      "the fix-level cell aggregate must run below the offset expansion")
+  }
+
+  test("q16ish NOT IN plans as the null-aware broadcast anti join") {
+    val p = finalPlan("q_sql_tpch_q16ish")
+    assert(p.contains("LeftAnti"), "NOT IN must decorrelate to an anti join")
+    assert(!p.contains("CartesianProduct"), "no cartesian for the NOT IN")
+  }
+
+  test("q2ish decorrelates the scalar MIN subquery to an aggregate + join") {
+    val p = finalPlan("q_sql_tpch_q2ish")
+    // the rewritten plan joins the per-part MIN aggregate back to the
+    // outer join — a correlated re-execution would show a subquery per
+    // row; the decorrelated shape shows the aggregate feeding a join
+    assert(p.contains("HashAggregate") &&
+      (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+       p.contains("BroadcastHashJoin")))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+  }
+
+  test("psi's only non-partial stage is the bounded (type, bin) rollup") {
+    // the one-row min/max anchor relation must broadcast; the binned
+    // counts must partial-aggregate (map-side) before the shuffle
+    val p = finalPlan("q_profile_psi").split("== Initial Plan ==")(0)
+    assert(p.contains("partial_"), "binned counts must map-side combine")
+    assert(p.contains("BroadcastNestedLoop") || p.contains("BroadcastExchange"),
+      "the one-row anchor must broadcast")
+  }
 }
