@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.codecs.Gps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.TimestampType
@@ -159,6 +159,49 @@ object Pipeline {
       .select(col("user_id"), col("n_events"),
         col("w.event_id").as("last_event_id"), col("w.ms").as("last_ms"),
         col("w.value").as("last_value"), col("w.event_type").as("last_type"))
+
+  /** Streaming PSI drift monitor (r9): per-window Population Stability
+    * Index of the live value distribution against a STATIC baseline —
+    * the streaming twin of q_profile_psi, i.e. the "is the feature
+    * distribution moving under me" gate run continuously instead of at
+    * refit time. Design for scale: the baseline's bin probabilities
+    * (and its min/max anchors) are collected ONCE at wiring time into
+    * plain literals — ten numbers, not a join side — so the stream
+    * side is ONE windowed aggregate (conditional count per bin, all
+    * partial-aggregable) followed by a STATELESS per-row PSI
+    * projection; a single state operator whose state is one row per
+    * window, evicted by the watermark. Laplace (+1 / +10) smoothing on
+    * both sides keeps empty bins finite, matching the batch operator.
+    * `events` needs ts (event-time) and a double `value`; `baseline`
+    * needs `value`. */
+  def driftMonitor(events: DataFrame, baseline: DataFrame,
+      window_ : String = "1 hour", watermark: String = "10 minutes"): DataFrame = {
+    val anchors = baseline.filter(col("value").isNotNull)
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi")).collect()(0)
+    val (lo, hi) = (anchors.getDouble(0), anchors.getDouble(1))
+    def binOf(v: Column): Column =
+      least(lit(9), greatest(lit(0),
+        floor((v - lit(lo)) / (lit(hi) - lit(lo)) * 10.0).cast("int")))
+    val baseCounts = baseline.filter(col("value").isNotNull)
+      .groupBy(binOf(col("value")).as("bin")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val baseTotal = baseCounts.values.sum
+    def q(i: Int): Double =
+      (baseCounts.getOrElse(i, 0L) + 1).toDouble / (baseTotal + 10).toDouble
+    val binAggs = (0 until 10).map(i =>
+      count(when(binOf(col("value")) === i, 1)).as(s"n$i"))
+    val binned = events.filter(col("value").isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_))
+      .agg(binAggs.head, binAggs.tail: _*)
+    val total = (0 until 10).map(i => col(s"n$i")).reduce(_ + _)
+    val psi = (0 until 10).map { i =>
+      val p = (col(s"n$i") + 1).cast("double") / (total + 10).cast("double")
+      (p - lit(q(i))) * log(p / lit(q(i)))
+    }.reduce(_ + _)
+    binned.select(col("window.start").as("wstart"),
+      total.as("n_events"), round(psi, 6).as("psi"))
+  }
 
   /** Streaming corpus fingerprint: per-source running MinHash sketch
     * over a document stream — the incremental form of

@@ -339,4 +339,37 @@ class StreamingPipelineSpec extends AnyFunSuite {
     q2.awaitTermination()
     assert(seen.size() == 2)
   }
+
+  test("streaming PSI drift monitor == batch PSI per window, one state operator") {
+    val baseline = Seq.tabulate(200)(i => i % 100 * 1.0).toDF("value")
+    val b1 = Seq(
+      (ts("2024-01-01 10:00:01"), 5.0), (ts("2024-01-01 10:10:00"), 15.0),
+      (ts("2024-01-01 10:20:00"), 25.0), (ts("2024-01-01 10:40:00"), 95.0),
+      (ts("2024-01-01 11:05:00"), 5.0))
+    val b2 = Seq( // second micro-batch adds to BOTH windows (arrival order mixed)
+      (ts("2024-01-01 11:30:00"), 85.0), (ts("2024-01-01 10:50:00"), 55.0),
+      (ts("2024-01-01 11:45:00"), 5.0), (ts("2024-01-01 11:59:59"), 5.0))
+    val in = MemoryStream[(Timestamp, Double)]
+    val q = Pipeline.driftMonitor(in.toDF.toDF("ts", "value"), baseline)
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode("complete").start()
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.length == 1,
+      "drift monitor must hold exactly one (windowed-agg) state operator")
+    val stream = spark.table("drift_out").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    q.stop()
+    // batch twin: same function over the union (windowed agg works in batch)
+    val batch = Pipeline.driftMonitor((b1 ++ b2).toDF("ts", "value"), baseline)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(stream == batch)
+    assert(stream.length == 2) // two hourly windows
+    // the 5.0-heavy second window must drift further from the uniform
+    // baseline than the spread first window
+    assert(stream(1)._3 > stream(0)._3)
+    assert(stream.forall(_._3 >= 0.0))
+  }
 }
