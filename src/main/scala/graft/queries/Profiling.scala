@@ -252,6 +252,63 @@ object Profiling {
         .agg(round(sum(graft.Determinism.dec(($"p0" - $"p1") * log($"p0" / $"p1")))
           .cast(DoubleType), 6).as("psi"))
         .orderBy($"event_type")
+    }),
+
+    // Two-sample Kolmogorov–Smirnov distance (r9): max CDF gap between
+    // the click and purchase value distributions — the distribution-
+    // drift / A-B sanity test that, unlike PSI, needs no binning
+    // parameter. Scale: values first collapse to a FIXED-RESOLUTION
+    // grid (round to 2 decimals → ≤ range·100 cells regardless of row
+    // count) via one conditional-count partial-agg groupBy; the only
+    // ordered stage (the running CDFs) runs over that bounded grid,
+    // never over rows. Determinism: cumulative counts are exact
+    // integers; each CDF value is ONE double division; the max of
+    // per-cell |F1−F2| is order-free.
+    "q_profile_ks" -> ((s, d) => {
+      import s.implicits._
+      val g = Tables.events(s, d)
+        .filter($"event_type".isin("click", "purchase"))
+        .groupBy(round($"value", 2).as("v"))
+        .agg(count(when($"event_type" === "click", 1)).as("c1"),
+          count(when($"event_type" === "purchase", 1)).as("c2"))
+      val w = Window.orderBy($"v")
+      val tot = broadcast(g.agg(sum($"c1").as("n1"), sum($"c2").as("n2")))
+      g.select($"v", sum($"c1").over(w).as("a1"), sum($"c2").over(w).as("a2"))
+        .crossJoin(tot)
+        .agg(round(max(abs($"a1".cast(DoubleType) / $"n1" -
+            $"a2".cast(DoubleType) / $"n2")), 6).as("ks_stat"),
+          max($"n1").as("n1"), max($"n2").as("n2"))
+    }),
+
+    // Chi-square independence audit (r9): is event_type independent of
+    // hour-of-day — the categorical-association test behind "does this
+    // feature leak the label" and "is traffic mix time-stable". Scale:
+    // the table collapses to the ≤ |types|·24-cell contingency in one
+    // partial-agg groupBy; margins come from windows over that bounded
+    // relation; nothing row-sized survives the first shuffle.
+    // Determinism: hour from pure ms arithmetic (the q_ts_seasonal
+    // discipline — no engine calendar); each (o−e)²/e term is IEEE
+    // double from exact-integer margins, then DECIMAL so summation
+    // order can't drift; dof from exact distinct counts.
+    "q_profile_chi2" -> ((s, d) => {
+      import s.implicits._
+      import graft.Determinism.msEpoch
+      val o = Tables.events(s, d)
+        .select($"event_type",
+          (floor(msEpoch($"ts") / 3600000.0).cast(LongType) % 24).as("hr"))
+        .groupBy($"event_type", $"hr").agg(count(lit(1)).as("obs"))
+      val m = o
+        .withColumn("row_tot", sum($"obs").over(Window.partitionBy($"event_type")))
+        .withColumn("col_tot", sum($"obs").over(Window.partitionBy($"hr")))
+        .withColumn("n", sum($"obs").over())
+      val e = $"row_tot".cast(DoubleType) * $"col_tot" / $"n"
+      m.select(graft.Determinism.dec(($"obs".cast(DoubleType) - e) *
+            ($"obs".cast(DoubleType) - e) / e).as("term"),
+          $"event_type", $"hr")
+        .agg(round(sum($"term").cast(DoubleType), 6).as("chi2"),
+          ((countDistinct($"event_type") - 1) *
+            (countDistinct($"hr") - 1)).as("dof"),
+          count(lit(1)).as("n_cells"))
     })
   )
 
@@ -346,6 +403,32 @@ object Profiling {
        "FROM c JOIN t ON c.event_type = t.event_type) " +
        "SELECT event_type, " +
        "round(CAST(SUM(CAST((p0 - p1) * ln(p0 / p1) AS DECIMAL(38,6))) AS DOUBLE), 6) AS psi " +
-       "FROM p GROUP BY event_type ORDER BY event_type")
+       "FROM p GROUP BY event_type ORDER BY event_type"),
+    "q_profile_ks" ->
+      ("WITH g AS (SELECT round(value, 2) AS v, " +
+       "COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS c1, " +
+       "COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS c2 " +
+       "FROM events WHERE event_type IN ('click', 'purchase') GROUP BY round(value, 2)), " +
+       "c AS (SELECT v, SUM(c1) OVER (ORDER BY v) AS a1, " +
+       "SUM(c2) OVER (ORDER BY v) AS a2 FROM g), " +
+       "t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM g) " +
+       "SELECT round(MAX(ABS(CAST(a1 AS DOUBLE) / n1 - CAST(a2 AS DOUBLE) / n2)), 6) AS ks_stat, " +
+       "MAX(n1) AS n1, MAX(n2) AS n2 FROM c CROSS JOIN t"),
+    "q_profile_chi2" ->
+      ("WITH h AS (SELECT event_type, " +
+       "CAST(floor(epoch_ms(date_trunc('milliseconds', ts)) / 3600000.0) AS BIGINT) % 24 AS hr " +
+       "FROM events), " +
+       "o AS (SELECT event_type, hr, COUNT(*) AS obs FROM h GROUP BY event_type, hr), " +
+       "m AS (SELECT event_type, hr, obs, " +
+       "SUM(obs) OVER (PARTITION BY event_type) AS row_tot, " +
+       "SUM(obs) OVER (PARTITION BY hr) AS col_tot, " +
+       "SUM(obs) OVER () AS n FROM o), " +
+       "terms AS (SELECT event_type, hr, CAST(" +
+       "(CAST(obs AS DOUBLE) - CAST(row_tot AS DOUBLE) * col_tot / n) * " +
+       "(CAST(obs AS DOUBLE) - CAST(row_tot AS DOUBLE) * col_tot / n) / " +
+       "(CAST(row_tot AS DOUBLE) * col_tot / n) AS DECIMAL(38,6)) AS term FROM m) " +
+       "SELECT round(CAST(SUM(term) AS DOUBLE), 6) AS chi2, " +
+       "(COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT hr) - 1) AS dof, " +
+       "COUNT(*) AS n_cells FROM terms")
   )
 }

@@ -228,6 +228,210 @@ object SqlSurface {
     "GROUP BY p_brand, p_type, p_size " +
     "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 50"
 
+  /** TPC-H Q1-shaped pricing summary (r9): the canonical wide scan-
+    * aggregate — eight aggregates over one date-pruned pass, partial
+    * aggregation map-side so the shuffle carries 6 groups × 8 partial
+    * states, not 60k rows. Every SUM decimal-exact; each AVG spelled
+    * as exact-SUM / COUNT with ONE double division + round so the
+    * boundary cannot drift between engines. */
+  val q1Sql: String =
+    "SELECT l_returnflag, l_linestatus, " +
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty, " +
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price, " +
+    "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price, " +
+    "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge, " +
+    "round(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty, " +
+    "round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS avg_price, " +
+    "round(CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc, " +
+    "COUNT(*) AS count_order " +
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00' " +
+    "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+
+  /** TPC-H Q4-shaped order-priority check (r9): EXISTS against the
+    * fact table from the dimension side — the semi join whose build
+    * side is the BIG relation, so the planner must keep it a shuffled
+    * semi join (no broadcast) while the date range prunes orders at
+    * the scan. Reshaped: "late delivery" → "has a returned line"
+    * (this schema has no commit/receipt dates). */
+  val q4Sql: String =
+    "SELECT o_orderpriority, COUNT(*) AS order_count " +
+    "FROM orders " +
+    "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+    "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' " +
+    "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') " +
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+
+  /** TPC-H Q6-shaped forecast revenue (r9): the pure scan showcase —
+    * no join, one global aggregate; every predicate (date range,
+    * discount band, quantity cap) must reach PushedFilters so the
+    * 100 TB scan reads only matching row groups. */
+  val q6Sql: String =
+    "SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue, " +
+    "COUNT(*) AS n_items " +
+    "FROM lineitem " +
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+    "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+    "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0"
+
+  /** TPC-H Q7-shaped volume shipping (r9): nation joined TWICE under
+    * different aliases (supplier's and customer's), with a symmetric
+    * OR over the two nation-pair orientations — the self-dimension
+    * disambiguation shape. Both nation sides broadcast; EXTRACT(YEAR)
+    * CAST to BIGINT inside the shared text (Spark INT vs DuckDB
+    * BIGINT). */
+  val q7Sql: String =
+    "SELECT supp_nation, cust_nation, l_year, " +
+    "CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) AS revenue, " +
+    "COUNT(*) AS n_items " +
+    "FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+    "CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year, " +
+    "l_extendedprice * (1.0 - l_discount) AS volume " +
+    "FROM supplier JOIN lineitem ON s_suppkey = l_suppkey " +
+    "JOIN orders ON o_orderkey = l_orderkey " +
+    "JOIN customer ON c_custkey = o_custkey " +
+    "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+    "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+    "WHERE (n1.n_name = 'NATION_5' AND n2.n_name = 'NATION_12') " +
+    "OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_5')) shipping " +
+    "GROUP BY supp_nation, cust_nation, l_year " +
+    "ORDER BY supp_nation, cust_nation, l_year"
+
+  /** TPC-H Q8-shaped market share (r9): the deepest star in the
+    * surface — EIGHT relations (nation twice), with the share spelled
+    * as conditional-SUM / total-SUM in one grouped pass (no self-join,
+    * no second scan); both sums decimal-exact, one division + round. */
+  val q8Sql: String =
+    "SELECT o_year, " +
+    "round(CAST(SUM(CAST(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) / " +
+    "CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE), 6) AS mkt_share, " +
+    "COUNT(*) AS n_items " +
+    "FROM (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year, " +
+    "l_extendedprice * (1.0 - l_discount) AS volume, " +
+    "n2.n_name AS nation " +
+    "FROM part JOIN lineitem ON p_partkey = l_partkey " +
+    "JOIN supplier ON s_suppkey = l_suppkey " +
+    "JOIN orders ON l_orderkey = o_orderkey " +
+    "JOIN customer ON o_custkey = c_custkey " +
+    "JOIN nation n1 ON c_nationkey = n1.n_nationkey " +
+    "JOIN region ON n1.n_regionkey = r_regionkey " +
+    "JOIN nation n2 ON s_nationkey = n2.n_nationkey " +
+    "WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY') all_nations " +
+    "GROUP BY o_year ORDER BY o_year"
+
+  /** TPC-H Q9-shaped product profit (r9): LIKE-filtered part joined
+    * into a five-table star with a computed margin (this schema has no
+    * partsupp — cost proxied at 60% of retail price), grouped by
+    * (supplier nation, order year). The LIKE '%gear%' cannot push as a
+    * range but must still prune part BEFORE the join (filter below
+    * join in the plan). */
+  val q9Sql: String =
+    "SELECT nation, o_year, " +
+    "CAST(SUM(CAST(amount AS DECIMAL(38,6))) AS DOUBLE) AS sum_profit, " +
+    "COUNT(*) AS n_items " +
+    "FROM (SELECT n_name AS nation, " +
+    "CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year, " +
+    "l_extendedprice * (1.0 - l_discount) - p_retailprice * 0.6 * l_quantity AS amount " +
+    "FROM part JOIN lineitem ON p_partkey = l_partkey " +
+    "JOIN supplier ON s_suppkey = l_suppkey " +
+    "JOIN orders ON o_orderkey = l_orderkey " +
+    "JOIN nation ON s_nationkey = n_nationkey " +
+    "WHERE p_name LIKE '%gear%') profit " +
+    "GROUP BY nation, o_year ORDER BY nation, o_year DESC"
+
+  /** TPC-H Q11-shaped important-value parts (r9): grouped HAVING
+    * compared against an uncorrelated scalar over the SAME filtered
+    * join — the relation is scanned twice (once grouped, once global)
+    * and the one-row global side broadcasts under the comparison.
+    * Exact decimal sums both sides; threshold = one multiply + one
+    * division of the exact-sum double. The cut is 2× the MEAN per-part
+    * value (not TPC-H's fixed fraction of total, which empties as the
+    * part count grows with SF — scale-invariant selectivity instead:
+    * 124 survivors at sf0.01, 1,225 at sf0.1). */
+  val q11Sql: String =
+    "SELECT l_partkey, " +
+    "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS part_value " +
+    "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+    "JOIN nation ON s_nationkey = n_nationkey " +
+    "WHERE n_name = 'NATION_7' " +
+    "GROUP BY l_partkey " +
+    "HAVING CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) > " +
+    "(SELECT 2.0 * CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(DISTINCT l_partkey) " +
+    "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+    "JOIN nation ON s_nationkey = n_nationkey " +
+    "WHERE n_name = 'NATION_7') " +
+    "ORDER BY part_value DESC, l_partkey"
+
+  /** TPC-H Q13-shaped customer order distribution (r9): LEFT join
+    * with the filter in the ON clause (it must NOT drop orderless
+    * customers — a WHERE spelling would), then a two-level aggregate:
+    * orders per customer, customers per order-count. COUNT(o_orderkey)
+    * counts only matched rows, so the zero bucket is the
+    * never-matched customers. */
+  val q13Sql: String =
+    "SELECT c_count, COUNT(*) AS custdist " +
+    "FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count " +
+    "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
+    "AND o_orderpriority <> '5-LOW' " +
+    "GROUP BY c_custkey) c_orders " +
+    "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+
+  /** TPC-H Q15-shaped top supplier (r9): a CTE referenced twice —
+    * once as the join probe, once under MAX in a scalar subquery —
+    * pins that equality against the scalar max selects exactly the
+    * argmax row(s). Revenue is decimal-exact cast to double, so the
+    * equality compares bit-identical values in both engines. */
+  val q15Sql: String =
+    "WITH revenue AS (SELECT l_suppkey AS supplier_no, " +
+    "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue " +
+    "FROM lineitem " +
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+    "AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' " +
+    "GROUP BY l_suppkey) " +
+    "SELECT s_suppkey, s_name, total_revenue " +
+    "FROM supplier JOIN revenue ON s_suppkey = supplier_no " +
+    "WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue) " +
+    "ORDER BY s_suppkey"
+
+  /** TPC-H Q17-shaped small-quantity revenue (r9): the correlated
+    * scalar AVG — each outer row compares against a per-part mean,
+    * decorrelated to a per-partkey aggregate re-joined on p_partkey.
+    * The mean is spelled exact-SUM / COUNT (one double division) so
+    * the 0.5× threshold is bit-identical in both engines. */
+  val q17Sql: String =
+    "SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0, 6) AS avg_yearly, " +
+    "COUNT(*) AS n_lines " +
+    "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+    "WHERE p_brand = 'Brand#3' AND p_type = 'SMALL' " +
+    "AND l_quantity < (SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)) " +
+    "FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"
+
+  /** TPC-H Q19-shaped disjunctive revenue (r9): OR of three
+    * conjunctive (brand, size, quantity) envelopes — the planner must
+    * keep p_partkey = l_partkey an equi join (not fall to BNLJ under
+    * the OR) and push the residual disjunction as a post-join filter
+    * with per-side prunable sub-predicates. */
+  val q19Sql: String =
+    "SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue, " +
+    "COUNT(*) AS n_items " +
+    "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+    "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity >= 1.0 AND l_quantity <= 11.0) " +
+    "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity >= 10.0 AND l_quantity <= 20.0) " +
+    "OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 20.0 AND l_quantity <= 30.0)"
+
+  /** TPC-H Q20-shaped qualified suppliers (r9): IN against a grouped-
+    * HAVING subquery whose body is itself a join — the nested semi
+    * chain (supplier → qualifying shipped volume → PROMO parts),
+    * decorrelated to one semi join against the re-aggregated
+    * lineitem⋈part. */
+  val q20Sql: String =
+    "SELECT s_suppkey, s_name " +
+    "FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
+    "WHERE n_name = 'NATION_3' " +
+    "AND s_suppkey IN (SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey " +
+    "WHERE p_type = 'PROMO' GROUP BY l_suppkey " +
+    "HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 100.0) " +
+    "ORDER BY s_suppkey"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_revenue_by_nation" -> ((s, d) => {
       registerAll(s, d); s.sql(revenueByNationSql)
@@ -270,7 +474,19 @@ object SqlSurface {
     }),
     "q_sql_tpch_q16ish" -> ((s, d) => {
       registerAll(s, d); s.sql(q16Sql)
-    })
+    }),
+    "q_sql_tpch_q1ish" -> ((s, d) => { registerAll(s, d); s.sql(q1Sql) }),
+    "q_sql_tpch_q4ish" -> ((s, d) => { registerAll(s, d); s.sql(q4Sql) }),
+    "q_sql_tpch_q6ish" -> ((s, d) => { registerAll(s, d); s.sql(q6Sql) }),
+    "q_sql_tpch_q7ish" -> ((s, d) => { registerAll(s, d); s.sql(q7Sql) }),
+    "q_sql_tpch_q8ish" -> ((s, d) => { registerAll(s, d); s.sql(q8Sql) }),
+    "q_sql_tpch_q9ish" -> ((s, d) => { registerAll(s, d); s.sql(q9Sql) }),
+    "q_sql_tpch_q11ish" -> ((s, d) => { registerAll(s, d); s.sql(q11Sql) }),
+    "q_sql_tpch_q13ish" -> ((s, d) => { registerAll(s, d); s.sql(q13Sql) }),
+    "q_sql_tpch_q15ish" -> ((s, d) => { registerAll(s, d); s.sql(q15Sql) }),
+    "q_sql_tpch_q17ish" -> ((s, d) => { registerAll(s, d); s.sql(q17Sql) }),
+    "q_sql_tpch_q19ish" -> ((s, d) => { registerAll(s, d); s.sql(q19Sql) }),
+    "q_sql_tpch_q20ish" -> ((s, d) => { registerAll(s, d); s.sql(q20Sql) })
   )
 
   val oracle: Map[String, String] = Map(
@@ -287,6 +503,18 @@ object SqlSurface {
     "q_sql_tpch_q21ish" -> q21Sql,
     "q_sql_tpch_q22ish" -> q22Sql,
     "q_sql_tpch_q14ish" -> q14Sql,
-    "q_sql_tpch_q16ish" -> q16Sql
+    "q_sql_tpch_q16ish" -> q16Sql,
+    "q_sql_tpch_q1ish" -> q1Sql,
+    "q_sql_tpch_q4ish" -> q4Sql,
+    "q_sql_tpch_q6ish" -> q6Sql,
+    "q_sql_tpch_q7ish" -> q7Sql,
+    "q_sql_tpch_q8ish" -> q8Sql,
+    "q_sql_tpch_q9ish" -> q9Sql,
+    "q_sql_tpch_q11ish" -> q11Sql,
+    "q_sql_tpch_q13ish" -> q13Sql,
+    "q_sql_tpch_q15ish" -> q15Sql,
+    "q_sql_tpch_q17ish" -> q17Sql,
+    "q_sql_tpch_q19ish" -> q19Sql,
+    "q_sql_tpch_q20ish" -> q20Sql
   )
 }

@@ -787,6 +787,33 @@ object TextAnalysis {
           round(sum(graft.Determinism.dec(-p * log(2.0, p))).cast(DoubleType), 6)
             .as("char_entropy"))
         .orderBy($"doc_id")
+    }),
+
+    // Data-mixture design (r9): per-source temperature-weighted
+    // sampling weights — the table a training run is configured from.
+    // w_i ∝ tokens_i^0.5 (α = 0.5 upweights small sources the way
+    // multilingual/multi-domain mixes do), plus effective epochs per
+    // source at a fixed 1M-token budget (epochs > 1 = that source
+    // repeats — the memorization-risk flag). Scale: ONE partial-agg
+    // groupBy collapses the corpus to |sources| rows; the weight
+    // normalizer is a one-row broadcast. Determinism: sqrt of an exact
+    // integer is correctly-rounded IEEE in both engines, the raw
+    // weight goes through DECIMAL (exact normalizer sum), and each
+    // share/epoch is division-then-round.
+    "q_llm_mix_weights" -> ((s, d) => {
+      import s.implicits._
+      val perSrc = Tables.documents(s, d)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split($"text", " ")).cast("long")).as("n_tokens"))
+        .withColumn("w_raw", graft.Determinism.dec(sqrt($"n_tokens".cast(DoubleType))))
+      val tot = broadcast(perSrc.agg(sum($"w_raw").as("w_tot")))
+      val share = $"w_raw".cast(DoubleType) / $"w_tot".cast(DoubleType)
+      perSrc.crossJoin(tot)
+        .select($"source", $"n_docs", $"n_tokens",
+          round(share, 6).as("mix_weight"),
+          round(lit(1000000.0) * share / $"n_tokens", 6).as("epochs"))
+        .orderBy($"source")
     })
   )
 
@@ -1088,6 +1115,17 @@ object TextAnalysis {
        "t AS (SELECT doc_id, SUM(n) AS tot, COUNT(*) AS n_distinct FROM cc GROUP BY doc_id) " +
        "SELECT cc.doc_id, CAST(max(n_distinct) AS BIGINT) AS n_chars_distinct, " +
        "round(CAST(SUM(CAST(-(CAST(n AS DOUBLE)/tot) * log2(CAST(n AS DOUBLE)/tot) AS DECIMAL(38,6))) AS DOUBLE), 6) AS char_entropy " +
-       "FROM cc JOIN t ON cc.doc_id = t.doc_id GROUP BY cc.doc_id ORDER BY cc.doc_id")
+       "FROM cc JOIN t ON cc.doc_id = t.doc_id GROUP BY cc.doc_id ORDER BY cc.doc_id"),
+    "q_llm_mix_weights" ->
+      ("WITH s AS (SELECT source, COUNT(*) AS n_docs, " +
+       "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens " +
+       "FROM documents GROUP BY source), " +
+       "w AS (SELECT source, n_docs, n_tokens, " +
+       "CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(38,6)) AS w_raw FROM s), " +
+       "t AS (SELECT CAST(SUM(w_raw) AS DOUBLE) AS w_tot FROM w) " +
+       "SELECT source, n_docs, n_tokens, " +
+       "round(CAST(w_raw AS DOUBLE) / w_tot, 6) AS mix_weight, " +
+       "round(1000000.0 * (CAST(w_raw AS DOUBLE) / w_tot) / n_tokens, 6) AS epochs " +
+       "FROM w CROSS JOIN t ORDER BY source")
   )
 }

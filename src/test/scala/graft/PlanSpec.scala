@@ -450,6 +450,43 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
   }
 
+  test("q6ish pushes every predicate to the lineitem scan (the pure-scan showcase)") {
+    // widen the metadata print limit — the default 100-char elision
+    // would hide the tail of the pushed-filter list from the assertion
+    val p = TestSpark.withSQLConf("spark.sql.maxMetadataStringLength" -> "2000") {
+      finalPlan("q_sql_tpch_q6ish")
+    }
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("GreaterThanOrEqual(l_discount") &&
+      p.contains("LessThan(l_quantity"),
+      s"all three predicate families must reach the scan: $p")
+  }
+
+  test("q17ish decorrelates the scalar AVG to a per-part aggregate re-joined (no re-execution)") {
+    val p = finalPlan("q_sql_tpch_q17ish")
+    assert(p.contains("HashAggregate") &&
+      (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+       p.contains("BroadcastHashJoin")))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+  }
+
+  test("q19ish keeps the equi join under the OR-of-ANDs (no BNLJ/cartesian)") {
+    val p = finalPlan("q_sql_tpch_q19ish")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "p_partkey = l_partkey must survive as an equi join")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+  }
+
+  test("q4ish plans EXISTS-against-the-fact as a semi join") {
+    val p = finalPlan("q_sql_tpch_q4ish")
+    assert(p.contains("LeftSemi"), "EXISTS must decorrelate to a semi join")
+  }
+
+  test("q13ish keeps the LEFT join (the ON-clause filter must not convert it to inner)") {
+    val p = finalPlan("q_sql_tpch_q13ish")
+    assert(p.contains("LeftOuter"), "orderless customers feed the zero bucket")
+  }
+
   test("psi's only non-partial stage is the bounded (type, bin) rollup") {
     // the one-row min/max anchor relation must broadcast; the binned
     // counts must partial-aggregate (map-side) before the shuffle
