@@ -44,6 +44,39 @@ object InvarCheck {
         (col("va").isNotNull && col("va") =!= col("vb"))).count()
       println(s"INVAR $q corr_mismatches_x1_vs_x4=$diff of ${a.count()}")
     }
+    // r9 batch 4 value claims: mix_weight invariant under uniform k×
+    // (the k cancels in normalization), ks_stat invariant (identical
+    // CDFs per copy), chi2 EXACTLY k×-shaped (statistic linear in n)
+    def scaledDocs(k: Int): DataFrame = {
+      val base = graft.Tables.documents(spark, src)
+      (0 until k).map { c =>
+        base.select(
+          (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+          concat_ws(" ", transform(split(col("text"), " "),
+            t => concat(t, lit(s"_$c")))).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+    }
+    val dirs = Seq(1, 4).map { k =>
+      val dir = java.nio.file.Files.createTempDirectory(s"inv4_x$k").toString
+      scaledEvents(k).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      scaledDocs(k).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val Seq(mixA, mixB) = dirs.map(d =>
+      graft.SparkEntry.queries("q_llm_mix_weights")(spark, d))
+    val mixDiff = mixA.select(col("source"), col("mix_weight").as("wa"))
+      .join(mixB.select(col("source"), col("mix_weight").as("wb")), "source")
+      .filter(col("wa") =!= col("wb")).count()
+    println(s"INVAR q_llm_mix_weights weight_mismatches_x1_vs_x4=$mixDiff of ${mixA.count()}")
+    val Seq(ksA, ksB) = dirs.map(d =>
+      graft.SparkEntry.queries("q_profile_ks")(spark, d)
+        .collect()(0).getAs[Double]("ks_stat"))
+    println(s"INVAR q_profile_ks ks_x1=$ksA ks_x4=$ksB invariant=${ksA == ksB}")
+    val Seq(c2A, c2B) = dirs.map(d =>
+      graft.SparkEntry.queries("q_profile_chi2")(spark, d)
+        .collect()(0).getAs[Double]("chi2"))
+    println(f"INVAR q_profile_chi2 x1=$c2A x4=$c2B ratio=${c2B / c2A}%.4f (expect ~4)")
     spark.stop()
   }
 }

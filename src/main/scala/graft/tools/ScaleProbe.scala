@@ -196,7 +196,18 @@ object ScaleProbe {
       // r9 batch 3: streaks are per-user (users disjoint per copy,
       // day sets preserved) — rows EXACTLY k×, per-copy values
       // identical
-      "q_ts_streaks")
+      "q_ts_streaks",
+      // r9 batch 4: mix_weights rows FLAT at |sources| with n_docs and
+      // n_tokens k×; the uniform k multiplier CANCELS in the weight
+      // normalization (w_i ∝ √(k·tok_i) → shares unchanged), so
+      // mix_weight is INVARIANT while epochs shrink 1/k (same budget,
+      // k× corpus). ks: per-type value distributions identical per
+      // copy → grid rows flat, both CDFs identical → ks_stat
+      // INVARIANT. chi2: every contingency cell grows k× → each
+      // (o−e)²/e term scales k× → χ² grows EXACTLY k× (same effect
+      // size, k× evidence — the statistic is linear in n by design),
+      // dof flat
+      "q_llm_mix_weights", "q_profile_ks", "q_profile_chi2")
 
     // GRAFT_SCALE_ONLY=q1,q2 narrows the run to a subset (new-operator
     // probes without re-timing the whole recorded family)
