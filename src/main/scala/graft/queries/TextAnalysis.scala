@@ -800,6 +800,36 @@ object TextAnalysis {
     // integer is correctly-rounded IEEE in both engines, the raw
     // weight goes through DECIMAL (exact normalizer sum), and each
     // share/epoch is division-then-round.
+    // Heavy hitters via a mergeable Misra–Gries Aggregator (r9): which
+    // tokens exceed 1/64 of the corpus — the frequent-items scan that
+    // at 100 TB must NOT shuffle the full token domain. Two passes:
+    // (1) the MG sketch (graft.functions.HeavyHitters, a typed
+    // Aggregator UDAF with constant ≤64-entry partials) folds each
+    // partition locally and merges through Spark's partial-agg
+    // machinery — the shuffle carries at most 64 counters per
+    // partition no matter how large the vocabulary; the MG superset
+    // guarantee (undercount ≤ n/(k+1)) means every token with true
+    // freq > n/64 survives in the candidate map. (2) the ≤64
+    // candidates broadcast back as a semi-join filter and ONLY they
+    // are recounted exactly. The sketch's estimates are merge-order-
+    // dependent; the OUTPUT (exact counts, integer threshold
+    // cnt·64 > n) is deterministic — the sketch prunes, never decides.
+    "q_llm_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val terms = Tables.documents(s, d)
+        .select(explode(toks(lower($"text"))).as("term"))
+      val cand = terms
+        .agg(graft.functions.HeavyHitters.mgSketch(64)($"term").as("mg"))
+        .select(explode(map_keys($"mg")).as("term"))
+      val tot = broadcast(terms.agg(count(lit(1)).as("n")))
+      terms.join(broadcast(cand), "term")
+        .groupBy($"term").agg(count(lit(1)).as("cnt"))
+        .crossJoin(tot)
+        .filter($"cnt" * 64 > $"n")
+        .select($"term", $"cnt")
+        .orderBy($"cnt".desc, $"term")
+    }),
+
     "q_llm_mix_weights" -> ((s, d) => {
       import s.implicits._
       val perSrc = Tables.documents(s, d)
@@ -1116,6 +1146,12 @@ object TextAnalysis {
        "SELECT cc.doc_id, CAST(max(n_distinct) AS BIGINT) AS n_chars_distinct, " +
        "round(CAST(SUM(CAST(-(CAST(n AS DOUBLE)/tot) * log2(CAST(n AS DOUBLE)/tot) AS DECIMAL(38,6))) AS DOUBLE), 6) AS char_entropy " +
        "FROM cc JOIN t ON cc.doc_id = t.doc_id GROUP BY cc.doc_id ORDER BY cc.doc_id"),
+    "q_llm_heavy_hitters" ->
+      ("WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents), " +
+       "n AS (SELECT COUNT(*) AS n FROM t) " +
+       "SELECT term, COUNT(*) AS cnt FROM t GROUP BY term " +
+       "HAVING COUNT(*) * 64 > (SELECT n FROM n) " +
+       "ORDER BY cnt DESC, term"),
     "q_llm_mix_weights" ->
       ("WITH s AS (SELECT source, COUNT(*) AS n_docs, " +
        "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens " +

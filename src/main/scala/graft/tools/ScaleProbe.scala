@@ -207,7 +207,15 @@ object ScaleProbe {
       // (o−e)²/e term scales k× → χ² grows EXACTLY k× (same effect
       // size, k× evidence — the statistic is linear in n by design),
       // dof flat
-      "q_llm_mix_weights", "q_profile_ks", "q_profile_chi2")
+      "q_llm_mix_weights", "q_profile_ks", "q_profile_chi2",
+      // r9 batch 4: heavy_hitters is THRESHOLD-RELATIVE (cnt·64 > n):
+      // copies suffix tokens, so the vocab grows k× while each term's
+      // count stays at its x1 level against a k×-growing n — rows go
+      // ~30 → ~60 (every suffixed hot term still clears n/64 at x2)
+      // → 0 (x4 dilutes every term below the line). The probe pins
+      // that dilution shape AND that runtime stays linear (the sketch
+      // pass is one constant-size-partial agg regardless of vocab)
+      "q_llm_heavy_hitters")
 
     // GRAFT_SCALE_ONLY=q1,q2 narrows the run to a subset (new-operator
     // probes without re-timing the whole recorded family)
