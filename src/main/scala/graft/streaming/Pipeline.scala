@@ -203,6 +203,31 @@ object Pipeline {
       total.as("n_events"), round(psi, 6).as("psi"))
   }
 
+  /** Streaming frequent-items monitor: per-window Misra–Gries heavy-
+    * hitter candidates over a token stream — the continuous form of
+    * q_llm_heavy_hitters (r9). The MG summary is a mergeable typed
+    * Aggregator (graft.functions.HeavyHitters), so the windowed
+    * aggregation's state is ONE ≤k-entry buffer per window that
+    * Spark's state store updates incrementally across micro-batches —
+    * bounded state regardless of the token domain, the property a
+    * 100 TB trending-terms monitor needs. Candidate ESTIMATES are
+    * merge-order-dependent (batch boundaries shift them), but the MG
+    * superset guarantee is order-free: every token with true window
+    * frequency > n/(k+1) is present in the emitted candidates — the
+    * spec asserts exactly that invariant (plus the ≤k bound and the
+    * single state operator), not estimate equality. Output: one row
+    * per (window, candidate) with the estimate and the window total.
+    * `toks` needs event-time `ts` and a string `term`. */
+  def frequentItemsMonitor(toks: DataFrame, k: Int = 16,
+      window_ : String = "1 hour", watermark: String = "10 minutes"): DataFrame =
+    toks
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_))
+      .agg(graft.functions.HeavyHitters.mgSketch(k)(col("term")).as("mg"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("window.start").as("wstart"), col("n_tokens"),
+        explode(col("mg")).as(Seq("term", "est")))
+
   /** Streaming corpus fingerprint: per-source running MinHash sketch
     * over a document stream — the incremental form of
     * q_llm_source_minhash (r7). min() is order-insensitive and

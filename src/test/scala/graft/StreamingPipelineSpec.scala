@@ -340,6 +340,49 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(seen.size() == 2)
   }
 
+  test("streaming frequent-items monitor: MG superset guarantee per window, bounded candidates, one state operator") {
+    val k = 4
+    // window 10:00: 'alpha' dominates (freq > n/(k+1)) over a wide tail;
+    // window 11:00: 'beta' dominates. Tail terms are all distinct so the
+    // tiny sketch must evict constantly.
+    def w(t: String, terms: Seq[String]) = terms.map(x => (ts(t), x))
+    val b1 = w("2024-01-01 10:00:01", Seq.fill(6)("alpha") ++ (1 to 4).map(i => s"t$i")) ++
+      w("2024-01-01 11:05:00", Seq.fill(2)("beta") ++ Seq("u1"))
+    val b2 = w("2024-01-01 10:40:00", Seq.fill(4)("alpha") ++ (5 to 8).map(i => s"t$i")) ++
+      w("2024-01-01 11:30:00", Seq.fill(5)("beta") ++ Seq("u2", "u3"))
+    val in = MemoryStream[(Timestamp, String)]
+    val q = Pipeline.frequentItemsMonitor(in.toDF.toDF("ts", "term"), k)
+      .writeStream.format("memory").queryName("freq_out")
+      .outputMode("complete").start()
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.length == 1,
+      "frequent-items monitor must hold exactly one (windowed-agg) state operator")
+    val rows = spark.table("freq_out").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    q.stop()
+    val byWindow = rows.groupBy(_._1)
+    assert(byWindow.size == 2)
+    for ((_, ws) <- byWindow) {
+      assert(ws.length <= k, s"candidate set exceeded sketch capacity: ${ws.toSeq}")
+      val n = ws.head._2
+      // exact per-window truth from the same input
+      val all = (b1 ++ b2).filter { case (t, _) =>
+        math.abs(t.getTime - ws.head._1.getTime) < 3600 * 1000L && t.getTime >= ws.head._1.getTime }
+      assert(all.size.toLong == n, "window total must count every token, not just candidates")
+      val exact = all.groupBy(_._2).view.mapValues(_.size.toLong)
+      val guaranteed = exact.filter(_._2 > n / (k + 1)).keySet
+      assert(guaranteed.nonEmpty)
+      val got = ws.map(_._3).toSet
+      assert(guaranteed.subsetOf(got),
+        s"superset guarantee violated: missing ${guaranteed -- got} in $got")
+      // estimates never exceed true counts (MG only undercounts)
+      for ((_, _, t, est) <- ws; c <- exact.get(t)) assert(est <= c)
+    }
+  }
+
   test("streaming PSI drift monitor == batch PSI per window, one state operator") {
     val baseline = Seq.tabulate(200)(i => i % 100 * 1.0).toDF("value")
     val b1 = Seq(
