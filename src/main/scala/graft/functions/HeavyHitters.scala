@@ -47,7 +47,10 @@ object HeavyHitters {
     override def zero: Map[String, Long] = Map.empty
 
     override def reduce(b: Map[String, Long], term: String): Map[String, Long] =
-      b.get(term) match {
+      // SQL aggregate null semantics: skip null inputs rather than
+      // tracking a null map key (r9 advice)
+      if (term == null) b
+      else b.get(term) match {
         case Some(c) => b.updated(term, c + 1L)
         case None if b.size < k => b.updated(term, 1L)
         case None =>

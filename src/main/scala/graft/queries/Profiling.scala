@@ -273,10 +273,13 @@ object Profiling {
           count(when($"event_type" === "purchase", 1)).as("c2"))
       val w = Window.orderBy($"v")
       val tot = broadcast(g.agg(sum($"c1").as("n1"), sum($"c2").as("n2")))
+      // nullif on the sample sizes (r9 advice): a wholly absent side
+      // yields a NULL ks_stat identically in both engines instead of
+      // tripping on divergent 0/0 vs x/0 double semantics.
       g.select($"v", sum($"c1").over(w).as("a1"), sum($"c2").over(w).as("a2"))
         .crossJoin(tot)
-        .agg(round(max(abs($"a1".cast(DoubleType) / $"n1" -
-            $"a2".cast(DoubleType) / $"n2")), 6).as("ks_stat"),
+        .agg(round(max(abs($"a1".cast(DoubleType) / nullif($"n1", lit(0)) -
+            $"a2".cast(DoubleType) / nullif($"n2", lit(0)))), 6).as("ks_stat"),
           max($"n1").as("n1"), max($"n2").as("n2"))
     }),
 
@@ -412,7 +415,7 @@ object Profiling {
        "c AS (SELECT v, SUM(c1) OVER (ORDER BY v) AS a1, " +
        "SUM(c2) OVER (ORDER BY v) AS a2 FROM g), " +
        "t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM g) " +
-       "SELECT round(MAX(ABS(CAST(a1 AS DOUBLE) / n1 - CAST(a2 AS DOUBLE) / n2)), 6) AS ks_stat, " +
+       "SELECT round(MAX(ABS(CAST(a1 AS DOUBLE) / NULLIF(n1, 0) - CAST(a2 AS DOUBLE) / NULLIF(n2, 0))), 6) AS ks_stat, " +
        "MAX(n1) AS n1, MAX(n2) AS n2 FROM c CROSS JOIN t"),
     "q_profile_chi2" ->
       ("WITH h AS (SELECT event_type, " +

@@ -818,10 +818,18 @@ object TextAnalysis {
       import s.implicits._
       val terms = Tables.documents(s, d)
         .select(explode(toks(lower($"text"))).as("term"))
-      val cand = terms
-        .agg(graft.functions.HeavyHitters.mgSketch(64)($"term").as("mg"))
-        .select(explode(map_keys($"mg")).as("term"))
-      val tot = broadcast(terms.agg(count(lit(1)).as("n")))
+      // The total count folds INTO the sketch pass (r9 advice), so the
+      // corpus is tokenized exactly twice — sketch+count, then the
+      // candidate recount — not three times. The 1-row sketch result is
+      // cached because it feeds two subtrees (candidates + total);
+      // `terms` itself is deliberately NOT persisted — an exploded
+      // token relation is corpus-sized, and re-scanning the pruned
+      // parquet beats spilling it at 100 TB.
+      val sketch = graft.CacheScope.local(terms
+        .agg(graft.functions.HeavyHitters.mgSketch(64)($"term").as("mg"),
+          count(lit(1)).as("n")))
+      val cand = sketch.select(explode(map_keys($"mg")).as("term"))
+      val tot = broadcast(sketch.select($"n"))
       terms.join(broadcast(cand), "term")
         .groupBy($"term").agg(count(lit(1)).as("cnt"))
         .crossJoin(tot)

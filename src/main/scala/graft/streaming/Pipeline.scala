@@ -225,8 +225,12 @@ object Pipeline {
       .groupBy(window(col("ts"), window_))
       .agg(graft.functions.HeavyHitters.mgSketch(k)(col("term")).as("mg"),
         count(lit(1)).as("n_tokens"))
+      // explode_outer: a window whose final MG map emptied out (every
+      // count-1 entry decremented away) still emits its (window,
+      // n_tokens) row with null term/est instead of vanishing (r9
+      // advice) — downstream consumers never lose a window's total.
       .select(col("window.start").as("wstart"), col("n_tokens"),
-        explode(col("mg")).as(Seq("term", "est")))
+        explode_outer(col("mg")).as(Seq("term", "est")))
 
   /** Streaming corpus fingerprint: per-source running MinHash sketch
     * over a document stream — the incremental form of

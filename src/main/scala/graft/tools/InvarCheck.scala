@@ -16,6 +16,13 @@ object InvarCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val src = "/root/testdata/sf0.1"
+    // every temp dir this run creates, deleted on the way out (r9
+    // advice: the x1/x4 parquet copies leaked disk on every run)
+    val tmpDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+    def newTmp(prefix: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(prefix).toString
+      tmpDirs += d; d
+    }
     def scaledEvents(k: Int): DataFrame = {
       val base = graft.Tables.t(spark, src, "events")
       (0 until k).map { c =>
@@ -25,7 +32,7 @@ object InvarCheck {
     }
     for (q <- Seq("q_ts_rolling_corr", "q_ts_lag_xcorr")) {
       val dirs = Seq(1, 4).map { k =>
-        val dir = java.nio.file.Files.createTempDirectory(s"inv_x$k").toString
+        val dir = newTmp(s"inv_x$k")
         scaledEvents(k).write.mode("overwrite").parquet(s"$dir/events.parquet")
         dir
       }
@@ -58,7 +65,7 @@ object InvarCheck {
       }.reduce(_ unionByName _)
     }
     val dirs = Seq(1, 4).map { k =>
-      val dir = java.nio.file.Files.createTempDirectory(s"inv4_x$k").toString
+      val dir = newTmp(s"inv4_x$k")
       scaledEvents(k).write.mode("overwrite").parquet(s"$dir/events.parquet")
       scaledDocs(k).write.mode("overwrite").parquet(s"$dir/documents.parquet")
       dir
@@ -77,6 +84,13 @@ object InvarCheck {
       graft.SparkEntry.queries("q_profile_chi2")(spark, d)
         .collect()(0).getAs[Double]("chi2"))
     println(f"INVAR q_profile_chi2 x1=$c2A x4=$c2B ratio=${c2B / c2A}%.4f (expect ~4)")
+    tmpDirs.foreach { d =>
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val p = Paths.get(d)
+      if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
     spark.stop()
   }
 }
