@@ -157,6 +157,35 @@ object Aggregations {
         .orderBy($"l_returnflag")
     }),
 
+    // Accuracy GATE for the HLL sketch (r10): the oracle-checkable
+    // twin the r9 verdict asked for. Spark computes BOTH the sketch
+    // and the exact distinct per group and emits a boolean verdict
+    // per column (|approx − exact| ≤ max(4, 3·rsd·exact) — the same
+    // 3× headroom KernelSpec pins); the DuckDB twin computes the
+    // identical groups from the exact side and asserts TRUE. The
+    // sketch value itself never crosses engines — the TOLERANCE does:
+    // a sketch outside its declared bound flips ok_* to false and the
+    // driver's hash compare fails loudly. Scale note: the exact
+    // COUNT DISTINCT here is the gate's reference, not the production
+    // path — at 100 TB you run the sketch alone (q_agg_approx_distinct)
+    // and this gate runs on sampled audits.
+    "q_agg_approx_distinct_gate" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          countDistinct($"l_partkey").as("nd_part"),
+          countDistinct($"l_suppkey").as("nd_supp"),
+          approx_count_distinct($"l_partkey", 0.05).as("ap_part"),
+          approx_count_distinct($"l_suppkey", 0.05).as("ap_supp"))
+        .select($"l_returnflag", $"nd_part", $"nd_supp",
+          (abs($"ap_part" - $"nd_part").cast(DoubleType) <=
+            greatest(lit(4.0), lit(0.15) * $"nd_part")).as("ok_part"),
+          (abs($"ap_supp" - $"nd_supp").cast(DoubleType) <=
+            greatest(lit(4.0), lit(0.15) * $"nd_supp")).as("ok_supp"))
+        .orderBy($"l_returnflag")
+    }),
+
     // collect_list / collect_set / string-agg, deterministically sorted.
     // The collect/sort happens on typed arrays; the FINAL projection
     // serializes them to CSV strings because the driver's oracle harness
@@ -243,6 +272,30 @@ object Aggregations {
         .orderBy($"l_returnflag")
     }),
 
+    // Accuracy GATE for the quantile sketch (r10): same protocol as
+    // q_agg_approx_distinct_gate. percentile_approx(accuracy=1000)
+    // guarantees rank error ≤ n/1000; the gate checks the approx
+    // value lands inside the exact ±0.02-rank band (20× headroom —
+    // the KernelSpec discipline widened to per-group). DuckDB asserts
+    // the booleans from the exact side; a sketch outside its band
+    // fails the hash compare instead of hiding behind no_oracle.
+    "q_agg_approx_percentile_gate" -> ((s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d).groupBy($"l_returnflag")
+        .agg(
+          percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("a50"),
+          percentile_approx($"l_extendedprice", lit(0.95), lit(1000)).as("a95"),
+          expr("percentile(l_extendedprice, 0.48)").as("lo50"),
+          expr("percentile(l_extendedprice, 0.52)").as("hi50"),
+          expr("percentile(l_extendedprice, 0.93)").as("lo95"),
+          expr("percentile(l_extendedprice, 0.97)").as("hi95"),
+          count(lit(1)).as("n"))
+        .select($"l_returnflag", $"n",
+          ($"a50" >= $"lo50" && $"a50" <= $"hi50").as("ok_p50"),
+          ($"a95" >= $"lo95" && $"a95" <= $"hi95").as("ok_p95"))
+        .orderBy($"l_returnflag")
+    }),
+
     // Boolean aggregates (r7): bool_and / bool_or over a predicate —
     // the data-quality assertion shape ("EVERY row in the group
     // satisfies X", "ANY row violates Y"). Partial-aggregable AND/OR
@@ -307,6 +360,16 @@ object Aggregations {
     "q_agg_count_distinct" ->
       ("SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part, " +
        "COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS n_rows " +
+       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // The gate twins: the oracle computes the exact side and ASSERTS
+    // the tolerance verdicts — hash match ⇔ the Spark sketch met its
+    // declared accuracy bound (see the query doc comments).
+    "q_agg_approx_distinct_gate" ->
+      ("SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part, " +
+       "COUNT(DISTINCT l_suppkey) AS nd_supp, TRUE AS ok_part, TRUE AS ok_supp " +
+       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_agg_approx_percentile_gate" ->
+      ("SELECT l_returnflag, COUNT(*) AS n, TRUE AS ok_p50, TRUE AS ok_p95 " +
        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_agg_salted_skew" ->
       ("SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value, " +

@@ -15,8 +15,12 @@ class ContractSpec extends AnyFunSuite {
     val os = SparkEntry.oracleSql.keySet
     assert((os -- qs).isEmpty, s"oracles without queries: ${os -- qs}")
     // rows-only by design: sketch internals (HLL, quantile) are not
-    // hash-stable vs DuckDB; both ops are accuracy-tested in KernelSpec
-    assert((qs -- os) == Set("q_agg_approx_distinct", "q_agg_approx_percentile"),
+    // hash-stable vs DuckDB — both accuracy-GATED oracle-side since r10
+    // (q_agg_approx_*_gate) and accuracy-tested in KernelSpec; the ANN
+    // handoff's missed-pair set is hash-derived-LSH-specific (recall
+    // pinned ≥ 0.95 in AnnHandoffSpec)
+    assert((qs -- os) == Set("q_agg_approx_distinct", "q_agg_approx_percentile",
+        "q_llm_embed_neardup_ann"),
       s"undeclared engine-only: ${qs -- os}")
   }
 
