@@ -78,19 +78,55 @@ object Projections {
       .select(col("event_id"), col("poly_id"))
   }
 
+  /** Per-(bucket, cell) occupancy budget for the co-location family
+    * (r10, r9 verdict item 4): exact pairwise co-location is Σ cell²
+    * work, so ONE pathological cell — every device parked in the same
+    * (bucket, cell) — degrades the whole job to that cell's quadratic
+    * (measured in HotCellSpec: planted hot cells grow candidate work
+    * exactly n²). The guard is IN-PLAN (assert_true on the joined-in
+    * cell count, so construction stays lazy and Catalyst can't prune
+    * it — it gates the filter feeding the pair join) and fails loudly
+    * at execution, the DedupClusters-convergence discipline: past the
+    * budget the answer is a documented refinement (halve W so the hot
+    * cell splits 4-way and re-aggregate, or pre-thin co-stationary
+    * fixes per (device, bucket, cell) — both preserve the ≥3-bucket
+    * convoy semantics), never a silent 10,000×-at-100× task. 10k rows
+    * in one cell ≈ 9·10⁸ pair evals across its 9-cell neighborhood —
+    * about a minute of one executor core; the measured sf0.1 max
+    * occupancy is 16 — 600× under the budget. */
+  private[graft] val HotCellBudget = 10000L
+
   /** The convoy pair relation (see q_geo_convoy): device pairs
     * co-located (same 6 h bucket, within 5°) in >= 3 distinct buckets.
     * Shared by q_geo_convoy (the pair report) and q_geo_groups (CC
-    * over the pair graph). */
-  private def convoyPairs(s: SparkSession, d: String): DataFrame = {
+    * over the pair graph). `budget` is the per-cell occupancy bound
+    * (tests inject a tiny one to pin the fail-loud path). */
+  private def convoyPairs(s: SparkSession, d: String): DataFrame =
+    convoyPairsBudgeted(s, d, HotCellBudget)
+
+  private[graft] def convoyPairsBudgeted(s: SparkSession, d: String,
+      budget: Long): DataFrame = {
     import s.implicits._
     val B = 21600000.0; val W = 5.0
     val e = Tables.events(s, d).select($"user_id",
       floor(msEpoch($"ts") / B).cast("long").as("bk"),
       ($"value" % 180.0 - 90.0).as("lat"),
       (($"event_id" % 3600) / 10.0 - 180.0).as("lon"))
-    val a = e
+    val a0 = e
       .withColumn("ci", floor($"lat" / W)).withColumn("cj", floor($"lon" / W))
+    // occupancy guard: one partial-agg pass to (bk, ci, cj) counts —
+    // the join back is on the SAME key as the pair join (exchange
+    // reused; AQE broadcasts the count side when small). assert_true
+    // returns null on pass, raises past the budget; filtering on
+    // isNull makes the check load-bearing so it cannot be pruned.
+    val cellCounts = a0.groupBy($"bk", $"ci", $"cj").agg(count(lit(1)).as("cell_n"))
+    val a = a0.join(cellCounts, Seq("bk", "ci", "cj"))
+      .filter(assert_true($"cell_n" <= budget,
+        concat(lit("convoyPairs: hot (bucket,cell) with "), $"cell_n",
+          lit(s" fixes exceeds the $budget-row co-location budget — " +
+            "quadratic cell; halve the cell width W or pre-thin " +
+            "per-(device,bucket,cell) fixes (see HotCellBudget doc)"))).isNull)
+      .drop("cell_n")
     val b = e.toDF("ub", "bk", "lat_b", "lon_b")
       .withColumn("ci", explode(array((-1 to 1).map(dI =>
         floor($"lat_b" / W) + dI): _*)))

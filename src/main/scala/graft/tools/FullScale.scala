@@ -1,0 +1,148 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full-surface clone-scale rehearsal (r9 verdict item 1): synthesize
+  * a ~sf1-equivalent corpus (x10 clone-scale of sf0.1, ALL driver
+  * tables, referential integrity preserved) and run the ENTIRE
+  * `SparkEntry.queries` surface once at x1 and once at xK, printing
+  * rows + wall per query — the measurement that converts "survives
+  * 100× by plan shape" from an argument into a sweep. ScaleProbe's
+  * x1/x2/x4 covers 49 ops with per-op growth laws; this tool's job is
+  * BREADTH: catch any accidentally super-linear query among the rest.
+  *
+  * Synthesis rules (the probes' established spellings):
+  *  - region/nation: static (TPC-H dims don't scale with SF);
+  *  - customer/supplier/part/orders/lineitem: key shift c·10⁷ applied
+  *    CONSISTENTLY across referencing columns (o_custkey moves with
+  *    c_custkey, l_orderkey with o_orderkey, …) so join cardinalities
+  *    scale honestly; p_brand gets a per-copy suffix (ScaleProbe —
+  *    keeps edit-distance blocks within copies);
+  *  - events: user_id +c·10⁶, event_id +c·100000800 (multiple of 3600
+  *    ⇒ geo fix positions preserved per copy — InvarCheck/ScaleProbe);
+  *  - documents: doc_id shift + per-copy token suffix (copies are
+  *    shingle-disjoint ⇒ dedup structure per copy — ScaleProbe);
+  *  - embeddings: vec_id shift + deterministic rotation/sign
+  *    perturbation (cross-copy cosines pseudo-random, not 1.0 —
+  *    CrossoverProbe).
+  *
+  * Expected growth classes (anything else needs a fix or a written
+  * explanation in BASELINE.md): flat (global stats, top-k limits,
+  * per-source/label rollups), ~k× (per-row / per-group surfaces), ~k²
+  * (pair detectors whose DETECTED structure is quadratic: convoy,
+  * neardup pair families).
+  *
+  * Usage: runMain graft.tools.FullScale [k] [src]
+  *   GRAFT_FULLSCALE_ONLY=q1,q2 narrows the query set
+  *   GRAFT_FULLSCALE_KEEP=1 keeps the synthesized dirs
+  */
+object FullScale {
+  def main(args: Array[String]): Unit = {
+    val k = if (args.nonEmpty) args(0).toInt else 10
+    val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val KEY = 10000000L
+    val tmpDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    def copies(n: Int)(f: Int => DataFrame): DataFrame =
+      (0 until n).map(f).reduce(_ unionByName _)
+
+    def build(n: Int): String = {
+      val dir = Files.createTempDirectory(s"graft_full_x$n").toString
+      tmpDirs += dir
+      def w(df: DataFrame, t: String): Unit =
+        df.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      // static dims
+      w(graft.Tables.t(spark, src, "region"), "region")
+      w(graft.Tables.t(spark, src, "nation"), "nation")
+      val shift = (t: String, cols: Seq[String]) => copies(n) { c =>
+        cols.foldLeft(graft.Tables.t(spark, src, t)) { (d, cn) =>
+          d.withColumn(cn, col(cn) + lit(c * KEY)) }
+      }
+      w(shift("customer", Seq("c_custkey")), "customer")
+      w(shift("supplier", Seq("s_suppkey")), "supplier")
+      w(copies(n) { c =>
+        graft.Tables.t(spark, src, "part")
+          .withColumn("p_partkey", col("p_partkey") + lit(c * KEY))
+          .withColumn("p_brand", concat(col("p_brand"), lit(s"_$c")))
+      }, "part")
+      w(shift("orders", Seq("o_orderkey", "o_custkey")), "orders")
+      w(shift("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
+      w(copies(n) { c =>
+        graft.Tables.t(spark, src, "events")
+          .withColumn("user_id", col("user_id") + lit(c * 1000000L))
+          .withColumn("event_id", col("event_id") + lit(c * 100000800L))
+      }, "events")
+      w(copies(n) { c =>
+        graft.Tables.documents(spark, src).select(
+          (col("doc_id") + lit(c * KEY)).as("doc_id"),
+          concat_ws(" ", transform(split(col("text"), " "),
+            t => concat(t, lit(s"_$c")))).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }, "documents")
+      val dims = graft.Tables.embeddings(spark, src)
+        .select(size(col("embedding"))).head().getInt(0)
+      w(copies(n) { c =>
+        val base = graft.Tables.embeddings(spark, src)
+        if (c == 0) base
+        else base.select(
+          (col("vec_id") + lit(c * KEY)).as("vec_id"),
+          transform(sequence(lit(0), lit(dims - 1)), i =>
+            (element_at(col("embedding"), pmod(i + lit(7 * c), lit(dims)) + 1) *
+              when(pmod(xxhash64(lit(c), i), lit(2)) === 0, 1.0).otherwise(-1.0))
+              .cast("float")).as("embedding"),
+          col("label"))
+      }, "embeddings")
+      dir
+    }
+
+    val only = sys.env.get("GRAFT_FULLSCALE_ONLY")
+      .map(_.split(',').filter(_.nonEmpty).toSet)
+    val names = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filter(q => only.forall(_.contains(q)))
+
+    def sweep(tag: String, dir: String): Map[String, (Long, Double)] =
+      names.map { q =>
+        val r = try {
+          val t0 = System.nanoTime()
+          val rows = graft.SparkEntry.queries(q)(spark, dir).count()
+          val t = (System.nanoTime() - t0) / 1e9
+          println(f"FULLSCALE $tag $q rows=$rows t=$t%.2f")
+          (rows, t)
+        } catch {
+          case e: Throwable =>
+            println(s"FULLSCALE $tag $q FAILED ${Option(e.getMessage).getOrElse(e.toString).take(300)}")
+            (-1L, -1.0)
+        } finally graft.CacheScope.drain()
+        q -> r
+      }.toMap
+
+    val d1 = build(1)
+    val r1 = sweep("x1", d1)
+    val dk = build(k)
+    val rk = sweep(s"x$k", dk)
+    for (q <- names; (n1, t1) = r1(q); (nk, tk) = rk(q)) {
+      val rr = if (n1 > 0) f"${nk.toDouble / n1}%.2f" else "-"
+      val wr = if (t1 > 0) f"$tk / $t1 = ${tk / t1}%.2f" else "-"
+      println(s"FULLSCALE SUMMARY $q rows $n1 -> $nk (ratio $rr) wall $wr")
+    }
+
+    if (!sys.env.contains("GRAFT_FULLSCALE_KEEP")) tmpDirs.foreach { d =>
+      import java.nio.file.{Files => F, Paths}
+      import scala.jdk.CollectionConverters._
+      val p = Paths.get(d)
+      if (F.exists(p))
+        F.walk(p).iterator().asScala.toSeq.reverse.foreach(F.deleteIfExists(_))
+    }
+    spark.stop()
+  }
+}
