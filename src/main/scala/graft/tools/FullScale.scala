@@ -38,6 +38,8 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.tools.FullScale [k] [src]
   *   GRAFT_FULLSCALE_ONLY=q1,q2 narrows the query set
   *   GRAFT_FULLSCALE_KEEP=1 keeps the synthesized dirs
+  *   GRAFT_FULLSCALE_DIRS=x1dir,xkdir reuses prebuilt corpora (resume
+  *   path for chunked sweeps; implies KEEP)
   */
 object FullScale {
   def main(args: Array[String]): Unit = {
@@ -126,9 +128,12 @@ object FullScale {
         q -> r
       }.toMap
 
-    val d1 = build(1)
+    val prebuilt = sys.env.get("GRAFT_FULLSCALE_DIRS").map(_.split(',').toSeq)
+    val (d1, dk) = prebuilt match {
+      case Some(Seq(a, b)) => (a, b)
+      case _ => (build(1), build(k))
+    }
     val r1 = sweep("x1", d1)
-    val dk = build(k)
     val rk = sweep(s"x$k", dk)
     for (q <- names; (n1, t1) = r1(q); (nk, tk) = rk(q)) {
       val rr = if (n1 > 0) f"${nk.toDouble / n1}%.2f" else "-"
@@ -136,7 +141,8 @@ object FullScale {
       println(s"FULLSCALE SUMMARY $q rows $n1 -> $nk (ratio $rr) wall $wr")
     }
 
-    if (!sys.env.contains("GRAFT_FULLSCALE_KEEP")) tmpDirs.foreach { d =>
+    if (!sys.env.contains("GRAFT_FULLSCALE_KEEP") && prebuilt.isEmpty)
+      tmpDirs.foreach { d =>
       import java.nio.file.{Files => F, Paths}
       import scala.jdk.CollectionConverters._
       val p = Paths.get(d)

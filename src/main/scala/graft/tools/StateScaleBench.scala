@@ -1,0 +1,98 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** RocksDB state-store scale record for the transformWithState
+  * monitors (r9 verdict item 6): drives TripMonitorTws with a
+  * synthetic fleet of N devices (default 1M — three fixes each across
+  * three micro-batches, 60 s apart so every fix continues its open
+  * trip and the state stays exactly ONE OpenTrip row per device) and
+  * prints per-batch throughput plus the state operator's own metrics
+  * (numRowsTotal, RocksDB size counters) from StreamingQueryProgress.
+  * The number this records for BASELINE.md: state rows == fleet size,
+  * state bytes per key, and end-to-end rows/s through the RocksDB
+  * ValueState path at a fleet size 500× the sf0.1 corpus's.
+  *
+  * Usage: runMain graft.tools.StateScaleBench [nKeys] [batches]
+  */
+object StateScaleBench {
+  def main(args: Array[String]): Unit = {
+    val nKeys = args.headOption.map(_.toInt).getOrElse(1000000)
+    val batches = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("ERROR")
+    val tmp = Seq("in", "ckpt").map(s =>
+      Files.createTempDirectory(s"statebench_$s").toString)
+    val Seq(in, ckpt) = tmp
+
+    // batch b: one fix per device at t = b minutes (< GapMs ⇒ the trip
+    // stays open; state is exactly one OpenTrip per device)
+    for (b <- 0 until batches)
+      spark.range(nKeys.toLong).select(
+          concat(lit("dev-"), col("id")).as("deviceId"),
+          (col("id") * 10 + b).as("eventId"),
+          lit(b * 60000L).as("tsMs"),
+          (col("id") % 180 - 90).cast("double").as("lat"),
+          ((col("id") % 360 - 180).cast("double") + b * 0.01).as("lon"))
+        .coalesce(4).write.mode("append").parquet(in)
+
+    val fixSchema = StructType(Seq(
+      StructField("deviceId", StringType), StructField("eventId", LongType),
+      StructField("tsMs", LongType), StructField("lat", DoubleType),
+      StructField("lon", DoubleType)))
+    val fixes = spark.readStream.schema(fixSchema)
+      .option("maxFilesPerTrigger", 4) // 4 files per synthesized batch
+      .parquet(in)
+      .as[graft.streaming.TripMonitor.Fix]
+
+    val t0 = System.nanoTime()
+    val q = graft.streaming.TripMonitorTws(spark, fixes)
+      .writeStream.format("noop")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+
+    val progs = q.recentProgress.filter(_.numInputRows > 0)
+    progs.foreach { p =>
+      val so = p.stateOperators.head
+      println(f"STATEBENCH batch=${p.batchId} inputRows=${p.numInputRows} " +
+        f"durMs=${p.durationMs.get("triggerExecution")} " +
+        f"stateRows=${so.numRowsTotal} updated=${so.numRowsUpdated} " +
+        f"stateBytes=${so.memoryUsedBytes}")
+    }
+    val last = progs.last.stateOperators.head
+    val totalRows = progs.map(_.numInputRows).sum
+    println(f"STATEBENCH TOTAL keys=$nKeys rows=$totalRows wall=$wall%.1fs " +
+      f"rate=${totalRows / wall}%.0f rows/s stateRows=${last.numRowsTotal} " +
+      f"stateBytes=${last.memoryUsedBytes} bytesPerKey=${last.memoryUsedBytes.toDouble / nKeys}%.0f")
+    val custom = last.customMetrics
+    import scala.jdk.CollectionConverters._
+    custom.asScala.toSeq.sortBy(_._1)
+      .filter { case (k, _) => k.toLowerCase.contains("size") || k.toLowerCase.contains("bytes") }
+      .foreach { case (k, v) => println(s"STATEBENCH rocksdb $k=$v") }
+
+    tmp.foreach { d =>
+      import java.nio.file.{Files => F, Paths}
+      import scala.jdk.CollectionConverters._
+      val p = Paths.get(d)
+      if (F.exists(p))
+        F.walk(p).iterator().asScala.toSeq.reverse.foreach(F.deleteIfExists(_))
+    }
+    spark.stop()
+  }
+}
