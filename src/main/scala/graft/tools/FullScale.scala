@@ -37,6 +37,8 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.tools.FullScale [k] [src]
   *   GRAFT_FULLSCALE_ONLY=q1,q2 narrows the query set
+  *   GRAFT_FULLSCALE_SKIP=q1,q2 excludes queries (e.g. the declared
+  *   quadratic detectors when probing the linear family at x30+)
   *   GRAFT_FULLSCALE_KEEP=1 keeps the synthesized dirs
   *   GRAFT_FULLSCALE_DIRS=x1dir,xkdir reuses prebuilt corpora (resume
   *   path for chunked sweeps; implies KEEP)
@@ -104,13 +106,16 @@ object FullScale {
               .cast("float")).as("embedding"),
           col("label"))
       }, "embeddings")
+      println(s"FULLSCALE BUILT x$n $dir")
       dir
     }
 
     val only = sys.env.get("GRAFT_FULLSCALE_ONLY")
       .map(_.split(',').filter(_.nonEmpty).toSet)
+    val skip = sys.env.get("GRAFT_FULLSCALE_SKIP")
+      .map(_.split(',').filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
-      .filter(q => only.forall(_.contains(q)))
+      .filter(q => only.forall(_.contains(q)) && !skip(q))
 
     def sweep(tag: String, dir: String): Map[String, (Long, Double)] =
       names.map { q =>
