@@ -18,12 +18,16 @@ import org.apache.spark.sql.types._
   * state bytes per key, and end-to-end rows/s through the RocksDB
   * ValueState path at a fleet size 500× the sf0.1 corpus's.
   *
-  * Usage: runMain graft.tools.StateScaleBench [nKeys] [batches]
+  * Usage: runMain graft.tools.StateScaleBench [nKeys] [batches] [monitor]
+  *   monitor: "trip" (default, TripMonitorTws) or "lastfix"
+  *   (LastFixStoreTws — the other transformWithState path the r9
+  *   verdict named; same fleet, state = one FixUpdate row per device)
   */
 object StateScaleBench {
   def main(args: Array[String]): Unit = {
     val nKeys = args.headOption.map(_.toInt).getOrElse(1000000)
     val batches = if (args.length > 1) args(1).toInt else 3
+    val monitor = if (args.length > 2) args(2) else "trip"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -53,13 +57,22 @@ object StateScaleBench {
       StructField("deviceId", StringType), StructField("eventId", LongType),
       StructField("tsMs", LongType), StructField("lat", DoubleType),
       StructField("lon", DoubleType)))
-    val fixes = spark.readStream.schema(fixSchema)
+    val raw = spark.readStream.schema(fixSchema)
       .option("maxFilesPerTrigger", 4) // 4 files per synthesized batch
       .parquet(in)
-      .as[graft.streaming.TripMonitor.Fix]
 
     val t0 = System.nanoTime()
-    val q = graft.streaming.TripMonitorTws(spark, fixes)
+    val out = monitor match {
+      case "lastfix" =>
+        graft.streaming.LastFixStoreTws(spark,
+          raw.select(col("deviceId"), timestamp_millis(col("tsMs")).as("ts"),
+              col("lat").as("latitude"), col("lon").as("longitude"))
+            .as[graft.streaming.LastFixStore.Fix]).toDF()
+      case _ =>
+        graft.streaming.TripMonitorTws(spark,
+          raw.as[graft.streaming.TripMonitor.Fix]).toDF()
+    }
+    val q = out
       .writeStream.format("noop")
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
