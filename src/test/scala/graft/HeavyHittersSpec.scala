@@ -41,6 +41,18 @@ class HeavyHittersSpec extends AnyFunSuite {
         s"$t est=$est true=$c outside MG bounds")
   }
 
+  test("null inputs are skipped like SQL aggregates skip nulls (r9 advice)") {
+    val mg = new MisraGries(4)
+    val s: Seq[String] = Seq("a", null, "b", "a", null, "c", "a", null)
+    val sketch = s.foldLeft(mg.zero)(mg.reduce)
+    assert(!sketch.contains(null), "null must never become a tracked key")
+    assert(sketch("a") == 3L, "non-null counts unaffected by interleaved nulls")
+    // a full sketch must also ignore nulls rather than decrementing
+    val full = Seq("w", "x", "y", "z").foldLeft(mg.zero)(mg.reduce)
+    assert(mg.reduce(full, null) == full,
+      "null on a full sketch must be a no-op, not an eviction step")
+  }
+
   test("merging partition sketches preserves capacity and the superset guarantee") {
     val k = 50
     val mg = new MisraGries(k)
