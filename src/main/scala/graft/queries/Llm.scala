@@ -132,6 +132,33 @@ object Llm {
   val NeardupAnnTables = 40
   val NeardupAnnBits = 5
 
+  /** The exact threshold pair scan (shared by q_llm_embed_neardup and
+    * the ANN gate): budget-guarded block-partitioned equi-join, cs
+    * rounded to the oracle's 6 decimals. Unordered — callers sort. */
+  private def exactNeardupPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d).select($"vec_id", $"embedding",
+      VecOps.norm(s, $"embedding").as("nrm"))
+    val n = graft.sources.ParquetMeta.rowCount(s, s"$d/embeddings.parquet")
+    requireExactPairBudget(n)
+    val G = adaptiveBlocks(n)
+    blockPairJoin(e, G)
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        round(VecOps.dot(s, $"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm"), 6).as("cs"))
+      .filter($"cs" >= 0.35)
+  }
+
+  /** The ANN handoff's pair relation (shared by q_llm_embed_neardup_ann
+    * and the gate): AnnLsh.neardupPairs at the pinned 40×5 config.
+    * ann ⊆ exact: the unrounded threshold here implies the rounded one
+    * above, so precision is 1.0 by construction. Unordered. */
+  private def annNeardupPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.operators.AnnLsh.neardupPairs(s, Tables.embeddings(s, d), 0.35,
+        tables = NeardupAnnTables, bits = NeardupAnnBits)
+      .select($"vec_a", $"vec_b", round($"cs", 6).as("cs"))
+  }
+
   /** Block-partitioned exact pair join shared by q_llm_embed_neardup
     * and q_llm_pairwise_label_sim: each side is replicated G ways onto
     * a (block_a, block_b) bucket key, the join is a shuffled EQUI-join
@@ -750,19 +777,8 @@ object Llm {
     // faster than this scan at every probed size AND ≥ 0.95 recall
     // at the same 0.35 point. Exact stays the declared oracle
     // semantics inside the envelope.
-    "q_llm_embed_neardup" -> ((s, d) => {
-      import s.implicits._
-      val e = Tables.embeddings(s, d).select($"vec_id", $"embedding",
-        VecOps.norm(s, $"embedding").as("nrm"))
-      val n = graft.sources.ParquetMeta.rowCount(s, s"$d/embeddings.parquet")
-      requireExactPairBudget(n)
-      val G = adaptiveBlocks(n)
-      blockPairJoin(e, G)
-        .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
-          round(VecOps.dot(s, $"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm"), 6).as("cs"))
-        .filter($"cs" >= 0.35)
-        .orderBy($"vec_a", $"vec_b")
-    }),
+    "q_llm_embed_neardup" -> ((s, d) =>
+      exactNeardupPairs(s, d).orderBy(col("vec_a"), col("vec_b"))),
 
     // The CONCRETE ANN handoff for the exact scan above (r10, r9
     // verdict item 2): AnnLsh.neardupPairs at the SAME 0.35 operating
@@ -777,12 +793,35 @@ object Llm {
     // candidate work is Σ bucket² per table — bucket-keyed shuffles,
     // never all-pairs — and the rerank-before-dedup spelling keeps the
     // exchange survivor-sized.
-    "q_llm_embed_neardup_ann" -> ((s, d) => {
+    "q_llm_embed_neardup_ann" -> ((s, d) =>
+      annNeardupPairs(s, d).orderBy(col("vec_a"), col("vec_b"))),
+
+    // Oracle-checked accuracy GATE for the ANN handoff (r10): the same
+    // protocol as q_agg_approx_*_gate, applied to retrieval quality.
+    // Spark runs BOTH paths and folds them to one row of integer-exact
+    // verdicts: ok_recall ⇔ hits·100 ≥ n_exact·95 (no float division)
+    // and ok_precision ⇔ zero ANN pairs outside the exact set; the
+    // DuckDB twin computes n_exact from the exact-pair SQL and asserts
+    // TRUE — hash match ⇔ the 40×5 config genuinely holds ≥ 0.95
+    // recall at precision 1.0 ON THE DRIVER'S OWN CORPUS (measured
+    // 0.992/0.967/0.982 at sf0.001/0.01/0.1; deterministic — the
+    // hyperplanes are hash-derived). This is an AUDIT query: it
+    // deliberately pays the exact scan (budget-guarded) next to the
+    // ANN path, the way the distinct gate pays exact COUNT DISTINCT —
+    // at 100 TB it runs on sampled audits while production runs the
+    // ANN query alone.
+    "q_llm_embed_neardup_ann_gate" -> ((s, d) => {
       import s.implicits._
-      graft.operators.AnnLsh.neardupPairs(s, Tables.embeddings(s, d), 0.35,
-          tables = NeardupAnnTables, bits = NeardupAnnBits)
-        .select($"vec_a", $"vec_b", round($"cs", 6).as("cs"))
-        .orderBy($"vec_a", $"vec_b")
+      val e = exactNeardupPairs(s, d).select($"vec_a", $"vec_b", lit(1).as("ex"))
+      val a = annNeardupPairs(s, d).select($"vec_a", $"vec_b", lit(1).as("hit"))
+      e.join(a, Seq("vec_a", "vec_b"), "full_outer")
+        .agg(coalesce(sum(coalesce($"ex", lit(0))), lit(0)).cast("long").as("n_exact"),
+          coalesce(sum(coalesce($"ex", lit(0)) * coalesce($"hit", lit(0))), lit(0))
+            .cast("long").as("hits"),
+          coalesce(sum(when($"ex".isNull, 1).otherwise(0)), lit(0)).cast("long").as("extras"))
+        .select($"n_exact",
+          ($"hits" * 100 >= $"n_exact" * 95).as("ok_recall"),
+          ($"extras" === 0).as("ok_precision"))
     }),
 
     // Embedding-quality check: avg intra-label vs inter-label cosine.
@@ -1290,6 +1329,17 @@ object Llm {
        "sqrt(list_sum(list_transform(list_zip(b.v, b.v), p -> p[1] * p[2])))), 6) AS cs " +
        "FROM e a JOIN e b ON a.vec_id < b.vec_id) " +
        "SELECT vec_a, vec_b, cs FROM p WHERE cs >= 0.35 ORDER BY vec_a, vec_b"),
+    // ANN gate twin: the exact-pair COUNT from the same SQL, with the
+    // recall/precision verdicts ASSERTED — hash match ⇔ the engine's
+    // 40×5 LSH held ≥ 0.95 recall at precision 1.0 on this corpus.
+    "q_llm_embed_neardup_ann_gate" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+       "p AS (SELECT round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / " +
+       "(sqrt(list_sum(list_transform(list_zip(a.v, a.v), p -> p[1] * p[2]))) * " +
+       "sqrt(list_sum(list_transform(list_zip(b.v, b.v), p -> p[1] * p[2])))), 6) AS cs " +
+       "FROM e a JOIN e b ON a.vec_id < b.vec_id) " +
+       "SELECT COUNT(*) AS n_exact, TRUE AS ok_recall, TRUE AS ok_precision " +
+       "FROM p WHERE cs >= 0.35"),
     "q_llm_pairwise_label_sim" ->
       ("WITH r AS (SELECT vec_id, label, embedding, ROW_NUMBER() OVER (PARTITION BY label " +
        "ORDER BY " + sqlH32("CAST(vec_id AS VARCHAR)", 7) + ", vec_id) AS rn FROM embeddings), " +
