@@ -119,7 +119,11 @@ object PlanDump {
       "q_agg_approx_distinct_gate" -> ("sketch accuracy gate (r10): HLL partials and exact " +
         "distinct (Expand + 2-phase) computed in the SAME aggregate pass; the tolerance verdict " +
         "is a narrow post-agg projection — the oracle asserts it from the exact side, so the " +
-        "sketch's bound is hash-checked without the sketch value crossing engines"))
+        "sketch's bound is hash-checked without the sketch value crossing engines"),
+      "q_llm_embed_neardup_ann_gate" -> ("retrieval accuracy gate (r10): the exact block-pair " +
+        "scan and the LSH path meet in ONE full_outer join on (vec_a, vec_b), folded to a 1-row " +
+        "integer-exact verdict (hits·100 ≥ n_exact·95, zero extras) — an audit plan that " +
+        "deliberately pays both paths; the oracle asserts the verdicts from the exact-pair SQL"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — final physical plans at sf0.1 (AQE-settled)\n\n")
