@@ -89,3 +89,52 @@ object FenceMonitor {
     transitions(spark, zoned)
   }
 }
+
+/** The SAME fence transition monitor on Spark 4's transformWithState
+  * (typed ValueState on RocksDB), delegating to [[FenceMonitor.fold]]
+  * so semantics are byte-identical to the GroupState wiring — the
+  * LastFixStore/TripMonitor/SpeedMonitor dual-API discipline completed
+  * across every monitor; FenceMonitorSpec runs the same scenario
+  * through both wirings. Requires the RocksDB state store provider. */
+object FenceMonitorTws {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+  import FenceMonitor.{FenceEvent, ZoneHit, ZoneState}
+
+  private class Processor extends StatefulProcessor[String, ZoneHit, FenceEvent] {
+    @transient private var state: ValueState[ZoneState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[ZoneState](
+        "lastZone", Encoders.product[ZoneState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[ZoneHit],
+        timerValues: TimerValues): Iterator[FenceEvent] = {
+      val prev = if (state.exists()) Some(state.get()) else None
+      val (next, out) = FenceMonitor.fold(key, rows, prev)
+      next.foreach(state.update)
+      out.iterator
+    }
+  }
+
+  def transitions(spark: SparkSession, hits: Dataset[ZoneHit]): Dataset[FenceEvent] = {
+    import spark.implicits._
+    hits.groupByKey(_.deviceId)
+      .transformWithState(new Processor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** End-to-end wiring, mirroring [[FenceMonitor.fenceEvents]]: the
+    * zone-resolution join stage is IDENTICAL (stream-static, zero
+    * state) — only the transition detector's state API differs. */
+  def fenceEvents(spark: SparkSession, fixes: DataFrame, polys: DataFrame,
+      W: Double): Dataset[FenceEvent] = {
+    import graft.operators.Geofence
+    import spark.implicits._
+    val zoned = Geofence.containment(
+        fixes, Geofence.polyCells(polys, W), W, joinType = "left")
+      .select(col("deviceId"), col("eventId"), col("tsMs"),
+        col("poly_id").as("zone"))
+      .as[ZoneHit]
+    transitions(spark, zoned)
+  }
+}

@@ -98,3 +98,67 @@ object OutageMonitor {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 }
+
+/** The SAME outage monitor on Spark 4's transformWithState — and the
+  * first Tws twin to exercise the v2 TIMER API: the GroupState form's
+  * implicit `setTimeoutTimestamp` becomes an explicit
+  * `registerTimer(lastFix + Gap)` on the handle, with
+  * `handleExpiredTimer` emitting the dark alert when the watermark
+  * passes it. Re-arming differs structurally from GroupState (which
+  * REPLACES the single implicit timer): v2 timers accumulate, so the
+  * processor deletes the previously armed expiry before registering
+  * the new one, and `handleExpiredTimer` additionally guards on the
+  * expiry matching the CURRENT state (a stale timer that escaped
+  * deletion is a no-op, never a spurious alert). Data-path semantics
+  * delegate to the same [[OutageMonitor.fold]]; OutageMonitorSpec runs
+  * the identical scenario through both wirings. Requires the RocksDB
+  * state store provider. */
+object OutageMonitorTws {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+  import OutageMonitor.{Fix, GapMs, LastSeen, OutageEvent}
+
+  private class Processor extends StatefulProcessor[String, Fix, OutageEvent] {
+    @transient private var state: ValueState[LastSeen] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[LastSeen](
+        "lastSeen", Encoders.product[LastSeen], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Fix],
+        timerValues: TimerValues): Iterator[OutageEvent] = {
+      val prev = if (state.exists()) Some(state.get()) else None
+      val (next, out) = OutageMonitor.fold(key, rows, prev)
+      next.foreach { s =>
+        prev.filter(p => p.tsMs != s.tsMs)
+          .foreach(p => getHandle.deleteTimer(p.tsMs + GapMs))
+        state.update(s)
+        getHandle.registerTimer(s.tsMs + GapMs)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[OutageEvent] = {
+      if (state.exists()) {
+        val s = state.get()
+        // fire only for the timer matching the CURRENT last fix, once
+        // per outage (dark flag) — stale timers are silent no-ops
+        if (!s.dark && expiredTimerInfo.getExpiryTimeInMs() == s.tsMs + GapMs) {
+          state.update(s.copy(dark = true))
+          return Iterator.single(OutageEvent(key, "dark", s.eventId,
+            s.tsMs, -1L, -1L))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  /** `fixes` must carry a watermark on `ts` (event-time timers need
+    * it), exactly like the GroupState wiring. */
+  def apply(spark: SparkSession, fixes: Dataset[Fix]): Dataset[OutageEvent] = {
+    import spark.implicits._
+    fixes.groupByKey(_.deviceId)
+      .transformWithState(new Processor, TimeMode.EventTime(), OutputMode.Append())
+  }
+}

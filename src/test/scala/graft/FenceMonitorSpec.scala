@@ -78,6 +78,23 @@ class FenceMonitorSpec extends AnyFunSuite {
       s"state rows != device count: ${stateOps.map(_.numRowsTotal).toSeq}")
   }
 
+  test("transformWithState wiring produces identical transitions (modern state API, RocksDB store)") {
+    TestSpark.withSQLConf("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      val in = MemoryStream[(String, Long, Long, Double, Double)]
+      val q = graft.streaming.FenceMonitorTws.fenceEvents(spark,
+          in.toDF.toDF("deviceId", "eventId", "tsMs", "lat", "lon"), polys, W)
+        .writeStream.format("memory").queryName("fence_tws_out").outputMode("append").start()
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      val tws = spark.table("fence_tws_out").as[FenceEvent].collect().toSet
+      q.stop()
+      assert(tws == expected, s"Tws transitions diverged: $tws")
+    }
+  }
+
   test("batch-shaped run (single fold, empty initial state) == the stream result") {
     // minus the out-of-order fix: "older than state" is a CROSS-batch
     // notion — inside one batch the fold sees 1800 in order and rightly

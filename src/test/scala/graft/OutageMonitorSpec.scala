@@ -92,6 +92,76 @@ class OutageMonitorSpec extends AnyFunSuite {
       all.exists(e => e.deviceId == "A" && e.kind == "closed" && e.startMs == ts(5).getTime))
   }
 
+  test("transformWithState wiring == GroupState wiring on the identical scenario, dark alerts via the v2 TIMER path (RocksDB)") {
+    TestSpark.withSQLConf("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      // the exact scenario of the GroupState test, driven through BOTH
+      // wirings (registerTimer/handleExpiredTimer vs setTimeoutTimestamp/
+      // hasTimedOut) with identical batch boundaries — the full output
+      // sets must be equal, dark alerts included
+      def run(name: String,
+          wire: org.apache.spark.sql.Dataset[Fix] => org.apache.spark.sql.Dataset[OutageEvent]): Set[OutageEvent] = {
+        val in = MemoryStream[Fix]
+        val q = wire(in.toDS().withWatermark("ts", "0 seconds").as[Fix])
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        in.addData(
+          Fix("A", 1L, ts(0), 0.0, 0.0),
+          Fix("A", 2L, ts(5), 0.1, 0.1),
+          Fix("B", 10L, ts(0), 5.0, 5.0))
+        q.processAllAvailable()
+        in.addData(Fix("B", 11L, ts(100), 5.1, 5.1))
+        q.processAllAvailable()
+        in.addData(Fix("B", 12L, ts(101), 5.2, 5.2))
+        q.processAllAvailable()
+        in.addData(Fix("A", 3L, ts(200), 0.2, 0.2))
+        q.processAllAvailable()
+        val out = spark.table(name).as[OutageEvent].collect().toSet
+        q.stop()
+        out
+      }
+      val tws = run("outage_tws_out", ds => graft.streaming.OutageMonitorTws(spark, ds))
+      val gs = run("outage_gs_ref_out", ds => OutageMonitor(spark, ds))
+      assert(tws == gs, s"wirings diverged:\n tws=$tws\n gs=$gs")
+      assert(tws.contains(
+        OutageEvent("A", "dark", 2L, ts(5).getTime, -1L, -1L)),
+        s"v2 timer path must produce A's dark alert: $tws")
+      // one alert per outage PER DEVICE (B legitimately goes dark at the
+      // end too: the t=200 watermark passes its t=131 expiry)
+      assert(tws.groupBy(_.deviceId).forall(_._2.count(_.kind == "dark") <= 1),
+        s"at most one dark alert per device outage: $tws")
+      val fixes = Seq(
+        ("A", 1L, ts(0).getTime), ("A", 2L, ts(5).getTime),
+        ("A", 3L, ts(200).getTime),
+        ("B", 10L, ts(0).getTime), ("B", 11L, ts(100).getTime),
+        ("B", 12L, ts(101).getTime)).toDF("deviceId", "eventId", "tsMs")
+      assert(tws.filter(_.kind == "closed") ==
+        batchOutages(fixes).as[OutageEvent].collect().toSet,
+        s"Tws closed set diverged: $tws")
+    }
+  }
+
+  test("transformWithState wiring: re-armed v2 timer is DELETED, stale expiry never alerts (RocksDB)") {
+    TestSpark.withSQLConf("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      val in = MemoryStream[Fix]
+      val q = graft.streaming.OutageMonitorTws(spark,
+          in.toDS().withWatermark("ts", "0 seconds").as[Fix])
+        .writeStream.format("memory").queryName("outage_tws_nodark_out").outputMode("append").start()
+      in.addData(Fix("C", 1L, ts(0), 0.0, 0.0))
+      q.processAllAvailable()
+      in.addData(Fix("C", 2L, ts(20), 0.1, 0.1)) // re-arm: t=30 timer deleted, t=50 registered
+      q.processAllAvailable()
+      in.addData(Fix("D", 10L, ts(40), 9.0, 9.0)) // watermark past C's ORIGINAL t=30 expiry
+      q.processAllAvailable()
+      in.addData(Fix("D", 11L, ts(41), 9.0, 9.0))
+      q.processAllAvailable()
+      val events = spark.table("outage_tws_nodark_out").as[OutageEvent].collect().toSet
+      q.stop()
+      assert(!events.exists(_.deviceId == "C"),
+        s"C must have no events (timer re-armed to t=50): $events")
+    }
+  }
+
   test("a fix arriving before the watermark passes the gap cancels the dark alert") {
     val in = MemoryStream[Fix]
     val q = OutageMonitor(spark,
