@@ -117,10 +117,11 @@ object Llm {
   val ExactPairEnvelope = 1000000L
   def requireExactPairBudget(n: Long, envelope: Long = ExactPairEnvelope): Unit =
     require(n <= envelope,
-      s"q_llm_embed_neardup: $n input vectors → ~${n / 1000}k² /2 exact pair " +
-      s"evaluations exceeds the $envelope-row exact envelope; hand off to " +
-      "q_llm_embed_neardup_ann (AnnLsh.neardupPairs, recall ≥ 0.95 pinned at " +
-      "the 0.35 operating point — BASELINE.md crossover table)")
+      f"q_llm_embed_neardup: $n input vectors → ~${n * (n - 1) / 2}%,d exact " +
+      f"pair evaluations (n·(n−1)/2) exceeds the $envelope-row exact " +
+      "envelope; hand off to q_llm_embed_neardup_ann (AnnLsh.neardupPairs, " +
+      "recall ≥ 0.95 pinned at the 0.35 operating point — BASELINE.md " +
+      "crossover table)")
 
   /** The ANN handoff's pinned operating config: sign-LSH with enough
     * tables that worst-case collision probability at the 0.35

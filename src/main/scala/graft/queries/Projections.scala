@@ -83,17 +83,22 @@ object Projections {
     * work, so ONE pathological cell — every device parked in the same
     * (bucket, cell) — degrades the whole job to that cell's quadratic
     * (measured in HotCellSpec: planted hot cells grow candidate work
-    * exactly n²). The guard is IN-PLAN (assert_true on the joined-in
-    * cell count, so construction stays lazy and Catalyst can't prune
-    * it — it gates the filter feeding the pair join) and fails loudly
-    * at execution, the DedupClusters-convergence discipline: past the
-    * budget the answer is a documented refinement (halve W so the hot
-    * cell splits 4-way and re-aggregate, or pre-thin co-stationary
-    * fixes per (device, bucket, cell) — both preserve the ≥3-bucket
-    * convoy semantics), never a silent 10,000×-at-100× task. 10k rows
-    * in one cell ≈ 9·10⁸ pair evals across its 9-cell neighborhood —
-    * about a minute of one executor core; the measured sf0.1 max
-    * occupancy is 16 — 600× under the budget. */
+    * exactly n²). Since r11 the refinement is AUTOMATED (r10 verdict
+    * item 2): a cell whose RAW occupancy exceeds the budget is
+    * pre-thinned — co-stationary fixes collapse to one deterministic
+    * representative per (device, bucket, cell), which preserves the
+    * ≥3-distinct-bucket convoy semantics because co-location per
+    * bucket is a binary predicate per device pair — and only a cell
+    * whose DISTINCT-DEVICE count exceeds the budget (irreducibly
+    * quadratic: thinning cannot reduce distinct devices) fails loudly
+    * with the remaining manual refinement (halve W). The guard sits on
+    * a Boolean-valued when/otherwise(raise_error) path feeding the
+    * pair join, so the optimizer can neither null-fold nor prune it.
+    * Cells at/under the budget pass through raw — below the budget the
+    * operator stays hash-exact vs the oracle (HotCellSpec pins all
+    * three regimes). 10k devices in one cell ≈ 9·10⁸ pair evals across
+    * its 9-cell neighborhood — about a minute of one executor core;
+    * the measured sf0.1 max occupancy is 16 — 600× under the budget. */
   private[graft] val HotCellBudget = 10000L
 
   /** The convoy pair relation (see q_geo_convoy): device pairs
@@ -114,20 +119,42 @@ object Projections {
       (($"event_id" % 3600) / 10.0 - 180.0).as("lon"))
     val a0 = e
       .withColumn("ci", floor($"lat" / W)).withColumn("cj", floor($"lon" / W))
-    // occupancy guard: one partial-agg pass to (bk, ci, cj) counts —
-    // the join back is on the SAME key as the pair join (exchange
-    // reused; AQE broadcasts the count side when small). assert_true
-    // returns null on pass, raises past the budget; filtering on
-    // isNull makes the check load-bearing so it cannot be pruned.
-    val cellCounts = a0.groupBy($"bk", $"ci", $"cj").agg(count(lit(1)).as("cell_n"))
-    val a = a0.join(cellCounts, Seq("bk", "ci", "cj"))
-      .filter(assert_true($"cell_n" <= budget,
-        concat(lit("convoyPairs: hot (bucket,cell) with "), $"cell_n",
-          lit(s" fixes exceeds the $budget-row co-location budget — " +
-            "quadratic cell; halve the cell width W or pre-thin " +
-            "per-(device,bucket,cell) fixes (see HotCellBudget doc)"))).isNull)
-      .drop("cell_n")
-    val b = e.toDF("ub", "bk", "lat_b", "lon_b")
+    // occupancy pass: one partial agg to (bk, ci, cj) raw + distinct-
+    // device counts — the join back is on the SAME key as the pair
+    // join (exchange reused; AQE broadcasts the count side when
+    // small). The guard rides a Boolean-valued when/otherwise
+    // (raise_error) filter (ADVICE r10: assert_true(...).isNull put
+    // the error on a NullType path a future optimizer could legally
+    // null-fold away) and trips only on the IRREDUCIBLE case — more
+    // distinct co-located devices than the budget. A merely
+    // fix-heavy cell (cell_n over budget, dev_n under) is pre-thinned
+    // below instead of refused.
+    val cellCounts = a0.groupBy($"bk", $"ci", $"cj")
+      .agg(count(lit(1)).as("cell_n"), countDistinct($"user_id").as("dev_n"))
+    val tagged = a0.join(cellCounts, Seq("bk", "ci", "cj"))
+      .filter(when($"dev_n" <= budget, lit(true)).otherwise(raise_error(
+        concat(lit("convoyPairs: hot (bucket,cell) with "), $"dev_n",
+          lit(s" DISTINCT co-located devices exceeds the $budget-row " +
+            "co-location budget — irreducibly quadratic cell " +
+            "(pre-thinning cannot reduce distinct devices); halve the " +
+            "cell width W (see HotCellBudget doc)")))))
+    // automated refinement (VERDICT r10 item 2): cells past the RAW
+    // budget collapse co-stationary fixes to one deterministic
+    // representative per (device, bucket, cell) — min(struct(lat,
+    // lon)), a total order — bounding the cell at dev_n rows. Cells
+    // at/under the budget pass through untouched, so below the budget
+    // the output is bit-identical to the exact dataflow (oracle
+    // unaffected). Both pair-join sides consume the thinned relation.
+    val cold = tagged.filter($"cell_n" <= budget)
+      .select($"user_id", $"bk", $"ci", $"cj", $"lat", $"lon")
+    val hot = tagged.filter($"cell_n" > budget)
+      .groupBy($"user_id", $"bk", $"ci", $"cj")
+      .agg(min(struct($"lat", $"lon")).as("r"))
+      .select($"user_id", $"bk", $"ci", $"cj",
+        $"r.lat".as("lat"), $"r.lon".as("lon"))
+    val a = cold.unionByName(hot)
+    val b = a.select($"user_id".as("ub"), $"bk",
+        $"lat".as("lat_b"), $"lon".as("lon_b"))
       .withColumn("ci", explode(array((-1 to 1).map(dI =>
         floor($"lat_b" / W) + dI): _*)))
       .withColumn("cj", explode(array((-1 to 1).map(dJ =>

@@ -133,7 +133,16 @@ object OutageMonitorTws {
         prev.filter(p => p.tsMs != s.tsMs)
           .foreach(p => getHandle.deleteTimer(p.tsMs + GapMs))
         state.update(s)
-        getHandle.registerTimer(s.tsMs + GapMs)
+        // Late-data guard (ADVICE r10): an expiry already at/behind
+        // the watermark would fire on the very next batch and emit a
+        // dark alert for a fix the GroupState wiring would reject
+        // outright (setTimeoutTimestamp throws for timestamps <= the
+        // watermark). Skip arming instead: that silence horizon was
+        // already adjudicated, and the next on-time fix re-arms
+        // normally. Pinned by the late-fix case in OutageMonitorSpec.
+        val expiry = s.tsMs + GapMs
+        if (expiry > timerValues.getCurrentWatermarkInMs())
+          getHandle.registerTimer(expiry)
       }
       out.iterator
     }

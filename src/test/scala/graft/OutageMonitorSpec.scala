@@ -162,6 +162,43 @@ class OutageMonitorSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState wiring: a very-late fix never arms a timer behind the watermark — no crash, no second dark alert (RocksDB)") {
+    // ADVICE r10: without the expiry > watermark guard in
+    // handleInputRows, a fix whose tsMs + Gap is already behind the
+    // watermark registers an immediately-expired timer that fires on
+    // the next batch and emits a SECOND dark alert for an outage
+    // already adjudicated — where the GroupState wiring would instead
+    // crash (setTimeoutTimestamp rejects timestamps <= watermark).
+    // The guard makes the Tws wiring degrade gracefully: late input is
+    // folded into state, but no timer is armed behind the horizon.
+    TestSpark.withSQLConf("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      val in = MemoryStream[Fix]
+      val q = graft.streaming.OutageMonitorTws(spark,
+          in.toDS().withWatermark("ts", "0 seconds").as[Fix])
+        .writeStream.format("memory").queryName("outage_tws_late_out").outputMode("append").start()
+      in.addData(Fix("E", 1L, ts(0), 0.0, 0.0), Fix("F", 10L, ts(0), 9.0, 9.0))
+      q.processAllAvailable()
+      // advance the watermark far past E's t=30 expiry → E dark alert
+      in.addData(Fix("F", 11L, ts(500), 9.0, 9.0))
+      q.processAllAvailable()
+      in.addData(Fix("F", 12L, ts(501), 9.0, 9.0))
+      q.processAllAvailable()
+      // a VERY late E fix: t=5 with the watermark near t=500 — its
+      // t=35 expiry is ~465 min behind the horizon
+      in.addData(Fix("E", 2L, ts(5), 0.1, 0.1))
+      q.processAllAvailable()
+      // one more batch: a behind-the-watermark timer (if wrongly
+      // armed) would fire here
+      in.addData(Fix("F", 13L, ts(502), 9.0, 9.0))
+      q.processAllAvailable()
+      val events = spark.table("outage_tws_late_out").as[OutageEvent].collect().toSet
+      q.stop()
+      assert(events.count(e => e.deviceId == "E" && e.kind == "dark") == 1,
+        s"exactly one dark alert for E's single adjudicated outage: $events")
+    }
+  }
+
   test("a fix arriving before the watermark passes the gap cancels the dark alert") {
     val in = MemoryStream[Fix]
     val q = OutageMonitor(spark,
