@@ -76,14 +76,35 @@ object Bench {
       val over = byCost.filter(_._2 > 4.0 * medianDt).map(_._1)
       (over ++ byCost.take(8).map(_._1)).distinct
     }
+    // Contention-hardened rewarm (VERDICT r10 item 7): BENCH_r10's
+    // rewarm column carried shared-VM noise (bpe_iter 23.6 s driver vs
+    // 1.37 s idle seal) that polluted the attribution record. A
+    // steady-state pass exceeding its own SINGLE-PASS time is
+    // physically impossible absent contention, so that is the tell:
+    // such a rewarm re-runs twice more and records the MEDIAN, with
+    // the raw spread annotated in-run so divergence is visible in the
+    // artifact instead of needing an after-the-fact idle-VM sweep.
+    val singleByName = results.toMap
     val rewarm = rewarmNames.map { name =>
-      val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      CacheScope.drain()
-      name -> dt
+      def pass(): Double = {
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        CacheScope.drain()
+        dt
+      }
+      val p1 = pass()
+      if (p1 <= singleByName.getOrElse(name, Double.MaxValue)) (name, p1, Seq.empty[Double])
+      else {
+        val ps = Seq(p1, pass(), pass()).sorted
+        (name, ps(1), ps)
+      }
     }
-    val rewarmJson = rewarm.map { case (k, v) => "\"" + k + "\":" + sec(v) }
+    val rewarmJson = rewarm.map { case (k, v, _) => "\"" + k + "\":" + sec(v) }
+      .mkString("{", ",", "}")
+    val spreadJson = rewarm.filter(_._3.nonEmpty)
+      .map { case (k, _, ps) =>
+        "\"" + k + "\":[" + ps.map(sec).mkString(",") + "]" }
       .mkString("{", ",", "}")
     // Full per-query map goes to a file (the harness captures only the
     // last ~2000 chars of output, which truncated the 90-entry inline
@@ -94,6 +115,7 @@ object Bench {
     val fullJson = results.map { case (k, v) => "\"" + k + "\":" + sec(v) }
       .mkString("{\"metric\":\"total\",\"value\":" + sec(total) +
         ",\"unit\":\"sec\",\"sf\":\"" + sfDir + "\",\"rewarm\":" + rewarmJson +
+        ",\"rewarm_spread\":" + spreadJson +
         ",\"warmup\":" + warmupJson +
         ",\"queries\":{", ",", "}}")
     // Split output paths (VERDICT r8 item 5, second offense in r7):
@@ -111,7 +133,8 @@ object Bench {
     println(s"""{"metric":"total","value":${sec(total)},"unit":"sec",""" +
       s""""n_queries":${results.size},"queries":$qs,""" +
       s""""fast_n":${fast.size},"fast_sec":${sec(fast.map(_._2).sum)},""" +
-      s""""rewarm":$rewarmJson,"warmup":$warmupJson,""" +
+      s""""rewarm":$rewarmJson,"rewarm_spread":$spreadJson,""" +
+      s""""warmup":$warmupJson,""" +
       s""""full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }

@@ -6,11 +6,13 @@ import org.apache.spark.sql.types._
 
 /** Multimodal columns (mandate: image/audio/video as opaque binary +
   * typed metadata). The Spark-side plumbing — schema, partitioning,
-  * typed batch shape — is real and tested; the actual media decode is
-  * STUBBED with a deterministic fake (this container has no image/audio
-  * libraries), clearly marked below. Swapping `decodeStub` for a real
-  * JNI/FFmpeg decoder changes no plan shape: it stays a narrow
-  * per-partition map with no shuffle.
+  * typed batch shape — is real and tested. Image decode/resize
+  * (javax.imageio, r9) and audio decode (javax.sound.sampled, r11)
+  * are REAL pure-JDK implementations; only VIDEO decode remains a
+  * deterministic stub (this container has no video codecs), clearly
+  * marked below. Swapping `decodeStub` for a real JNI/FFmpeg decoder
+  * changes no plan shape: it stays a narrow per-partition map with no
+  * shuffle.
   */
 object Multimodal {
 
@@ -95,12 +97,75 @@ object Multimodal {
       }
     } catch { case _: Throwable => None }
 
-  /** ---- STUB (audio/video only since r9) ----
+  /** REAL audio decode (r11, VERDICT r10 item 6): pure-JDK
+    * javax.sound.sampled — WAV/AIFF/AU PCM with zero container
+    * dependencies. Whatever the stored encoding (8/16-bit, signed/
+    * unsigned, either endianness), the stream is converted to 16-bit
+    * signed little-endian PCM first, then folded in one pass to a
+    * 16-dim feature vector:
+    *   [0]     duration in seconds
+    *   [1]     channel count
+    *   [2]     sample rate / 48000
+    *   [3]     RMS amplitude          (samples scaled to [−1,1])
+    *   [4]     mean |amplitude|
+    *   [5]     peak |amplitude|
+    *   [6]     zero-crossing rate     (crossings / samples)
+    *   [7]     amplitude stddev
+    *   [8..15] 8-bin |amplitude| histogram, L1-normalized
+    * `None` when the payload is not decodable audio — the caller falls
+    * back to the byte-histogram stub (now the video-only path: this
+    * container genuinely lacks video codecs). Per-row CPU kernel
+    * inside the same typed narrow map — no shuffle, no plan change. */
+  def decodeAudio(payload: Array[Byte]): Option[Array[Float]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(payload)))
+      val fmt = in.getFormat
+      val target = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        fmt.getSampleRate, 16, fmt.getChannels, 2 * fmt.getChannels,
+        fmt.getSampleRate, false)
+      val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+      val bytes = pcm.readAllBytes()
+      pcm.close(); in.close()
+      val nS = bytes.length / 2
+      if (nS == 0) None
+      else {
+        var s = 0.0; var s2 = 0.0; var sAbs = 0.0; var peak = 0.0
+        var crossings = 0L
+        var prevNeg = false
+        val hist = new Array[Float](8)
+        var i = 0
+        while (i < nS) {
+          val v = (((bytes(2 * i + 1).toInt << 8) |
+            (bytes(2 * i) & 0xff)).toShort) / 32768.0
+          val a = math.abs(v)
+          s += v; s2 += v * v; sAbs += a; peak = math.max(peak, a)
+          if (i > 0 && (v < 0) != prevNeg) crossings += 1
+          prevNeg = v < 0
+          hist(math.min(7, (a * 8).toInt)) += 1f
+          i += 1
+        }
+        val m = s / nS
+        Some(Array(
+          (nS.toDouble / fmt.getChannels / fmt.getSampleRate).toFloat,
+          fmt.getChannels.toFloat,
+          fmt.getSampleRate / 48000f,
+          math.sqrt(s2 / nS).toFloat,
+          (sAbs / nS).toFloat,
+          peak.toFloat,
+          (crossings.toDouble / nS).toFloat,
+          math.sqrt(math.max(0.0, s2 / nS - m * m)).toFloat) ++
+          hist.map(_ / nS))
+      }
+    } catch { case _: Throwable => None }
+
+  /** ---- STUB (video only since r11; audio/video before) ----
     * Deterministic fake decoder: a 16-bin byte histogram, L1-normalized,
-    * as the "feature vector". Audio/video codecs aren't in this
-    * container; a real implementation (ffmpeg) swaps in with the same
-    * signature, typed-Dataset batch shape and narrow-map plan. Images
-    * take the REAL [[decodeImage]] path. */
+    * as the "feature vector". Video codecs aren't in this container; a
+    * real implementation (ffmpeg) swaps in with the same signature,
+    * typed-Dataset batch shape and narrow-map plan. Images take the
+    * REAL [[decodeImage]] path, audio the REAL [[decodeAudio]]. */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)
     var i = 0
@@ -110,14 +175,17 @@ object Multimodal {
   }
 
   /** Decode/feature-extract: typed narrow map, no shuffle. Images go
-    * through the real javax.imageio decode; payloads that don't parse
-    * as an image (and the audio/video kinds) take the stub. */
+    * through the real javax.imageio decode, audio through the real
+    * javax.sound.sampled decode; payloads that don't parse (and the
+    * video kind) take the stub. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].map { r =>
-      val feats =
-        if (r.kind == "image") decodeImage(r.payload).getOrElse(decodeStub(r.payload))
-        else decodeStub(r.payload)
+      val feats = r.kind match {
+        case "image" => decodeImage(r.payload).getOrElse(decodeStub(r.payload))
+        case "audio" => decodeAudio(r.payload).getOrElse(decodeStub(r.payload))
+        case _ => decodeStub(r.payload)
+      }
       MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, feats)
     }
   }

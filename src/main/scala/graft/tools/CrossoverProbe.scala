@@ -94,9 +94,31 @@ object CrossoverProbe {
           col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id"), col("b.vec_id")).distinct().count()
       val candFrac = cands.toDouble / (n.toDouble * (n - 1) / 2)
-      exact.unpersist(); ann.unpersist()
       println(f"CROSSOVER x$k n=$n exact_t=$exactT%.2fs exact_pairs=$exactPairs " +
         f"ann_t=$annT%.2fs ann_pairs=$annPairs recall=$recall%.3f cand_frac=$candFrac%.3f")
+
+      // IVF path B (r11, VERDICT r10 item 3): the SAME corpus, SAME
+      // 0.35 threshold, under the same protocol — so the BASELINE.md
+      // crossover table can rank both ANN paths against exact.
+      val ivfCells = sys.env.get("GRAFT_IVF_CELLS").map(_.toInt).getOrElse(64)
+      val ivfNprobe = sys.env.get("GRAFT_IVF_NPROBE").map(_.toInt).getOrElse(2)
+      val t2 = System.nanoTime()
+      val ivf = graft.operators.AnnIvf
+        .neardupPairs(spark, emb, 0.35, ivfCells, ivfNprobe)
+        .select(col("vec_a"), col("vec_b")).cache()
+      val ivfPairs = ivf.count()
+      val ivfT = (System.nanoTime() - t2) / 1e9
+      val ivfHit = ivf.join(exact, Seq("vec_a", "vec_b")).count()
+      val ivfRecall = if (exactPairs == 0) 1.0 else ivfHit.toDouble / exactPairs
+      val mp = graft.operators.AnnIvf.multiProbe(spark, emb, ivfCells, ivfNprobe)
+      val ivfCands = mp.as("a").join(mp.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id"), col("b.vec_id")).distinct().count()
+      val ivfCandFrac = ivfCands.toDouble / (n.toDouble * (n - 1) / 2)
+      exact.unpersist(); ann.unpersist(); ivf.unpersist()
+      println(f"CROSSOVER_IVF x$k n=$n cells=$ivfCells nprobe=$ivfNprobe " +
+        f"ivf_t=$ivfT%.2fs ivf_pairs=$ivfPairs recall=$ivfRecall%.3f " +
+        f"cand_frac=$ivfCandFrac%.3f")
     }
     spark.stop()
   }

@@ -269,6 +269,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(same.width == 64 && same.height == 16)
   }
 
+  test("Multimodal: real javax.sound.sampled decode on generated WAV bytes") {
+    // 16-bit signed little-endian PCM sine, WAV-containered pure-JDK
+    def wavBytes(sr: Float, seconds: Double, freq: Double, amp: Double,
+        channels: Int = 1): Array[Byte] = {
+      val n = (sr * seconds).toInt
+      val data = new Array[Byte](n * 2 * channels)
+      for (i <- 0 until n; c <- 0 until channels) {
+        val v = (amp * math.sin(2 * math.Pi * freq * i / sr) * 32767).toInt.toShort
+        val off = (i * channels + c) * 2
+        data(off) = (v & 0xff).toByte
+        data(off + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sr, 16, channels, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // 1 s of 440 Hz at amplitude 0.5, 16 kHz mono: every feature has a
+    // closed form — duration 1 s, RMS = 0.5/√2, peak 0.5, ZCR = 2f/sr
+    val wav = wavBytes(16000f, 1.0, 440.0, 0.5)
+    val f = Multimodal.decodeAudio(wav).get
+    assert(f.length == 16)
+    assert(math.abs(f(0) - 1.0f) < 0.01, s"duration ${f(0)}")
+    assert(f(1) == 1f, s"channels ${f(1)}")
+    assert(math.abs(f(2) - 16000f / 48000f) < 1e-4, s"rate ${f(2)}")
+    assert(math.abs(f(3) - 0.5f / math.sqrt(2).toFloat) < 0.01, s"rms ${f(3)}")
+    assert(math.abs(f(5) - 0.5f) < 0.01, s"peak ${f(5)}")
+    assert(math.abs(f(6) - 2 * 440f / 16000f) < 0.005, s"zcr ${f(6)}")
+    assert(math.abs(f.drop(8).sum - 1f) < 1e-3, "histogram L1-normalized")
+    // stereo: channel count doubles, duration unchanged
+    val st = Multimodal.decodeAudio(wavBytes(8000f, 0.5, 200.0, 0.25, channels = 2)).get
+    assert(st(1) == 2f && math.abs(st(0) - 0.5f) < 0.01, s"stereo ${st.toSeq}")
+    // non-audio bytes refuse to decode
+    assert(Multimodal.decodeAudio("not audio".getBytes).isEmpty)
+    // extractFeatures routes audio payloads through the REAL decode
+    val media = Seq((7L, "audio", wav, 0, 0, 16000))
+      .toDF("media_id", "kind", "payload", "width", "height", "sample_rate")
+    val out = Multimodal.extractFeatures(spark, media).collect()(0)
+    assert(out.features.toSeq == f.toSeq, "audio kind must take the real decode")
+  }
+
   test("Multimodal: resize and frame-sample stubs keep the binary contract") {
     val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf).limit(30))
     val resized = Multimodal.resizeStub(spark, media, 16)
