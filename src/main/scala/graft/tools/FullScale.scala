@@ -42,6 +42,21 @@ import org.apache.spark.sql.functions._
   *   GRAFT_FULLSCALE_KEEP=1 keeps the synthesized dirs
   *   GRAFT_FULLSCALE_DIRS=x1dir,xkdir reuses prebuilt corpora (resume
   *   path for chunked sweeps; implies KEEP)
+  *   GRAFT_FULLSCALE_SWAP=a=b,c=d runs query b's dataflow UNDER NAME a
+  *   at both scales (r11, VERDICT r10 item 1: the x100 rehearsal runs
+  *   the DECLARED scale-safe swaps — embed_neardup → the ANN handoff,
+  *   exact percentile → the sketch — in place, tagged in the output,
+  *   instead of silently skipping the family)
+  *   GRAFT_FULLSCALE_GEOSHIFT=1 decorrelates event POSITIONS per copy
+  *   (value +5°·(c mod 36) latitude, event_id +50·(c mod 72) → +5°
+  *   longitude): clone-scale stacks every copy's fixes on identical
+  *   coordinates, which makes co-location detectors k²-dense by
+  *   SYNTHESIS (a 100×-bigger real fleet spreads over space, it does
+  *   not park 100 devices per coordinate); the shifted corpus scales
+  *   cell COUNT instead of cell OCCUPANCY, the realistic fleet-growth
+  *   geometry for the convoy/groups x100 row. Only geo queries should
+  *   be run against a geoshifted corpus (the shift perturbs `value`
+  *   aggregates by construction).
   */
 object FullScale {
   def main(args: Array[String]): Unit = {
@@ -81,10 +96,19 @@ object FullScale {
       }, "part")
       w(shift("orders", Seq("o_orderkey", "o_custkey")), "orders")
       w(shift("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
+      val geoshift = sys.env.contains("GRAFT_FULLSCALE_GEOSHIFT")
       w(copies(n) { c =>
-        graft.Tables.t(spark, src, "events")
+        val base = graft.Tables.t(spark, src, "events")
           .withColumn("user_id", col("user_id") + lit(c * 1000000L))
-          .withColumn("event_id", col("event_id") + lit(c * 100000800L))
+        if (!geoshift)
+          base.withColumn("event_id", col("event_id") + lit(c * 100000800L))
+        else base
+          // spatial decorrelation: each copy's fixes move one 5° cell
+          // south-north (value → lat) and east-west (event_id mod 3600
+          // → lon) per copy index, so copies occupy DIFFERENT cells
+          .withColumn("event_id",
+            col("event_id") + lit(c * 100000800L + (c % 72) * 50L))
+          .withColumn("value", col("value") + lit((c % 36) * 5.0))
       }, "events")
       w(copies(n) { c =>
         graft.Tables.documents(spark, src).select(
@@ -114,20 +138,30 @@ object FullScale {
       .map(_.split(',').filter(_.nonEmpty).toSet)
     val skip = sys.env.get("GRAFT_FULLSCALE_SKIP")
       .map(_.split(',').filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
+    val swaps = sys.env.get("GRAFT_FULLSCALE_SWAP")
+      .map(_.split(',').filter(_.contains("=")).map { kv =>
+        val Array(a, b) = kv.split("=", 2); a -> b
+      }.toMap).getOrElse(Map.empty[String, String])
+    swaps.values.foreach(b => require(graft.SparkEntry.queries.contains(b),
+      s"GRAFT_FULLSCALE_SWAP target $b is not a query"))
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
       .filter(q => only.forall(_.contains(q)) && !skip(q))
 
     def sweep(tag: String, dir: String): Map[String, (Long, Double)] =
       names.map { q =>
+        val (fn, label) = swaps.get(q) match {
+          case Some(b) => (graft.SparkEntry.queries(b), s"$q(swapped->$b)")
+          case None => (graft.SparkEntry.queries(q), q)
+        }
         val r = try {
           val t0 = System.nanoTime()
-          val rows = graft.SparkEntry.queries(q)(spark, dir).count()
+          val rows = fn(spark, dir).count()
           val t = (System.nanoTime() - t0) / 1e9
-          println(f"FULLSCALE $tag $q rows=$rows t=$t%.2f")
+          println(f"FULLSCALE $tag $label rows=$rows t=$t%.2f")
           (rows, t)
         } catch {
           case e: Throwable =>
-            println(s"FULLSCALE $tag $q FAILED ${Option(e.getMessage).getOrElse(e.toString).take(300)}")
+            println(s"FULLSCALE $tag $label FAILED ${Option(e.getMessage).getOrElse(e.toString).take(300)}")
             (-1L, -1.0)
         } finally graft.CacheScope.drain()
         q -> r

@@ -19,9 +19,16 @@ import org.apache.spark.sql.types._
   * ValueState path at a fleet size 500× the sf0.1 corpus's.
   *
   * Usage: runMain graft.tools.StateScaleBench [nKeys] [batches] [monitor]
-  *   monitor: "trip" (default, TripMonitorTws) or "lastfix"
-  *   (LastFixStoreTws — the other transformWithState path the r9
-  *   verdict named; same fleet, state = one FixUpdate row per device)
+  *   monitor: "trip" (default, TripMonitorTws), "lastfix"
+  *   (LastFixStoreTws — same fleet, state = one FixUpdate row per
+  *   device), and since r11 (VERDICT r10 item 5) the remaining Tws
+  *   twins: "outage" (OutageMonitorTws — the TIMER dimension: every
+  *   fix re-arms an event-time timer at ts+30 min, so the run ends
+  *   with one ARMED TIMER per device on RocksDB plus the
+  *   delete+register churn per batch; batches are 60 s apart so no
+  *   timer fires in-run), "speed" (SpeedMonitorTws), and "fence"
+  *   (FenceMonitorTws.transitions — zone rotates per batch so every
+  *   device emits a transition every batch).
   */
 object StateScaleBench {
   def main(args: Array[String]): Unit = {
@@ -68,6 +75,27 @@ object StateScaleBench {
           raw.select(col("deviceId"), timestamp_millis(col("tsMs")).as("ts"),
               col("lat").as("latitude"), col("lon").as("longitude"))
             .as[graft.streaming.LastFixStore.Fix]).toDF()
+      case "outage" =>
+        // event-time timers: each fix deletes the previous expiry and
+        // registers ts+30min; the 60 s batch spacing keeps the
+        // watermark far below every expiry, so the run ends with
+        // exactly one armed timer per device in RocksDB
+        graft.streaming.OutageMonitorTws(spark,
+          raw.select(col("deviceId"), col("eventId"),
+              timestamp_millis(col("tsMs")).as("ts"), col("lat"), col("lon"))
+            .withWatermark("ts", "0 seconds")
+            .as[graft.streaming.OutageMonitor.Fix]).toDF()
+      case "speed" =>
+        graft.streaming.SpeedMonitorTws(spark,
+          raw.as[graft.streaming.SpeedMonitor.Fix]).toDF()
+      case "fence" =>
+        // zone = (id + batch) mod 3 rotates every batch ⇒ one
+        // transition event per device per batch after the first
+        graft.streaming.FenceMonitorTws.transitions(spark,
+          raw.select(col("deviceId"), col("eventId"), col("tsMs"),
+              pmod(col("eventId") / 10 + col("tsMs") / 60000L, lit(3))
+                .cast("long").as("zone"))
+            .as[graft.streaming.FenceMonitor.ZoneHit]).toDF()
       case _ =>
         graft.streaming.TripMonitorTws(spark,
           raw.as[graft.streaming.TripMonitor.Fix]).toDF()
@@ -96,7 +124,9 @@ object StateScaleBench {
     val custom = last.customMetrics
     import scala.jdk.CollectionConverters._
     custom.asScala.toSeq.sortBy(_._1)
-      .filter { case (k, _) => k.toLowerCase.contains("size") || k.toLowerCase.contains("bytes") }
+      .filter { case (k, _) =>
+        val lk = k.toLowerCase
+        lk.contains("size") || lk.contains("bytes") || lk.contains("timer") }
       .foreach { case (k, v) => println(s"STATEBENCH rocksdb $k=$v") }
 
     tmp.foreach { d =>
