@@ -77,12 +77,13 @@ object PlanDump {
       "q_llm_bpe_iter" -> ("iterated BPE (r8): 3 merge rounds, each = vocab-sized pair count + " +
         "1-row winner BROADCAST crossJoin + narrow replace map — the corpus collapses to (word, wc) " +
         "once and nothing larger than the pair vocabulary ever shuffles again"),
-      "q_geo_convoy" -> ("convoy co-travel detection (r8, hot-cell-guarded r10): (bucket, cell) " +
-        "EQUI-join with 9-cell neighborhood probe — the spatio-temporal grid pattern; no BNLJ with " +
-        "both sides the full fix stream, pair dedup by orientation filter, COUNT(DISTINCT bucket) " +
-        "partial-aggregable; the occupancy guard is one partial-agg count joined back on the SAME " +
-        "(bucket,cell) key (exchange reused) with an in-plan assert_true that fails loudly past " +
-        "HotCellBudget"),
+      "q_geo_convoy" -> ("convoy co-travel detection (r8, hot-cell-guarded r10, auto-thinned r11): " +
+        "(bucket, cell) EQUI-join with 9-cell neighborhood probe — the spatio-temporal grid pattern; " +
+        "no BNLJ with both sides the full fix stream, pair dedup by orientation filter, " +
+        "COUNT(DISTINCT bucket) partial-aggregable; the occupancy pass (raw + distinct-device counts " +
+        "joined back on the SAME (bucket,cell) key, exchange reused) feeds the Boolean " +
+        "when/otherwise(raise_error) guard that refuses only irreducibly-quadratic cells, and cells " +
+        "past the RAW budget pre-thin per (device,bucket,cell) before the pair join"),
       "q_geo_od_matrix" -> ("origin-destination matrix (r8): trip lag chain + ONE order-independent " +
         "min/max(struct) endpoint aggregate (no second window) + grid-bounded flow count"),
       "q_llm_source_topterms" -> ("per-source top terms (r8): ranking window runs over the " +
