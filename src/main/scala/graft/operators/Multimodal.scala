@@ -7,12 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal columns (mandate: image/audio/video as opaque binary +
   * typed metadata). The Spark-side plumbing — schema, partitioning,
   * typed batch shape — is real and tested. Image decode/resize
-  * (javax.imageio, r9) and audio decode (javax.sound.sampled, r11)
-  * are REAL pure-JDK implementations; only VIDEO decode remains a
-  * deterministic stub (this container has no video codecs), clearly
-  * marked below. Swapping `decodeStub` for a real JNI/FFmpeg decoder
-  * changes no plan shape: it stays a narrow per-partition map with no
-  * shuffle.
+  * (javax.imageio, r9), audio decode (javax.sound.sampled, r11), and
+  * multi-frame video decode + frame sampling (ImageIO sequence
+  * reader over animated GIF, r11) are REAL pure-JDK implementations;
+  * only true-codec video (H.264/VP9-class — no codecs in this
+  * container) remains a deterministic stub, clearly marked below.
+  * Swapping `decodeStub` for a real JNI/FFmpeg decoder changes no
+  * plan shape: it stays a narrow per-partition map with no shuffle.
   */
 object Multimodal {
 
@@ -160,12 +161,108 @@ object Multimodal {
       }
     } catch { case _: Throwable => None }
 
-  /** ---- STUB (video only since r11; audio/video before) ----
+  /** REAL multi-frame video decode for container formats the JDK can
+    * read (r11): animated GIF (and any other multi-image ImageIO
+    * format) via the ImageReader sequence API. True codec video
+    * (H.264/VP9/…) still needs ffmpeg — that remains the stub's
+    * domain — but the multi-frame plumbing (frame iteration, temporal
+    * features, stride sampling) is real and tested on generated
+    * animated GIFs. Emits a 16-dim temporal feature vector:
+    *   [0]     frame count
+    *   [1]     width   [2] height   (first frame)
+    *   [3]     mean luma across frames      (scaled to [0,1])
+    *   [4]     temporal stddev of per-frame mean luma (motion proxy)
+    *   [5]     mean |Δ luma| between consecutive frames
+    *   [6]     first-frame mean luma   [7] last-frame mean luma
+    *   [8..15] 8-bin histogram of per-frame mean luma, L1-normalized
+    * GIF delta frames are read as stored rects (no compositing) —
+    * adequate for feature extraction, documented here. `None` when the
+    * payload has no multi-frame reader (true-codec video → stub). */
+  def decodeVideo(payload: Array[Byte]): Option[Array[Float]] =
+    try {
+      val frames = readFrames(payload, 1)
+      if (frames.isEmpty) None
+      else {
+        val lumas = frames.map { img =>
+          var s = 0.0
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              s += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+                0.114 * (p & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          s / (img.getWidth.toDouble * img.getHeight) / 255.0
+        }
+        val n = lumas.length
+        val m = lumas.sum / n
+        val sd = math.sqrt(lumas.map(l => (l - m) * (l - m)).sum / n)
+        val dl = if (n < 2) 0.0
+          else lumas.sliding(2).map(p => math.abs(p(1) - p(0))).sum / (n - 1)
+        val hist = new Array[Float](8)
+        lumas.foreach(l => hist(math.min(7, (l * 8).toInt)) += 1f)
+        Some(Array(
+          n.toFloat, frames.head.getWidth.toFloat, frames.head.getHeight.toFloat,
+          m.toFloat, sd.toFloat, dl.toFloat,
+          lumas.head.toFloat, lumas.last.toFloat) ++ hist.map(_ / n))
+      }
+    } catch { case _: Throwable => None }
+
+  /** Every `stride`-th frame of a multi-frame payload (frame 0 always
+    * included), decoded via the ImageIO sequence reader. Empty when no
+    * reader claims the payload. */
+  private def readFrames(payload: Array[Byte],
+      stride: Int): Seq[java.awt.image.BufferedImage] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) Seq.empty
+      else {
+        val r = readers.next()
+        r.setInput(iis)
+        try {
+          val n = r.getNumImages(true)
+          (0 until n by math.max(1, stride)).map(r.read(_))
+        } finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
+  /** REAL frame sampling (r11): every `stride`-th frame of each video
+    * payload re-encoded as PNG, one OUTPUT ROW PER FRAME — the shape a
+    * frame-level training pipeline consumes (each frame then flows
+    * through the image path: [[decodeImage]]/[[resizeImage]]). Videos
+    * with no multi-frame reader fall back to one row carrying the
+    * byte-stride stub payload, keeping the operator total. Narrow
+    * per-row flatMap — no shuffle. */
+  def sampleFrames(spark: SparkSession, media: DataFrame, stride: Int): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow]
+      .filter(_.kind == "video")
+      .flatMap { r =>
+        val frames = readFrames(r.payload, stride)
+        if (frames.nonEmpty) frames.zipWithIndex.map { case (img, i) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (r.media_id, i * stride, bos.toByteArray, img.getWidth, img.getHeight)
+        } else Seq((r.media_id, 0,
+          r.payload.grouped(stride).map(_.head).toArray, r.width, r.height))
+      }
+      .toDF("media_id", "frame_idx", "frame_png", "width", "height")
+  }
+
+  /** ---- STUB (true-codec video + undecodable payloads only) ----
     * Deterministic fake decoder: a 16-bin byte histogram, L1-normalized,
-    * as the "feature vector". Video codecs aren't in this container; a
-    * real implementation (ffmpeg) swaps in with the same signature,
-    * typed-Dataset batch shape and narrow-map plan. Images take the
-    * REAL [[decodeImage]] path, audio the REAL [[decodeAudio]]. */
+    * as the "feature vector". H.264/VP9-class codecs aren't in this
+    * container; a real implementation (ffmpeg) swaps in with the same
+    * signature, typed-Dataset batch shape and narrow-map plan. Images
+    * take the REAL [[decodeImage]] path, audio [[decodeAudio]], and
+    * multi-frame GIF video [[decodeVideo]]. */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)
     var i = 0
@@ -184,6 +281,7 @@ object Multimodal {
       val feats = r.kind match {
         case "image" => decodeImage(r.payload).getOrElse(decodeStub(r.payload))
         case "audio" => decodeAudio(r.payload).getOrElse(decodeStub(r.payload))
+        case "video" => decodeVideo(r.payload).getOrElse(decodeStub(r.payload))
         case _ => decodeStub(r.payload)
       }
       MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, feats)

@@ -313,6 +313,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.features.toSeq == f.toSeq, "audio kind must take the real decode")
   }
 
+  test("Multimodal: real multi-frame video decode + frame sampling on generated animated GIF") {
+    def solidFrame(c: Int, w: Int, h: Int) = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, c)
+      img
+    }
+    // 3-frame animated GIF: black → mid-gray → white, pure JDK
+    def gifBytes(colors: Seq[Int], w: Int, h: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      colors.foreach(c => writer.writeToSequence(
+        new javax.imageio.IIOImage(solidFrame(c, w, h), null, null),
+        writer.getDefaultWriteParam))
+      writer.endWriteSequence()
+      writer.dispose()
+      ios.close()
+      bos.toByteArray
+    }
+    val gif = gifBytes(Seq(0x000000, 0x808080, 0xffffff), 6, 4)
+    val f = Multimodal.decodeVideo(gif).get
+    assert(f(0) == 3f && f(1) == 6f && f(2) == 4f, s"frames/dims ${f.toSeq}")
+    // luma trajectory 0 → 128/255 → 1: closed-form temporal features
+    assert(math.abs(f(3) - (0f + 128f / 255f + 1f) / 3) < 0.02, s"mean ${f(3)}")
+    assert(math.abs(f(5) - 0.5f) < 0.02, s"mean |Δ| ${f(5)}")
+    assert(math.abs(f(6)) < 0.02 && math.abs(f(7) - 1f) < 0.02, "first/last")
+    assert(math.abs(f.drop(8).sum - 1f) < 1e-3, "histogram L1-normalized")
+    // extractFeatures routes video payloads through the REAL decode
+    import spark.implicits._
+    val media = Seq((9L, "video", gif, 6, 4, 0))
+      .toDF("media_id", "kind", "payload", "width", "height", "sample_rate")
+    assert(Multimodal.extractFeatures(spark, media).collect()(0)
+      .features.toSeq == f.toSeq)
+    // frame sampling: stride 2 → frames 0 and 2, PNG re-encoded and
+    // decodable through the image path with the right luma
+    val frames = Multimodal.sampleFrames(spark, media, 2)
+      .orderBy("frame_idx").collect()
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 2))
+    val lumas = frames.map(r =>
+      Multimodal.decodeImage(r.getAs[Array[Byte]]("frame_png")).get(6))
+    assert(math.abs(lumas(0)) < 0.02 && math.abs(lumas(1) - 1f) < 0.02,
+      s"sampled frame lumas ${lumas.toSeq}")
+    // single-frame and non-media payloads refuse (→ stub fallback)
+    assert(Multimodal.decodeVideo("not a video".getBytes).isEmpty)
+  }
+
   test("Multimodal: resize and frame-sample stubs keep the binary contract") {
     val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf).limit(30))
     val resized = Multimodal.resizeStub(spark, media, 16)
