@@ -304,6 +304,27 @@ class OperatorsSpec extends AnyFunSuite {
     // stereo: channel count doubles, duration unchanged
     val st = Multimodal.decodeAudio(wavBytes(8000f, 0.5, 200.0, 0.25, channels = 2)).get
     assert(st(1) == 2f && math.abs(st(0) - 0.5f) < 0.01, s"stereo ${st.toSeq}")
+    // 8-bit UNSIGNED PCM exercises the to-16-bit-signed conversion
+    // path: same sine must land on the same RMS/peak within the
+    // 8-bit quantization error
+    def wav8Bytes(sr: Float, seconds: Double, freq: Double, amp: Double): Array[Byte] = {
+      val n = (sr * seconds).toInt
+      val data = new Array[Byte](n)
+      for (i <- 0 until n)
+        data(i) = ((amp * math.sin(2 * math.Pi * freq * i / sr) * 127).toInt + 128).toByte
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED, sr, 8, 1, 1, sr, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val f8 = Multimodal.decodeAudio(wav8Bytes(16000f, 1.0, 440.0, 0.5)).get
+    assert(math.abs(f8(0) - 1.0f) < 0.01 && f8(1) == 1f, s"8-bit meta ${f8.toSeq}")
+    assert(math.abs(f8(3) - 0.5f / math.sqrt(2).toFloat) < 0.02, s"8-bit rms ${f8(3)}")
+    assert(math.abs(f8(5) - 0.5f) < 0.02, s"8-bit peak ${f8(5)}")
     // non-audio bytes refuse to decode
     assert(Multimodal.decodeAudio("not audio".getBytes).isEmpty)
     // extractFeatures routes audio payloads through the REAL decode

@@ -77,6 +77,42 @@ class RestartRecoverySpec extends AnyFunSuite {
     }
   }
 
+  test("OutageMonitor (GroupState wiring): the implicit timeout also survives a restart") {
+    // same scenario as the Tws test through the OTHER state API: the
+    // GroupState EventTimeTimeout registered before the stop must fire
+    // after the restart — the dual-API discipline extended to recovery
+    val in = Files.createTempDirectory("restart_outage_gs_in").toString
+    val ckpt = Files.createTempDirectory("restart_outage_gs_ckpt").toString
+    val out = Files.createTempDirectory("restart_outage_gs_out").toString
+
+    def run(): Unit = {
+      val q = graft.streaming.OutageMonitor(spark,
+          fileFixes(in)
+            .select($"deviceId", $"eventId",
+              timestamp_millis($"tsMs").as("ts"), $"lat", $"lon")
+            .withWatermark("ts", "0 seconds")
+            .as[graft.streaming.OutageMonitor.Fix]).toDF()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    writeBatch(in, Seq(("J", 1L, min(0), 0.0, 0.0), ("Z", 10L, min(0), 9.0, 9.0)))
+    run()
+    writeBatch(in, Seq(("Z", 11L, min(100), 9.0, 9.0)))
+    writeBatch(in, Seq(("Z", 12L, min(101), 9.0, 9.0)))
+    run()
+
+    val events = spark.read.schema(org.apache.spark.sql.Encoders
+        .product[graft.streaming.OutageMonitor.OutageEvent].schema).parquet(out)
+      .as[graft.streaming.OutageMonitor.OutageEvent].collect()
+    assert(events.exists(e => e.deviceId == "J" && e.kind == "dark" &&
+        e.startMs == min(0)),
+      s"the pre-restart GroupState timeout must fire post-restart: ${events.toSeq}")
+    assert(events.count(e => e.deviceId == "J" && e.kind == "dark") == 1)
+  }
+
   test("OutageMonitorTws: a timer armed BEFORE restart fires its dark alert AFTER it") {
     TestSpark.withSQLConf("spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
