@@ -753,6 +753,38 @@ object Llm {
         .limit(10)
     }),
 
+    // kNN GRAPH (r11): exact top-3 cosine neighbors for EVERY vector —
+    // the SemDeDup-style building block (semantic dedup / embedding
+    // clustering consume a neighbor graph, not a single query's
+    // top-k). EXACT semantics via the same budget-guarded
+    // block-partitioned pair relation as the neardup scan: each
+    // unordered pair's fused dot is computed ONCE and mirrored (the
+    // zip-multiply fold is orientation-symmetric, so the mirrored cs
+    // is bit-identical), then one vec_id-keyed window ranks neighbors
+    // on the ROUNDED cosine (6 dp — both engines rank identical
+    // values; ties break on neighbor id). Past the 1M-row envelope
+    // the documented handoff is per-bucket AnnLsh/AnnIvf top-k with
+    // the PlantedNeardupSpec-pinned recall.
+    "q_llm_knn_graph" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d).select($"vec_id", $"embedding",
+        VecOps.norm(s, $"embedding").as("nrm"))
+      val n = graft.sources.ParquetMeta.rowCount(s, s"$d/embeddings.parquet")
+      requireExactPairBudget(n)
+      val pairs = blockPairJoin(e, adaptiveBlocks(n))
+        .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
+          round(VecOps.dot(s, $"a.embedding", $"b.embedding") /
+            ($"a.nrm" * $"b.nrm"), 6).as("cs"))
+      val sym = pairs.unionByName(
+        pairs.select($"vb".as("va"), $"va".as("vb"), $"cs"))
+      val w = Window.partitionBy($"va").orderBy($"cs".desc, $"vb".asc)
+      sym.withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 3)
+        .select($"va".as("vec_id"), $"rk", $"vb".as("neighbor"), $"cs")
+        .orderBy($"vec_id", $"rk")
+    }),
+
     // Embedding-cosine near-dup pairs above threshold — EXACT semantics
     // via a block-partitioned pair join. Why not LSH/IVF candidates: on
     // this corpus the qualifying pairs sit at cosine 0.35-0.51 among
@@ -1322,6 +1354,17 @@ object Llm {
        "sqrt(list_sum(list_transform(list_zip(qv, qv), p -> p[1] * p[2])))) AS cs " +
        "FROM e CROSS JOIN q WHERE vec_id <> 0) " +
        "SELECT vec_id, label, round(cs, 6) AS cs FROM c ORDER BY cs DESC, vec_id ASC LIMIT 10"),
+    "q_llm_knn_graph" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+       "p AS (SELECT a.vec_id AS va, b.vec_id AS vb, " +
+       "round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / " +
+       "(sqrt(list_sum(list_transform(list_zip(a.v, a.v), p -> p[1] * p[2]))) * " +
+       "sqrt(list_sum(list_transform(list_zip(b.v, b.v), p -> p[1] * p[2])))), 6) AS cs " +
+       "FROM e a JOIN e b ON a.vec_id <> b.vec_id), " +
+       "r AS (SELECT va, vb, cs, row_number() OVER " +
+       "(PARTITION BY va ORDER BY cs DESC, vb ASC) AS rk FROM p) " +
+       "SELECT va AS vec_id, rk, vb AS neighbor, cs FROM r WHERE rk <= 3 " +
+       "ORDER BY vec_id, rk"),
     "q_llm_embed_neardup" ->
       ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
        "p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
