@@ -149,6 +149,54 @@ object Llm {
       .filter($"cs" >= 0.35)
   }
 
+  /** Exact kNN graph (r11, shared by q_llm_knn_graph and its gate):
+    * top-3 cosine neighbors per vector from the budget-guarded block
+    * pair relation — each unordered pair's fused dot computed ONCE and
+    * mirrored (the zip-multiply fold is orientation-symmetric, so the
+    * mirrored cs is bit-identical) — then one vec_id-keyed window rank
+    * over the 6-dp-rounded cosine (ties → neighbor asc). Unordered —
+    * callers sort. */
+  private def exactKnnGraph(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d).select($"vec_id", $"embedding",
+      VecOps.norm(s, $"embedding").as("nrm"))
+    val n = graft.sources.ParquetMeta.rowCount(s, s"$d/embeddings.parquet")
+    requireExactPairBudget(n)
+    val pairs = blockPairJoin(e, adaptiveBlocks(n))
+      .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
+        round(VecOps.dot(s, $"a.embedding", $"b.embedding") /
+          ($"a.nrm" * $"b.nrm"), 6).as("cs"))
+    val sym = pairs.unionByName(
+      pairs.select($"vb".as("va"), $"va".as("vb"), $"cs"))
+    val w = Window.partitionBy($"va").orderBy($"cs".desc, $"vb".asc)
+    sym.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"va".as("vec_id"), $"rk", $"vb".as("neighbor"), $"cs")
+  }
+
+  /** ANN kNN graph (r11): same top-3 semantics, candidates from the
+    * pinned 40×5 sign-LSH buckets — rerank-before-dedup, then the same
+    * window rank. Unordered — callers sort. */
+  private def annKnnGraph(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    val b = graft.operators.AnnLsh.bucketize(s, emb,
+      NeardupAnnTables, NeardupAnnBits)
+    val cand = b.as("a").join(b.as("b"),
+        $"a.t" === $"b.t" && $"a.bucket" === $"b.bucket" &&
+        $"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
+        round(VecOps.dot(s, $"a.embedding", $"b.embedding") /
+          ($"a.nrm" * $"b.nrm"), 6).as("cs"))
+      .dropDuplicates("va", "vb")
+    val w = Window.partitionBy($"va").orderBy($"cs".desc, $"vb".asc)
+    cand.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"va".as("vec_id"), $"rk", $"vb".as("neighbor"), $"cs")
+  }
+
   /** The ANN handoff's pair relation (shared by q_llm_embed_neardup_ann
     * and the gate): AnnLsh.neardupPairs at the pinned 40×5 config.
     * ann ⊆ exact: the unrounded threshold here implies the rounded one
@@ -765,24 +813,45 @@ object Llm {
     // values; ties break on neighbor id). Past the 1M-row envelope
     // the documented handoff is per-bucket AnnLsh/AnnIvf top-k with
     // the PlantedNeardupSpec-pinned recall.
-    "q_llm_knn_graph" -> ((s, d) => {
+    "q_llm_knn_graph" -> ((s, d) =>
+      exactKnnGraph(s, d).orderBy(col("vec_id"), col("rk"))),
+
+    // ANN kNN graph (r11): the scale handoff for q_llm_knn_graph —
+    // same top-3-per-vector semantics with candidates from the pinned
+    // 40×5 sign-LSH buckets instead of all pairs. Rerank happens
+    // BEFORE the (va, vb) dedup (the r10 discipline: narrow
+    // survivor rows through the exchange, and the per-duplicate cs is
+    // identical so the dedup is value-deterministic). Engine-only:
+    // the neighbor set is a deterministic function of the
+    // hash-derived hyperplanes; the accuracy contract is the gate
+    // below. Candidate work is Σ bucket² per table — never all-pairs.
+    "q_llm_knn_graph_ann" -> ((s, d) =>
+      annKnnGraph(s, d).orderBy(col("vec_id"), col("rk"))),
+
+    // Oracle-checked accuracy GATE for the kNN-graph handoff (r11):
+    // the q_llm_embed_neardup_ann_gate protocol applied to GRAPH
+    // retrieval — Spark runs BOTH graphs and folds to one
+    // integer-exact verdict row (edge recall ⇔ hits·100 ≥ n_exact·90);
+    // the DuckDB twin computes n_exact from the exact-graph SQL and
+    // asserts TRUE, so a hash match certifies the LSH graph genuinely
+    // holds ≥ 0.90 edge recall ON THE DRIVER'S CORPUS. Top-3 edges on
+    // this near-orthogonal corpus sit at cosine ~0.3–0.5 where
+    // per-table collision is weakest — measured edge recall 0.973 /
+    // 0.965 / 0.982 at sf0.001/0.01/0.1 (KnnGraphProbe) — so the 0.90
+    // pin is the honest floor for the regime with margin. No
+    // precision clause: a missed true edge necessarily ADMITS a
+    // lower-cosine substitute into the top-3, so graph "extras" are
+    // the same misses counted twice (the neardup gate's extras==0
+    // clause has no analogue here). Audit query: deliberately pays
+    // the exact graph next to the ANN one.
+    "q_llm_knn_graph_ann_gate" -> ((s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val e = Tables.embeddings(s, d).select($"vec_id", $"embedding",
-        VecOps.norm(s, $"embedding").as("nrm"))
-      val n = graft.sources.ParquetMeta.rowCount(s, s"$d/embeddings.parquet")
-      requireExactPairBudget(n)
-      val pairs = blockPairJoin(e, adaptiveBlocks(n))
-        .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
-          round(VecOps.dot(s, $"a.embedding", $"b.embedding") /
-            ($"a.nrm" * $"b.nrm"), 6).as("cs"))
-      val sym = pairs.unionByName(
-        pairs.select($"vb".as("va"), $"va".as("vb"), $"cs"))
-      val w = Window.partitionBy($"va").orderBy($"cs".desc, $"vb".asc)
-      sym.withColumn("rk", row_number().over(w).cast("long"))
-        .filter($"rk" <= 3)
-        .select($"va".as("vec_id"), $"rk", $"vb".as("neighbor"), $"cs")
-        .orderBy($"vec_id", $"rk")
+      val e = exactKnnGraph(s, d).select($"vec_id", $"neighbor", lit(1).as("ex"))
+      val a = annKnnGraph(s, d).select($"vec_id", $"neighbor", lit(1).as("hit"))
+      e.join(a, Seq("vec_id", "neighbor"), "left")
+        .agg(count(lit(1)).cast("long").as("n_exact"),
+          coalesce(sum($"hit"), lit(0)).cast("long").as("hits"))
+        .select($"n_exact", ($"hits" * 100 >= $"n_exact" * 90).as("ok_recall"))
     }),
 
     // Embedding-cosine near-dup pairs above threshold — EXACT semantics
@@ -1365,6 +1434,19 @@ object Llm {
        "(PARTITION BY va ORDER BY cs DESC, vb ASC) AS rk FROM p) " +
        "SELECT va AS vec_id, rk, vb AS neighbor, cs FROM r WHERE rk <= 3 " +
        "ORDER BY vec_id, rk"),
+    // graph-gate twin: exact edge count from the same SQL, verdict
+    // asserted TRUE — hash match ⇔ the 40×5 LSH graph held ≥ 0.90
+    // edge recall on this corpus
+    "q_llm_knn_graph_ann_gate" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+       "p AS (SELECT a.vec_id AS va, b.vec_id AS vb, " +
+       "round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / " +
+       "(sqrt(list_sum(list_transform(list_zip(a.v, a.v), p -> p[1] * p[2]))) * " +
+       "sqrt(list_sum(list_transform(list_zip(b.v, b.v), p -> p[1] * p[2])))), 6) AS cs " +
+       "FROM e a JOIN e b ON a.vec_id <> b.vec_id), " +
+       "r AS (SELECT va, row_number() OVER " +
+       "(PARTITION BY va ORDER BY cs DESC, vb ASC) AS rk FROM p) " +
+       "SELECT COUNT(*) AS n_exact, TRUE AS ok_recall FROM r WHERE rk <= 3"),
     "q_llm_embed_neardup" ->
       ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
        "p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +

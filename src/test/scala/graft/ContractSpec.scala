@@ -20,7 +20,7 @@ class ContractSpec extends AnyFunSuite {
     // handoff's missed-pair set is hash-derived-LSH-specific (recall
     // pinned ≥ 0.95 in AnnHandoffSpec)
     assert((qs -- os) == Set("q_agg_approx_distinct", "q_agg_approx_percentile",
-        "q_llm_embed_neardup_ann"),
+        "q_llm_embed_neardup_ann", "q_llm_knn_graph_ann"),
       s"undeclared engine-only: ${qs -- os}")
   }
 
