@@ -208,6 +208,48 @@ object Llm {
       .select($"vec_a", $"vec_b", round($"cs", 6).as("cs"))
   }
 
+  /** k-means pinned config (q_llm_kmeans / q_llm_semdedup): k=8 cells,
+    * 2 Lloyd refinement rounds — fixed, not converged (the AnnIvf
+    * discipline; the oracle twin runs the same rounds). */
+  private val KmeansK = 8
+  private val KmeansRounds = 2
+
+  /** The cached double-cast + norm-ride-along embedding relation the
+    * k-means family scans once per assignment/update pass. */
+  private def kmeansPrepared(s: SparkSession, d: String): DataFrame =
+    graft.CacheScope.local(graft.operators.KMeans.prepared(Tables.embeddings(s, d)))
+
+  /** DuckDB twin of the full iterative k-means fit (WITH RECURSIVE so
+    * the semdedup continuation can close components): the same seeds,
+    * rounds, rounding, and tie-breaks as operators.KMeans — built
+    * programmatically so both oracle entries share one spelling.
+    * Exposes CTEs `en` (vec_id, v, nrm) and `a2` (vec_id, cell, cs). */
+  private def kmeansOracleWith: String = {
+    def assignCte(cn: String, out: String): String =
+      s"${out}_r AS (SELECT en.vec_id, $cn.cell, " +
+      s"round(list_sum(list_transform(list_zip(en.v, $cn.centroid), p -> p[1] * p[2])) / " +
+      s"(en.nrm * $cn.cnrm), 6) AS cs FROM en CROSS JOIN $cn), " +
+      s"$out AS (SELECT vec_id, cell, cs FROM (SELECT *, row_number() OVER " +
+      s"(PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rn FROM ${out}_r) WHERE rn = 1)"
+    def updateCte(a: String, out: String): String =
+      s"${out}_d AS (SELECT $a.cell, unnest(en.v) AS val, " +
+      s"unnest(range(1, len(en.v) + 1)) AS pos FROM $a JOIN en USING (vec_id)), " +
+      s"${out}_c AS (SELECT cell, pos, CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS c " +
+      s"FROM ${out}_d GROUP BY cell, pos), " +
+      s"${out}_v AS (SELECT cell, list(c ORDER BY pos) AS centroid FROM ${out}_c GROUP BY cell), " +
+      s"$out AS (SELECT cell, centroid, sqrt(list_sum(list_transform(centroid, x -> x * x))) AS cnrm FROM ${out}_v)"
+    val parts = Seq(
+      "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+      "en AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)",
+      s"sd AS (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h FROM en ORDER BY h, vec_id LIMIT $KmeansK)",
+      "c0v AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) - 1 AS cell, v AS centroid FROM sd)",
+      "cn0 AS (SELECT cell, centroid, sqrt(list_sum(list_transform(centroid, x -> x * x))) AS cnrm FROM c0v)",
+      assignCte("cn0", "a0")) ++
+      (1 to KmeansRounds).flatMap(r =>
+        Seq(updateCte(s"a${r - 1}", s"cn$r"), assignCte(s"cn$r", s"a$r")))
+    "WITH RECURSIVE " + parts.mkString(", ")
+  }
+
   /** Block-partitioned exact pair join shared by q_llm_embed_neardup
     * and q_llm_pairwise_label_sim: each side is replicated G ways onto
     * a (block_a, block_b) bucket key, the join is a shuffled EQUI-join
@@ -854,6 +896,59 @@ object Llm {
         .select($"n_exact", ($"hits" * 100 >= $"n_exact" * 90).as("ok_recall"))
     }),
 
+    // DETERMINISTIC k-MEANS (r11): the trainable coarse quantizer
+    // (SemDeDup / IVF building block) as a first-class, hash-checked
+    // query — the FULL iterative Lloyd fit (md5-ranked seeds, 2
+    // refinement rounds, k=8) verified bit-exact against a DuckDB twin
+    // running the same rounds. Every piece is the established
+    // cross-engine discipline: md5-of-decimal-string seed ranking,
+    // sequential-fold cosines rounded 6 dp, DECIMAL-exact centroid
+    // means (q_llm_embed_outlier), argmax as one order-independent
+    // max(struct) partial aggregate. Per round: one broadcast join
+    // (k centroid rows — assignment is embarrassingly parallel) + one
+    // (cell, dim)-keyed partial-agg shuffle with k·dim groups
+    // regardless of corpus size; at 100 TB, train on a sample and
+    // apply the final broadcast-assignment pass corpus-wide.
+    "q_llm_kmeans" -> ((s, d) =>
+      graft.operators.KMeans.fit(kmeansPrepared(s, d), KmeansK, KmeansRounds)
+        .orderBy(col("vec_id"))),
+
+    // SemDeDup (r11): CLUSTER-BOUNDED semantic dedup — the third
+    // dedup scale path beside the exact block scan and LSH/IVF
+    // retrieval. Pairs are scored ONLY within a k-means cell
+    // (cell-keyed equi-join — never all-pairs), pairs ≥ 0.35 form the
+    // dedup graph, components resolve via DedupClusters (its fourth
+    // domain), canonical = min vec_id. The cluster bound IS the
+    // declared semantics (SemDeDup's trade: candidate work drops from
+    // n²/2 to Σ cell²/2 ≈ n²/2k — measured 15,498 vs 124,750 pairs at
+    // sf0.01, the full k× — at the cost of cross-cell pairs, which at
+    // the near-dup operating point land in the same cell with
+    // probability rising toward 1 as cosine → 1). At 100 TB, k grows
+    // with the corpus so cells stay bounded and the within-cell
+    // quadratic never bites; the whole chain is oracle-checked
+    // hash-exact INCLUDING the clustering and the recursive closure.
+    "q_llm_semdedup" -> ((s, d) => {
+      import s.implicits._
+      val e = kmeansPrepared(s, d)
+      val asg = graft.CacheScope.local(
+        graft.operators.KMeans.fit(e, KmeansK, KmeansRounds)
+          .select($"vec_id", $"cell"))
+      val pe = asg.join(e, "vec_id")
+      val pairs = pe.as("x").join(pe.as("y"),
+          $"x.cell" === $"y.cell" && $"x.vec_id" < $"y.vec_id")
+        .select($"x.vec_id".as("doc_a"), $"y.vec_id".as("doc_b"),
+          round(graft.operators.KMeans.ddot($"x.v", $"y.v") /
+            ($"x.nrm" * $"y.nrm"), 6).as("cs"))
+        .filter($"cs" >= 0.35)
+      val canon = graft.operators.DedupClusters.resolve(s,
+        pairs.select($"doc_a", $"doc_b"))
+      asg.join(canon, asg("vec_id") === canon("doc_id"), "left")
+        .select(asg("vec_id"), asg("cell"),
+          coalesce($"canonical", asg("vec_id")).as("rep"),
+          (coalesce($"canonical", asg("vec_id")) === asg("vec_id")).as("kept"))
+        .orderBy(asg("vec_id"))
+    }),
+
     // Embedding-cosine near-dup pairs above threshold — EXACT semantics
     // via a block-partitioned pair join. Why not LSH/IVF candidates: on
     // this corpus the qualifying pairs sit at cosine 0.35-0.51 among
@@ -1447,6 +1542,30 @@ object Llm {
        "r AS (SELECT va, row_number() OVER " +
        "(PARTITION BY va ORDER BY cs DESC, vb ASC) AS rk FROM p) " +
        "SELECT COUNT(*) AS n_exact, TRUE AS ok_recall FROM r WHERE rk <= 3"),
+    // full iterative Lloyd fit in SQL — same seeds/rounds/rounding/
+    // tie-breaks as operators.KMeans (shared builder kmeansOracleWith)
+    "q_llm_kmeans" ->
+      (kmeansOracleWith +
+       s" SELECT vec_id, cell, cs FROM a$KmeansRounds ORDER BY vec_id"),
+    // semdedup twin: the kmeans CTEs + within-cell pair scoring + the
+    // q_geo_groups recursive min-label closure
+    "q_llm_semdedup" ->
+      (kmeansOracleWith + ", " +
+       s"pe AS (SELECT a$KmeansRounds.vec_id, a$KmeansRounds.cell, en.v, en.nrm " +
+       s"FROM a$KmeansRounds JOIN en USING (vec_id)), " +
+       "pr AS (SELECT x.vec_id AS doc_a, y.vec_id AS doc_b, " +
+       "round(list_sum(list_transform(list_zip(x.v, y.v), p -> p[1] * p[2])) / " +
+       "(x.nrm * y.nrm), 6) AS cs " +
+       "FROM pe x JOIN pe y ON x.cell = y.cell AND x.vec_id < y.vec_id), " +
+       "g AS (SELECT doc_a, doc_b FROM pr WHERE cs >= 0.35), " +
+       "ed AS (SELECT doc_a AS src, doc_b AS dst FROM g UNION SELECT doc_b, doc_a FROM g), " +
+       "r AS (SELECT src, dst FROM ed " +
+       "UNION SELECT r.src, ed.dst FROM r JOIN ed ON r.dst = ed.src), " +
+       "reach AS (SELECT src AS vec_id, dst FROM r UNION SELECT src, src FROM ed), " +
+       "lab AS (SELECT vec_id, MIN(dst) AS canonical FROM reach GROUP BY vec_id) " +
+       s"SELECT a.vec_id, a.cell, COALESCE(l.canonical, a.vec_id) AS rep, " +
+       "(COALESCE(l.canonical, a.vec_id) = a.vec_id) AS kept " +
+       s"FROM a$KmeansRounds a LEFT JOIN lab l ON a.vec_id = l.vec_id ORDER BY a.vec_id"),
     "q_llm_embed_neardup" ->
       ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
        "p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
