@@ -933,11 +933,19 @@ object Llm {
       val asg = graft.CacheScope.local(
         graft.operators.KMeans.fit(e, KmeansK, KmeansRounds)
           .select($"vec_id", $"cell"))
-      val pe = asg.join(e, "vec_id")
+      // pair scoring rides the FLOAT relation + the fused codegen dot
+      // (FloatVecDot widens per element, bit-identical to the
+      // double-cast fold — the knn/neardup precedent): the within-cell
+      // pair loop is the Σ cell² hot path, and the interpreted
+      // zip-multiply fold cost 9.9× wall at x10 clone scale vs the
+      // kernel's codegen loop
+      val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding",
+        VecOps.norm(s, $"embedding").as("nrm"))
+      val pe = asg.join(emb, "vec_id")
       val pairs = pe.as("x").join(pe.as("y"),
           $"x.cell" === $"y.cell" && $"x.vec_id" < $"y.vec_id")
         .select($"x.vec_id".as("doc_a"), $"y.vec_id".as("doc_b"),
-          round(graft.operators.KMeans.ddot($"x.v", $"y.v") /
+          round(VecOps.dot(s, $"x.embedding", $"y.embedding") /
             ($"x.nrm" * $"y.nrm"), 6).as("cs"))
         .filter($"cs" >= 0.35)
       val canon = graft.operators.DedupClusters.resolve(s,
