@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{FloatVecDot, LshSignatures, MinHashSig, SimHash32, TriShingles}
+import graft.functions.{DoubleVecDot, FloatVecDot, LshSignatures, MinHashSig, SimHash32, TriShingles}
 
 /** Library-grade session integration: register the fused kernels as
   * SQL-addressable functions via the standard extensions hook —
@@ -36,6 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("float_vec_dot"),
       info("float_vec_dot", "_FUNC_(a, b) - dot product of two float arrays, in double"),
       exprs => FloatVecDot(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("double_vec_dot"),
+      info("double_vec_dot", "_FUNC_(a, b) - dot product of two double arrays"),
+      exprs => DoubleVecDot(exprs(0), exprs(1))))
     ext.injectFunction((FunctionIdentifier("lsh_signatures"),
       info("lsh_signatures",
         "_FUNC_(vec, tables, bits) - per-table sign-LSH bucket ids (tables/bits must be int literals)"),

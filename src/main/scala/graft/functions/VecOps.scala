@@ -60,13 +60,64 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** array<double> sibling of [[FloatVecDot]] — same sequential
+  * left-fold in element order, same bit-identity to the
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` composition it
+  * replaces. Exists for the paths whose vectors are already DOUBLE
+  * arrays (k-means centroids, decimal-exact means reassembled into
+  * arrays): the r11 k-means assignment — the corpus-wide n·k-dot
+  * apply pass at 100 TB — stays inside whole-stage codegen instead
+  * of the interpreted higher-order-function fold. */
+case class DoubleVecDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "double_vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DoubleVecDot =
+    copy(left = newLeft, right = newRight)
+}
+
 object VecOps {
   /** Idempotently register the kernels on the session's function
     * registry, then address them via `call_function` (the stable
     * Column-construction path in Spark 4). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "float_vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "double_vec_dot", exprs => DoubleVecDot(exprs(0), exprs(1)), "built-in")
+  }
 
   /** dot(a, b) over two array<float> columns, in double. */
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
@@ -76,4 +127,13 @@ object VecOps {
 
   /** L2 norm of an array<float> column. */
   def norm(spark: SparkSession, a: Column): Column = sqrtc(dot(spark, a, a))
+
+  /** dot(a, b) over two array<double> columns. */
+  def ddot(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("double_vec_dot", a, b)
+  }
+
+  /** L2 norm of an array<double> column. */
+  def dnorm(spark: SparkSession, a: Column): Column = sqrtc(ddot(spark, a, a))
 }

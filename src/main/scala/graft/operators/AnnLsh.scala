@@ -100,7 +100,11 @@ object AnnLsh {
     * unchanged pair-for-pair. */
   def neardupPairs(spark: SparkSession, emb: DataFrame, threshold: Double,
       tables: Int = 16, bits: Int = 6): DataFrame = {
-    val b = bucketize(spark, emb, tables, bits)
+    // cache the bucket relation (n·tables narrow rows): the self-join
+    // otherwise recomputes the 200-hyperplane signature kernel on BOTH
+    // sides — measured at sf0.1 the signatures were ~5 s of an 8.9 s
+    // wall in the knn-graph sibling, vs 0.5 s for the join+dots
+    val b = graft.CacheScope.local(bucketize(spark, emb, tables, bits))
     b.as("a").join(b.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))

@@ -47,7 +47,10 @@ object KMeans {
   /** Sequential left-fold dot of two array<double> columns — the
     * element-order fold both engines share (Spark aggregate/zip_with
     * vs DuckDB list_sum/list_transform/list_zip), proven bit-identical
-    * by the q_llm_embed_outlier precedent. */
+    * by the q_llm_embed_outlier precedent. This is the REFERENCE
+    * spelling; the engine paths below use the codegen DoubleVecDot
+    * kernel, which is the same fold as a tight generated loop
+    * (bit-identity pinned in KernelSpec and by the oracle hash). */
   def ddot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
@@ -60,7 +63,8 @@ object KMeans {
   def prepared(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", dnorm(col("v")))
+      .withColumn("nrm",
+        graft.functions.VecOps.dnorm(emb.sparkSession, col("v")))
 
   /** Fit `rounds` Lloyd refinements from the md5-ranked seeds and
     * return the final assignment (vec_id, cell, cs). `e` must be the
@@ -88,11 +92,13 @@ object KMeans {
     * to 6 dp, argmax via one order-independent max(struct) partial
     * aggregate — ties to the smallest cell. */
   private def assign(e: DataFrame, cents: DataFrame): DataFrame = {
-    val cn = cents.withColumn("cnrm", dnorm(col("centroid")))
+    val s = e.sparkSession
+    val cn = cents.withColumn("cnrm",
+      graft.functions.VecOps.dnorm(s, col("centroid")))
     e.join(broadcast(cn))
       .select(col("vec_id"), col("cell"),
-        round(ddot(col("v"), col("centroid")) / (col("nrm") * col("cnrm")), 6)
-          .as("cs"))
+        round(graft.functions.VecOps.ddot(s, col("v"), col("centroid")) /
+          (col("nrm") * col("cnrm")), 6).as("cs"))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("cs"), (-col("cell")).as("nc"))).as("m"))
       .select(col("vec_id"), (-col("m.nc")).as("cell"), col("m.cs").as("cs"))

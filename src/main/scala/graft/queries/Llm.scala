@@ -182,18 +182,38 @@ object Llm {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
-    val b = graft.operators.AnnLsh.bucketize(s, emb,
-      NeardupAnnTables, NeardupAnnBits)
+    // cached: the self-join would otherwise run the signature kernel
+    // on both sides (the AnnLsh.neardupPairs note — ~5 s of the 8.9 s
+    // pre-fix wall at sf0.1)
+    val b = graft.CacheScope.local(graft.operators.AnnLsh.bucketize(s, emb,
+      NeardupAnnTables, NeardupAnnBits))
     val cand = b.as("a").join(b.as("b"),
         $"a.t" === $"b.t" && $"a.bucket" === $"b.bucket" &&
         $"a.vec_id" =!= $"b.vec_id")
-      .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
+      .select($"a.t".as("t"), $"a.bucket".as("bucket"),
+        $"a.vec_id".as("va"), $"b.vec_id".as("vb"),
         round(VecOps.dot(s, $"a.embedding", $"b.embedding") /
           ($"a.nrm" * $"b.nrm"), 6).as("cs"))
-      .dropDuplicates("va", "vb")
+    // per-bucket top-3 pruning (r11 bench fix): a global top-3
+    // neighbor must rank in the top-3 of SOME shared bucket — anything
+    // outranking it there has higher cosine and is globally better, so
+    // ≥3 such outrankers would evict it from the global top-3 too.
+    // The local window's (t, bucket, va) clustering is subsumed by the
+    // join's (t, bucket) hash partitioning, so this pass adds a SORT
+    // but NO exchange — the full candidate multiset (Σ bucket² rows)
+    // never crosses a shuffle. The global merge then sees ≤ tables·3
+    // rows per vector; dense_rank over (cs desc, vb asc) equals
+    // row_number on the deduped set (multi-table duplicates carry
+    // identical (cs, vb)), so dedup after the rank filter touches only
+    // survivor rows.
+    val wLocal = Window.partitionBy($"t", $"bucket", $"va")
+      .orderBy($"cs".desc, $"vb".asc)
+    val pruned = cand.withColumn("lrk", row_number().over(wLocal))
+      .filter($"lrk" <= 3)
     val w = Window.partitionBy($"va").orderBy($"cs".desc, $"vb".asc)
-    cand.withColumn("rk", row_number().over(w).cast("long"))
+    pruned.withColumn("rk", dense_rank().over(w).cast("long"))
       .filter($"rk" <= 3)
+      .dropDuplicates("va", "vb")
       .select($"va".as("vec_id"), $"rk", $"vb".as("neighbor"), $"cs")
   }
 

@@ -36,7 +36,9 @@ class ExtensionsSpec extends AnyFunSuite {
           |  simhash32(array('x', 'y')) AS sim,
           |  minhash_sig(array('s1', 's2'))[0] AS mh0,
           |  float_vec_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)),
-          |                array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT))) AS dot
+          |                array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT))) AS dot,
+          |  double_vec_dot(array(CAST(1.5 AS DOUBLE), CAST(2.0 AS DOUBLE)),
+          |                 array(CAST(2.0 AS DOUBLE), CAST(3.0 AS DOUBLE))) AS ddot
           |""".stripMargin).collect().head
       assert(row.getSeq[String](0) == Seq("a b c", "b c d"))
       import spark.implicits._
@@ -45,6 +47,7 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect().head.getLong(0)
       assert(row.getLong(1) == viaCode)
       assert(row.getDouble(3) == 1.5 * 2.0 + 2.0 * 3.0)
+      assert(row.getDouble(4) == 1.5 * 2.0 + 2.0 * 3.0)
       val sigs = spark.sql(
         "SELECT lsh_signatures(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT)), 4, 6) AS s")
         .collect().head.getSeq[Long](0)

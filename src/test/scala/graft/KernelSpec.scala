@@ -30,6 +30,19 @@ class KernelSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact, not approx
   }
 
+  test("DoubleVecDot == aggregate(zip_with(_*_)) left fold, bit-for-bit") {
+    // the double-array sibling (k-means centroid paths): same fold,
+    // same bit-identity contract as FloatVecDot above
+    val e = Tables.embeddings(spark, sf).limit(200)
+      .select($"embedding".cast("array<double>").as("v"))
+    val rows = e.select(
+      VecOps.ddot(spark, $"v", reverse($"v")).as("kernel"),
+      aggregate(zip_with($"v", reverse($"v"), (p, q) => p * q),
+        lit(0.0), (acc, x) => acc + x).as("hof")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("TriShingles == array_distinct(transform(sequence...)) spelling") {
     val docs = Tables.documents(spark, sf).limit(100)
     val rows = docs.select(
