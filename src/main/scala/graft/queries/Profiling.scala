@@ -136,6 +136,37 @@ object Profiling {
     // terms go through DECIMAL so summation order can't drift
     // (the q_llm_unigram_lm discipline), and the final H is rounded
     // once more at 6.
+    // Mutual information between two categorical columns (r11):
+    // completes the dependence-measure family (chi2 tests association
+    // significance, corr covers numeric pairs — MI quantifies the
+    // SHARED BITS between lang and source, the feature-redundancy /
+    // leakage signal a dataset audit wants). One partial-agg groupBy
+    // for the joint, two for the marginals (all low-card), broadcast
+    // joins back — no window, no second scan of the fact table beyond
+    // the three partials. Per-cell PMI rounded 6 dp pre-sum, total MI
+    // as the decimal-exact sum of rounded terms (the q_profile_entropy
+    // log discipline).
+    "q_profile_mutual_info" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val joint = docs.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_xy"))
+      val jx = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_x"))
+      val jy = docs.groupBy(col("source")).agg(count(lit(1)).as("n_y"))
+      val nt = docs.agg(count(lit(1)).as("n_tot"))
+      val term = joint.join(broadcast(jx), "lang")
+        .join(broadcast(jy), "source")
+        .crossJoin(broadcast(nt))
+        .withColumn("p_xy", col("n_xy").cast(DoubleType) / col("n_tot"))
+        .withColumn("pmi",
+          round(log2((col("n_xy").cast(DoubleType) * col("n_tot")) /
+            (col("n_x").cast(DoubleType) * col("n_y"))), 6))
+      val mi = term.agg(round(sum(graft.Determinism.dec(col("p_xy") * col("pmi")))
+        .cast(DoubleType), 6).as("mi_bits"))
+      term.crossJoin(broadcast(mi))
+        .select(col("lang"), col("source"), col("n_xy"), col("pmi"), col("mi_bits"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     "q_profile_entropy" -> ((s, d) => {
       val catCols = Seq("l_returnflag", "l_linestatus")
       val li = Tables.lineitem(s, d)
@@ -347,6 +378,19 @@ object Profiling {
           .mkString(" UNION ALL ") +
         " ORDER BY col_a, col_b"
     },
+    "q_profile_mutual_info" ->
+      ("WITH joint AS (SELECT lang, source, COUNT(*) AS n_xy FROM documents GROUP BY lang, source), " +
+       "jx AS (SELECT lang, COUNT(*) AS n_x FROM documents GROUP BY lang), " +
+       "jy AS (SELECT source, COUNT(*) AS n_y FROM documents GROUP BY source), " +
+       "nt AS (SELECT COUNT(*) AS n_tot FROM documents), " +
+       "term AS (SELECT joint.lang, joint.source, n_xy, " +
+       "CAST(n_xy AS DOUBLE) / n_tot AS p_xy, " +
+       "round(log2((CAST(n_xy AS DOUBLE) * n_tot) / (CAST(n_x AS DOUBLE) * n_y)), 6) AS pmi " +
+       "FROM joint JOIN jx ON joint.lang = jx.lang " +
+       "JOIN jy ON joint.source = jy.source CROSS JOIN nt), " +
+       "mi AS (SELECT round(CAST(SUM(CAST(p_xy * pmi AS DECIMAL(38,6))) AS DOUBLE), 6) AS mi_bits FROM term) " +
+       "SELECT lang, source, n_xy, pmi, mi_bits FROM term CROSS JOIN mi " +
+       "ORDER BY lang, source"),
     "q_profile_entropy" ->
       ("WITH long AS (" +
         "SELECT 'l_returnflag' AS col_name, l_returnflag AS value, COUNT(*) AS n FROM lineitem GROUP BY 2 " +
