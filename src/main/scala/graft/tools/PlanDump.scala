@@ -99,6 +99,20 @@ object PlanDump {
         "this SF, date range pushed to the orders scan, Catalyst free to reorder"),
       "q_llm_corpus_dedup" -> ("end-to-end corpus dedup (r8): pair relation -> CC -> keep-best " +
         "max(struct) -> ANTI join; loser side is dedup-rate-sized so AQE broadcasts it"),
+      "q_llm_kmeans" -> ("oracle-checked Lloyd k-means (r11): per round ONE k-row broadcast join " +
+        "(assignment embarrassingly parallel, DoubleVecDot codegen kernel, argmax as an " +
+        "order-independent max(struct) partial agg) + ONE (cell,dim)-keyed partial-agg shuffle " +
+        "with k·dim groups regardless of corpus size — no window over data rows anywhere"),
+      "q_llm_semdedup" -> ("SemDeDup cluster-bounded dedup (r11): cell-keyed EQUI self-join " +
+        "(candidate work n²/2k, never all-pairs), fused float_vec_dot rerank inside the join " +
+        "stage, survivors into the DedupClusters fixpoint"),
+      "q_llm_knn_graph_ann" -> ("ANN kNN graph (r11): (t,bucket)-keyed self-join from the CACHED " +
+        "bucket relation, rank-limit pushdown inserts map-side WindowGroupLimit before every " +
+        "exchange so only per-group top-3 survivors shuffle — the full Σ bucket² candidate " +
+        "multiset never crosses an exchange"),
+      "q_profile_mutual_info" -> ("categorical MI (r11): three low-card partial aggregates + " +
+        "broadcast joins back — the fact table is scanned for partials only, no window, " +
+        "no re-scan"),
       "q_cdc_asof_snapshot" -> ("AS OF snapshot (r8): time cut spelled on the RAW stored ts " +
         "column via Tables.eventsBefore — lands in PushedFilters in EITHER testdata encoding " +
         "(ns-long or µs-NTZ), so a time-partitioned history prunes at the scan"),
