@@ -70,7 +70,18 @@ object KMeans {
     * return the final assignment (vec_id, cell, cs). `e` must be the
     * [[prepared]] relation (callers cache it — it is scanned once per
     * assignment/update pass). */
-  def fit(e: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def fit(e: DataFrame, k: Int, rounds: Int): DataFrame =
+    loop(e, k, rounds)._2
+
+  /** The trained MODEL — the (cell, centroid) relation the final
+    * assignment of [[fit]] uses. This is the train-on-sample /
+    * apply-anywhere artifact: k rows, broadcastable, consumed by the
+    * batch apply pass at 100 TB and by streaming.SemanticDedup's
+    * ingest-time assignment. */
+  def fitModel(e: DataFrame, k: Int, rounds: Int): DataFrame =
+    loop(e, k, rounds)._1
+
+  private def loop(e: DataFrame, k: Int, rounds: Int): (DataFrame, DataFrame) = {
     val seedW = Window.orderBy(col("h"), col("vec_id"))
     var cents = e
       .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
@@ -84,7 +95,7 @@ object KMeans {
       asg = assign(e, cents)
       r += 1
     }
-    asg
+    (cents, asg)
   }
 
   /** Nearest-centroid assignment: broadcast the k centroid rows

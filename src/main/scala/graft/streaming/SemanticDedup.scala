@@ -1,0 +1,197 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming semantic dedup — dedup-on-ingest for an embedding stream,
+  * the streaming face of the q_llm_semdedup chain (SemDeDup over a
+  * trained k-means quantizer, operators.KMeans).
+  *
+  * Train/apply split: the quantizer is trained OFFLINE on a static
+  * corpus (`KMeans.fitModel`, k rows) and shipped into the stream as a
+  * plain broadcast-sized array; each incoming vector is assigned its
+  * cell with EXACTLY the batch rule (sequential-fold double cosine,
+  * HALF_UP round to 6 dp, argmax with ties to the smallest cell — the
+  * spec asserts stream cells == q_llm_kmeans cells bit-for-bit).
+  *
+  * State: one record per CELL holding the cell's surviving
+  * representatives (id + embedding). A new vector scoring ≥ `theta`
+  * (rounded cosine) against ANY survivor — compared in insertion
+  * order, first hit wins — is a duplicate of that survivor; otherwise
+  * it becomes a survivor itself. State is bounded by UNIQUE content
+  * per cell, not stream volume (duplicates never grow it); past
+  * `maxSurvivors` the cell refuses loudly (the HotCellBudget
+  * discipline) naming the mitigations — grow k (finer cells) or raise
+  * the budget.
+  *
+  * Ingest-order semantics, stated: within a batch vectors process in
+  * vec_id order, across batches in arrival order — earlier content
+  * wins, a duplicate's `rep` is its FIRST matching survivor. The
+  * batch query's transitive closure (DedupClusters) can merge chains
+  * greedy ingest keeps apart (a—b ≥ θ, b—c ≥ θ, a—c < θ: batch folds
+  * {a,b,c} into one component, ingest keeps a and c). That divergence
+  * is inherent to single-pass dedup-on-ingest and is pinned, not
+  * hidden, by the spec's chain case.
+  *
+  * Scale: the only shuffle is groupByKey(cell) — the same key the
+  * batch pair join clusters on; state per cell is survivor-sized, and
+  * cells stay bounded by growing k with the corpus (the semdedup
+  * growth rule).
+  */
+object SemanticDedup {
+
+  /** One trained centroid, with its norm precomputed once (the norm
+    * ride-along discipline). */
+  case class Centroid(cell: Long, vec: Array[Double], nrm: Double)
+
+  case class EmbIn(vecId: Long, embedding: Array[Float])
+
+  /** Post-assignment row (public: the Dataset encoder's generated
+    * code constructs it reflectively). */
+  case class CellVec(vecId: Long, cell: Long, embedding: Array[Float])
+
+  /** kept=true → the vector is a new representative (rep == vecId);
+    * kept=false → duplicate of survivor `rep` in the same cell. */
+  case class Verdict(vecId: Long, cell: Long, rep: Long, kept: Boolean)
+
+  /** Per-cell survivor store (parallel arrays — product-encodable). */
+  case class CellSurvivors(ids: Array[Long], embs: Array[Array[Float]])
+
+  /** Spark's round(x, 6): BigDecimal HALF_UP — spelled identically so
+    * stream cosines equal the batch column values bit-for-bit. */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Sequential left-fold dot in double with float widening — the
+    * FloatVecDot / aggregate(zip_with) fold order. */
+  private def dotFF(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  private def dotFD(a: Array[Float], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a(i).toDouble * b(i); i += 1 }
+    acc
+  }
+
+  private def nrmF(a: Array[Float]): Double = math.sqrt(dotFF(a, a))
+
+  /** Load the trained model for shipping into the stream: collect the
+    * k (cell, centroid) rows of `KMeans.fitModel` output. */
+  def collectModel(model: org.apache.spark.sql.DataFrame): Array[Centroid] =
+    model.collect().map { r =>
+      val vec = r.getSeq[Double](r.fieldIndex("centroid")).toArray
+      val nrm = math.sqrt(vec.foldLeft(0.0)((acc, x) => acc + x * x))
+      Centroid(r.getLong(r.fieldIndex("cell")), vec, nrm)
+    }.sortBy(_.cell)
+
+  /** The batch assignment rule on one vector: rounded cosine argmax,
+    * ties to the smallest cell (centroids pre-sorted by cell, strict
+    * `>` keeps the first = smallest on ties). */
+  private[streaming] def assignCell(emb: Array[Float], model: Array[Centroid]): Long = {
+    val nrm = nrmF(emb)
+    var bestCell = -1L
+    var bestCs = Double.NegativeInfinity
+    var i = 0
+    while (i < model.length) {
+      val c = model(i)
+      val cs = round6(dotFD(emb, c.vec) / (nrm * c.nrm))
+      if (cs > bestCs) { bestCs = cs; bestCell = c.cell }
+      i += 1
+    }
+    bestCell
+  }
+
+  /** The per-cell semantics, shared by both state-API wirings: fold a
+    * batch of vectors (sorted by vecId) over the survivor store. */
+  private[streaming] def fold(cell: Long, rows: Iterator[CellVec],
+      prev: Option[CellSurvivors], theta: Double, maxSurvivors: Int)
+      : (CellSurvivors, Seq[Verdict]) = {
+    var ids = prev.map(_.ids).getOrElse(Array.empty[Long])
+    var embs = prev.map(_.embs).getOrElse(Array.empty[Array[Float]])
+    val out = Seq.newBuilder[Verdict]
+    rows.toSeq.sortBy(_.vecId).foreach { r =>
+      val nrm = nrmF(r.embedding)
+      var rep = -1L
+      var i = 0
+      while (rep < 0 && i < ids.length) {
+        val cs = round6(dotFF(r.embedding, embs(i)) / (nrm * nrmF(embs(i))))
+        if (cs >= theta) rep = ids(i)
+        i += 1
+      }
+      if (rep >= 0) out += Verdict(r.vecId, cell, rep, kept = false)
+      else {
+        require(ids.length < maxSurvivors,
+          s"SemanticDedup: cell $cell exceeds $maxSurvivors unique " +
+          "survivors — grow k (finer cells) or raise the budget; " +
+          "duplicates never grow state, this is genuinely novel content")
+        ids = ids :+ r.vecId
+        embs = embs :+ r.embedding
+        out += Verdict(r.vecId, cell, r.vecId, kept = true)
+      }
+    }
+    (CellSurvivors(ids, embs), out.result())
+  }
+
+  private def update(theta: Double, maxSurvivors: Int)(
+      cell: Long, rows: Iterator[CellVec],
+      state: GroupState[CellSurvivors]): Iterator[Verdict] = {
+    val (next, out) = fold(cell, rows, state.getOption, theta, maxSurvivors)
+    state.update(next)
+    out.iterator
+  }
+
+  /** Wire the stage over a stream of embeddings. */
+  def apply(spark: SparkSession, in: Dataset[EmbIn], model: Array[Centroid],
+      theta: Double, maxSurvivors: Int = 100000): Dataset[Verdict] = {
+    import spark.implicits._
+    in.map(r => CellVec(r.vecId, assignCell(r.embedding, model), r.embedding))
+      .groupByKey(_.cell)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        update(theta, maxSurvivors))
+  }
+}
+
+/** The SAME stage on Spark 4's transformWithState (the house dual
+  * state-API discipline: every stateful operator ships both wirings,
+  * spec-proven output-identical — this one delegates to
+  * `SemanticDedup.fold` exactly like the GroupState form, so the
+  * survivor-store semantics cannot drift between APIs). RocksDB-backed
+  * in SemanticDedupSpec's twin test. */
+object SemanticDedupTws {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+  import SemanticDedup.{CellSurvivors, CellVec, Centroid, EmbIn, Verdict}
+
+  private class Processor(theta: Double, maxSurvivors: Int)
+      extends StatefulProcessor[Long, CellVec, Verdict] {
+    @transient private var state: ValueState[CellSurvivors] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[CellSurvivors](
+        "survivors", Encoders.product[CellSurvivors], TTLConfig.NONE)
+
+    override def handleInputRows(cell: Long, rows: Iterator[CellVec],
+        timerValues: TimerValues): Iterator[Verdict] = {
+      val prev = if (state.exists()) Some(state.get()) else None
+      val (next, out) = SemanticDedup.fold(cell, rows, prev, theta, maxSurvivors)
+      state.update(next)
+      out.iterator
+    }
+  }
+
+  def apply(spark: SparkSession, in: Dataset[EmbIn], model: Array[Centroid],
+      theta: Double, maxSurvivors: Int = 100000): Dataset[Verdict] = {
+    import spark.implicits._
+    in.map(r => CellVec(r.vecId, SemanticDedup.assignCell(r.embedding, model), r.embedding))
+      .groupByKey(_.cell)
+      .transformWithState(new Processor(theta, maxSurvivors),
+        TimeMode.None(), OutputMode.Append())
+  }
+}
