@@ -115,13 +115,16 @@ object SemanticDedup {
       : (CellSurvivors, Seq[Verdict]) = {
     var ids = prev.map(_.ids).getOrElse(Array.empty[Long])
     var embs = prev.map(_.embs).getOrElse(Array.empty[Array[Float]])
+    // survivor norms computed ONCE per fold call (the norm ride-along
+    // discipline), extended as appends happen
+    var nrms = embs.map(nrmF)
     val out = Seq.newBuilder[Verdict]
     rows.toSeq.sortBy(_.vecId).foreach { r =>
       val nrm = nrmF(r.embedding)
       var rep = -1L
       var i = 0
       while (rep < 0 && i < ids.length) {
-        val cs = round6(dotFF(r.embedding, embs(i)) / (nrm * nrmF(embs(i))))
+        val cs = round6(dotFF(r.embedding, embs(i)) / (nrm * nrms(i)))
         if (cs >= theta) rep = ids(i)
         i += 1
       }
@@ -133,6 +136,7 @@ object SemanticDedup {
           "duplicates never grow state, this is genuinely novel content")
         ids = ids :+ r.vecId
         embs = embs :+ r.embedding
+        nrms = nrms :+ nrm
         out += Verdict(r.vecId, cell, r.vecId, kept = true)
       }
     }
@@ -163,25 +167,44 @@ object SemanticDedup {
   * spec-proven output-identical — this one delegates to
   * `SemanticDedup.fold` exactly like the GroupState form, so the
   * survivor-store semantics cannot drift between APIs). RocksDB-backed
-  * in SemanticDedupSpec's twin test. */
+  * in SemanticDedupSpec's twin test.
+  *
+  * State shape: ListState, one row per SURVIVOR — appends are
+  * incremental (RocksDB merge, no read-modify-write of the cell's
+  * whole store), which matters here more than for the monitors: a
+  * cell's state grows with its unique content, so the GroupState
+  * form's full-array rewrite pays O(survivors) serialization per
+  * batch while this wiring pays O(newly kept). ListState preserves
+  * insertion order, which IS the semantics (first-match-wins against
+  * survivors in arrival order). */
 object SemanticDedupTws {
   import org.apache.spark.sql.Encoders
-  import org.apache.spark.sql.streaming.{StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+  import org.apache.spark.sql.streaming.{ListState, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
   import SemanticDedup.{CellSurvivors, CellVec, Centroid, EmbIn, Verdict}
+
+  /** One survivor (public: encoder codegen constructs it). */
+  case class SurvivorRow(id: Long, emb: Array[Float])
 
   private class Processor(theta: Double, maxSurvivors: Int)
       extends StatefulProcessor[Long, CellVec, Verdict] {
-    @transient private var state: ValueState[CellSurvivors] = _
+    @transient private var state: ListState[SurvivorRow] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      state = getHandle.getValueState[CellSurvivors](
-        "survivors", Encoders.product[CellSurvivors], TTLConfig.NONE)
+      state = getHandle.getListState[SurvivorRow](
+        "survivors", Encoders.product[SurvivorRow], TTLConfig.NONE)
 
     override def handleInputRows(cell: Long, rows: Iterator[CellVec],
         timerValues: TimerValues): Iterator[Verdict] = {
-      val prev = if (state.exists()) Some(state.get()) else None
+      val prevRows = state.get().toArray
+      val prev =
+        if (prevRows.isEmpty) None
+        else Some(CellSurvivors(prevRows.map(_.id), prevRows.map(_.emb)))
       val (next, out) = SemanticDedup.fold(cell, rows, prev, theta, maxSurvivors)
-      state.update(next)
+      var i = prevRows.length // append ONLY the newly kept survivors
+      while (i < next.ids.length) {
+        state.appendValue(SurvivorRow(next.ids(i), next.embs(i)))
+        i += 1
+      }
       out.iterator
     }
   }

@@ -96,6 +96,34 @@ object StateScaleBench {
               pmod(col("eventId") / 10 + col("tsMs") / 60000L, lit(3))
                 .cast("long").as("zone"))
             .as[graft.streaming.FenceMonitor.ZoneHit]).toDF()
+      case "semdedup" =>
+        // streaming semantic dedup at scale: hash-derived pseudo-random
+        // embeddings (near-orthogonal ⇒ every vector is NOVEL at
+        // θ=0.7 — worst case, state grows by every row), k sized from
+        // SPARK_GRAFT_SEMDEDUP_K (default nKeys/500 ⇒ ~500-survivor
+        // cells). The per-row cost is the honest within-cell survivor
+        // scan — O(cell content) — so throughput scales ∝ 1/cell_size:
+        // the grow-k rule, measured by running two k values.
+        val k = sys.env.get("SPARK_GRAFT_SEMDEDUP_K").map(_.toInt)
+          .getOrElse(math.max(8, nKeys / 500))
+        val dims = 64
+        def comp(seed: Long, i: Int): Double =
+          (((seed * 6364136223846793005L + i * 1442695040888963407L) >>> 11)
+            % 2000L).toDouble / 1000.0 - 1.0
+        val model = Array.tabulate(k) { c =>
+          val v = Array.tabulate(dims)(i => comp(0xC0FFEEL + c, i))
+          graft.streaming.SemanticDedup.Centroid(c.toLong, v,
+            math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
+        }
+        graft.streaming.SemanticDedupTws(spark,
+          raw.select(col("eventId").as("vecId"),
+              org.apache.spark.sql.functions.transform(
+                sequence(lit(0), lit(dims - 1)),
+                i => (pmod(xxhash64(col("eventId"), i), lit(2000L))
+                  .cast("double") / 1000.0 - 1.0).cast("float"))
+                .as("embedding"))
+            .as[graft.streaming.SemanticDedup.EmbIn],
+          model, theta = 0.7, maxSurvivors = nKeys).toDF()
       case _ =>
         graft.streaming.TripMonitorTws(spark,
           raw.as[graft.streaming.TripMonitor.Fix]).toDF()
