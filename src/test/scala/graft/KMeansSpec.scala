@@ -39,6 +39,18 @@ class KMeansSpec extends AnyFunSuite {
     assert(a.join(b, Seq("vec_id", "cell", "cs")).count() == prepared.count())
   }
 
+  test("fit is partitioning-invariant: skewed repartition + different shuffle width, identical output") {
+    // the DECIMAL-exact centroid claim made operational: partial-sum
+    // arrival order differs under 7-way input partitioning and a 3-way
+    // shuffle, and exact addition means not one low bit may move —
+    // a float-sum implementation fails this on near-tie assignments
+    val base = KMeans.fit(prepared, K, 2)
+    val alt = TestSpark.withSQLConf("spark.sql.shuffle.partitions" -> "3") {
+      KMeans.fit(prepared.repartition(7), K, 2).cache()
+    }
+    assert(base.join(alt, Seq("vec_id", "cell", "cs")).count() == prepared.count())
+  }
+
   test("each Lloyd round is monotone: mean cosine-to-centroid never decreases") {
     // Lloyd's invariant (assignment and update both optimize the same
     // objective). Cosine against the MEAN is not exactly the spherical
