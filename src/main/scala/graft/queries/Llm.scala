@@ -1130,6 +1130,53 @@ object Llm {
         .orderBy($"doc_id")
     }),
 
+    // DEDUP FUNNEL (r11): the sequential waterfall report a
+    // training-data pipeline actually runs — each stage applies to the
+    // SURVIVORS of the previous one (unlike the per-stage queries,
+    // which each score the raw corpus): exact (md5 hash-groupBy) →
+    // normalized (case/whitespace-folded sha256) → n-gram near-dup
+    // (the corpus-wide trigram-Jaccard relation restricted to
+    // surviving endpoints → DedupClusters → keep min id). The planted
+    // corpus carries BOTH duplicate kinds (byte-exact copies at +1M,
+    // case-mangled at +2M) so every stage visibly fires. Counts only
+    // ever aggregate (4 output rows at any corpus size); the lag
+    // window runs over those 4 rows, never data.
+    "q_llm_dedup_funnel" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.documents(s, d).select($"doc_id", $"text")
+      val corpus = graft.CacheScope.local(base
+        .unionByName(base.select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+        .unionByName(base.select(($"doc_id" + 2000000L).as("doc_id"),
+          upper($"text").as("text"))))
+      val eIds = corpus.groupBy(md5($"text").as("h"))
+        .agg(min($"doc_id").as("doc_id")).select($"doc_id")
+      val e = corpus.join(eIds, "doc_id")
+      val nIds = e
+        .withColumn("norm", regexp_replace(lower(trim($"text")), "\\s+", " "))
+        .groupBy(sha2($"norm", 256).as("nh"))
+        .agg(min($"doc_id").as("doc_id")).select($"doc_id")
+      val pairs = ngramPairScores(s, d).select($"doc_a", $"doc_b")
+        .join(nIds.select($"doc_id".as("doc_a")), "doc_a")
+        .join(nIds.select($"doc_id".as("doc_b")), "doc_b")
+      val labels = graft.operators.DedupClusters.resolve(s, pairs)
+      val losers = labels.filter($"doc_id" =!= $"canonical").select($"doc_id")
+      val fIds = nIds.join(losers, Seq("doc_id"), "left_anti")
+      val counts = Seq[(Long, String, DataFrame)](
+        (1L, "raw", corpus), (2L, "exact", eIds),
+        (3L, "norm", nIds), (4L, "neardup", fIds))
+        .map { case (ord, st, df) =>
+          df.agg(count(lit(1)).cast(LongType).as("n_out"))
+            .select(lit(ord).as("ord"), lit(st).as("stage"), $"n_out")
+        }.reduce(_ unionByName _)
+      val w = Window.orderBy($"ord")
+      counts
+        .withColumn("n_in", coalesce(lag($"n_out", 1).over(w), $"n_out"))
+        .withColumn("n_dropped", $"n_in" - $"n_out")
+        .select($"ord", $"stage", $"n_in", $"n_out", $"n_dropped")
+        .orderBy($"ord")
+    }),
+
     // Token-budget shard packing: assign docs (in deterministic doc_id
     // order) to ~10k-token training shards via an EXACT distributed
     // prefix sum — operators.PrefixSum's recursive multi-level scan
@@ -1493,6 +1540,36 @@ object Llm {
        "cs AS (SELECT canonical, COUNT(*) AS cluster_size FROM lab GROUP BY canonical) " +
        "SELECT cs.canonical, cs.cluster_size, q.doc_id AS keeper, q.n_chars AS keeper_chars " +
        "FROM cs JOIN q ON q.canonical = cs.canonical AND q.rn = 1 ORDER BY cs.canonical"),
+    // funnel twin: shingle chain + pair relation on the base docs,
+    // funnel CTEs over the 3-way planted corpus, recursive closure,
+    // 4-row stacked counts with the same lag spelling
+    "q_llm_dedup_funnel" ->
+      ("WITH RECURSIVE " + shCte.stripPrefix("WITH ") + ", " + ngramPairSql +
+       ", base AS (SELECT doc_id, text FROM documents), " +
+       "corpus AS (SELECT doc_id, text FROM base " +
+       "UNION ALL SELECT doc_id + 1000000, text FROM base " +
+       "UNION ALL SELECT doc_id + 2000000, upper(text) FROM base), " +
+       "e_ids AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text)), " +
+       "e AS (SELECT corpus.doc_id, corpus.text FROM corpus JOIN e_ids USING (doc_id)), " +
+       "n_ids AS (SELECT MIN(doc_id) AS doc_id FROM (SELECT doc_id, " +
+       "sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS nh FROM e) GROUP BY nh), " +
+       "fpairs AS (SELECT doc_a, doc_b FROM v WHERE jaccard >= 0.2 " +
+       "AND doc_a IN (SELECT doc_id FROM n_ids) AND doc_b IN (SELECT doc_id FROM n_ids)), " +
+       "ed AS (SELECT doc_a AS src, doc_b AS dst FROM fpairs UNION SELECT doc_b, doc_a FROM fpairs), " +
+       "r AS (SELECT src, dst FROM ed UNION SELECT r.src, ed.dst FROM r JOIN ed ON r.dst = ed.src), " +
+       "reach AS (SELECT src AS doc_id, dst FROM r UNION SELECT src, src FROM ed), " +
+       "lab AS (SELECT doc_id, MIN(dst) AS canonical FROM reach GROUP BY doc_id), " +
+       "f_ids AS (SELECT doc_id FROM n_ids WHERE doc_id NOT IN " +
+       "(SELECT doc_id FROM lab WHERE doc_id <> canonical)), " +
+       "counts AS (SELECT 1 AS ord, 'raw' AS stage, (SELECT COUNT(*) FROM corpus) AS n_out " +
+       "UNION ALL SELECT 2, 'exact', (SELECT COUNT(*) FROM e_ids) " +
+       "UNION ALL SELECT 3, 'norm', (SELECT COUNT(*) FROM n_ids) " +
+       "UNION ALL SELECT 4, 'neardup', (SELECT COUNT(*) FROM f_ids)) " +
+       "SELECT CAST(ord AS BIGINT) AS ord, stage, " +
+       "CAST(COALESCE(LAG(n_out) OVER (ORDER BY ord), n_out) AS BIGINT) AS n_in, " +
+       "CAST(n_out AS BIGINT) AS n_out, " +
+       "CAST(COALESCE(LAG(n_out) OVER (ORDER BY ord), n_out) - n_out AS BIGINT) AS n_dropped " +
+       "FROM counts ORDER BY ord"),
     "q_llm_corpus_dedup" ->
       ("WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
        "sh0 AS (SELECT doc_id, list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] " +
