@@ -977,6 +977,91 @@ object Llm {
         .orderBy(asg("vec_id"))
     }),
 
+    // CLUSTER MEDOIDS (r11, curation on top of the trained quantizer):
+    // per-cell representative selection — the vector maximizing the
+    // DECIMAL-exact sum of its 6-dp-rounded within-cell cosines (ties
+    // → smallest vec_id). The medoid is what a curation pipeline ships
+    // as the cell's exemplar (and what SemDeDup-style pruning keeps
+    // when a whole cell collapses). Candidate work is the SAME
+    // cell-keyed equi-join bound as q_llm_semdedup (Σ cell², never
+    // all-pairs; cells stay bounded at scale by growing k), the
+    // argmax is one order-independent max(struct) partial aggregate
+    // (no window over pair rows), and singleton cells — which produce
+    // no pair rows — re-enter via a left join with sum 0 so every
+    // cell reports exactly one row at any scale.
+    "q_llm_cluster_medoids" -> ((s, d) => {
+      import s.implicits._
+      val e = kmeansPrepared(s, d)
+      val asg = graft.CacheScope.local(
+        graft.operators.KMeans.fit(e, KmeansK, KmeansRounds)
+          .select($"vec_id", $"cell"))
+      val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding",
+        VecOps.norm(s, $"embedding").as("nrm"))
+      val pe = asg.join(emb, "vec_id")
+      val sums = pe.as("x").join(pe.as("y"),
+          $"x.cell" === $"y.cell" && $"x.vec_id" =!= $"y.vec_id")
+        .select($"x.vec_id".as("vec_id"),
+          round(VecOps.dot(s, $"x.embedding", $"y.embedding") /
+            ($"x.nrm" * $"y.nrm"), 6).as("cs"))
+        .groupBy($"vec_id")
+        .agg(sum($"cs".cast(DecimalType(38, 6))).as("s"))
+      val members = asg.groupBy($"cell").agg(count(lit(1)).as("cell_n"))
+      asg.join(sums, Seq("vec_id"), "left")
+        .select($"cell", $"vec_id",
+          coalesce($"s", lit(0).cast(DecimalType(38, 6))).as("s"))
+        .groupBy($"cell")
+        .agg(max(struct($"s", (-$"vec_id").as("nv"))).as("m"))
+        .join(members, "cell")
+        .select($"cell", (-$"m.nv").as("medoid"), $"cell_n",
+          when($"cell_n" > 1,
+            round($"m.s".cast("double") / ($"cell_n" - 1), 6))
+            .otherwise(lit(0.0)).as("mean_cs"))
+        .orderBy($"cell")
+    }),
+
+    // CORESET SAMPLE (r11): per-cell top-3 most-CENTRAL vectors —
+    // ranked by the fit's own cosine-to-winning-centroid (ties →
+    // smallest vec_id). This is prototype selection for training-data
+    // curation (ship m exemplars per semantic region instead of the
+    // full corpus); the rank rides Spark 4's WindowGroupLimit
+    // pushdown, so per-cell top-3 filters map-side and only ≤ 3k rows
+    // survive to the final sort at any corpus size.
+    "q_llm_coreset_sample" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val fit = graft.operators.KMeans.fit(kmeansPrepared(s, d),
+        KmeansK, KmeansRounds)
+      val w = Window.partitionBy($"cell").orderBy($"cs".desc, $"vec_id".asc)
+      fit.withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 3)
+        .select($"cell", $"rk", $"vec_id", $"cs")
+        .orderBy($"cell", $"rk")
+    }),
+
+    // CLUSTER PURITY (r11): label-based quantizer quality — per cell
+    // the majority source label and its share (ties → smallest
+    // label). The eval a pipeline runs after training the quantizer:
+    // high purity means the cells track the label structure and
+    // cell-bounded dedup/curation respects it. Two low-cardinality
+    // partial-agg groupBys + one broadcast-sized join back — no
+    // window, no pair work, nothing grows past k·|labels| groups.
+    "q_llm_cluster_purity" -> ((s, d) => {
+      import s.implicits._
+      val asg = graft.operators.KMeans.fit(kmeansPrepared(s, d),
+          KmeansK, KmeansRounds)
+        .select($"vec_id", $"cell")
+      val cl = asg.join(
+          Tables.embeddings(s, d).select($"vec_id", $"label"), "vec_id")
+        .groupBy($"cell", $"label").agg(count(lit(1)).as("nl"))
+      val members = asg.groupBy($"cell").agg(count(lit(1)).as("cell_n"))
+      cl.groupBy($"cell")
+        .agg(max(struct($"nl", (-$"label").as("ng"))).as("m"))
+        .join(members, "cell")
+        .select($"cell", $"cell_n", (-$"m.ng").as("top_label"),
+          round($"m.nl".cast("double") / $"cell_n", 6).as("purity"))
+        .orderBy($"cell")
+    }),
+
     // Embedding-cosine near-dup pairs above threshold — EXACT semantics
     // via a block-partitioned pair join. Why not LSH/IVF candidates: on
     // this corpus the qualifying pairs sit at cosine 0.35-0.51 among
@@ -1671,6 +1756,46 @@ object Llm {
        s"SELECT a.vec_id, a.cell, COALESCE(l.canonical, a.vec_id) AS rep, " +
        "(COALESCE(l.canonical, a.vec_id) = a.vec_id) AS kept " +
        s"FROM a$KmeansRounds a LEFT JOIN lab l ON a.vec_id = l.vec_id ORDER BY a.vec_id"),
+    // medoid twin: kmeans CTEs + both-orientation within-cell cosine
+    // sums (DECIMAL-exact over the 6-dp-rounded terms, the update-CTE
+    // discipline) + per-cell argmax; singletons re-enter via the LEFT
+    // JOIN with sum 0, mean 0.0
+    "q_llm_cluster_medoids" ->
+      (kmeansOracleWith + ", " +
+       s"pe AS (SELECT a$KmeansRounds.vec_id, a$KmeansRounds.cell, en.v, en.nrm " +
+       s"FROM a$KmeansRounds JOIN en USING (vec_id)), " +
+       "pr AS (SELECT x.vec_id AS vec_id, " +
+       "round(list_sum(list_transform(list_zip(x.v, y.v), p -> p[1] * p[2])) / " +
+       "(x.nrm * y.nrm), 6) AS cs " +
+       "FROM pe x JOIN pe y ON x.cell = y.cell AND x.vec_id <> y.vec_id), " +
+       "sm AS (SELECT vec_id, SUM(CAST(cs AS DECIMAL(38,6))) AS s FROM pr GROUP BY vec_id), " +
+       s"mem AS (SELECT cell, COUNT(*) AS cell_n FROM a$KmeansRounds GROUP BY cell), " +
+       s"ws AS (SELECT a.cell, a.vec_id, COALESCE(sm.s, CAST(0 AS DECIMAL(38,6))) AS s " +
+       s"FROM a$KmeansRounds a LEFT JOIN sm ON a.vec_id = sm.vec_id), " +
+       "md AS (SELECT cell, vec_id, s, row_number() OVER " +
+       "(PARTITION BY cell ORDER BY s DESC, vec_id ASC) AS rn FROM ws) " +
+       "SELECT md.cell, md.vec_id AS medoid, mem.cell_n, " +
+       "CASE WHEN mem.cell_n > 1 THEN round(CAST(md.s AS DOUBLE) / (mem.cell_n - 1), 6) " +
+       "ELSE 0.0 END AS mean_cs " +
+       "FROM md JOIN mem USING (cell) WHERE rn = 1 ORDER BY cell"),
+    // coreset twin: the fit relation + per-cell centrality rank
+    "q_llm_coreset_sample" ->
+      (kmeansOracleWith + " " +
+       "SELECT cell, rk, vec_id, cs FROM (SELECT cell, " +
+       "CAST(row_number() OVER (PARTITION BY cell ORDER BY cs DESC, vec_id ASC) AS BIGINT) AS rk, " +
+       s"vec_id, cs FROM a$KmeansRounds) WHERE rk <= 3 ORDER BY cell, rk"),
+    // purity twin: per-(cell, label) counts + per-cell majority
+    "q_llm_cluster_purity" ->
+      (kmeansOracleWith + ", " +
+       s"al AS (SELECT a.cell, e2.label FROM a$KmeansRounds a " +
+       "JOIN embeddings e2 ON a.vec_id = e2.vec_id), " +
+       "cl AS (SELECT cell, label, COUNT(*) AS nl FROM al GROUP BY cell, label), " +
+       s"mem AS (SELECT cell, COUNT(*) AS cell_n FROM a$KmeansRounds GROUP BY cell), " +
+       "tp AS (SELECT cell, label, nl, row_number() OVER " +
+       "(PARTITION BY cell ORDER BY nl DESC, label ASC) AS rn FROM cl) " +
+       "SELECT tp.cell, mem.cell_n, tp.label AS top_label, " +
+       "round(CAST(tp.nl AS DOUBLE) / mem.cell_n, 6) AS purity " +
+       "FROM tp JOIN mem USING (cell) WHERE rn = 1 ORDER BY cell"),
     "q_llm_embed_neardup" ->
       ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
        "p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +

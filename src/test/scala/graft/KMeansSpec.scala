@@ -95,6 +95,49 @@ class KMeansSpec extends AnyFunSuite {
     assert(merged.count() == 50, "a clone failed to resolve into its original's component")
   }
 
+  test("curation trio: medoid membership, coreset centrality, purity majority (semantic pins)") {
+    // the hash twins certify cross-engine equality; these pin the
+    // CLAIMS of the three curation queries against an independent
+    // driver-side recomputation on the same corpus
+    val d = "/root/testdata/sf0.01"
+    val asg = KMeans.fit(prepared, K, 2).cache()
+    val med = SparkEntry.queries("q_llm_cluster_medoids")(spark, d).cache()
+    // exactly one medoid per cell, and it is a MEMBER of that cell
+    assert(med.count() == K)
+    assert(med.join(asg,
+      med("medoid") === asg("vec_id") && med("cell") === asg("cell")).count() == K)
+    assert(med.filter($"mean_cs" > 1.0 || $"mean_cs" < -1.0).count() == 0)
+    // cell_n reconciles with the fit
+    val sizes = asg.groupBy($"cell").count()
+    assert(med.join(sizes, Seq("cell"))
+      .filter($"cell_n" =!= $"count").count() == 0)
+    CacheScope.drain()
+    // coreset: rk is 1..3 dense per cell and rk=1 carries the cell's
+    // max centrality (ties broken to the smaller vec_id)
+    val cs = SparkEntry.queries("q_llm_coreset_sample")(spark, d).cache()
+    assert(cs.groupBy($"cell").agg(collect_list($"rk").as("rks"))
+      .filter(array_sort($"rks") =!= array(lit(1L), lit(2L), lit(3L)))
+      .count() == 0)
+    val top = asg.groupBy($"cell").agg(max($"cs").as("mx"))
+    assert(cs.filter($"rk" === 1).join(top, Seq("cell"))
+      .filter($"cs" =!= $"mx").count() == 0)
+    CacheScope.drain()
+    // purity: top_label is the true per-cell majority, share in (0, 1]
+    val pur = SparkEntry.queries("q_llm_cluster_purity")(spark, d).cache()
+    val lab = asg.join(
+        Tables.embeddings(spark, d).select($"vec_id", $"label"), Seq("vec_id"))
+      .groupBy($"cell", $"label").count()
+    val want = lab.groupBy($"cell")
+      .agg(max(struct($"count", (-$"label").as("ng"))).as("m"))
+      .select($"cell", (-$"m.ng").as("want_label"), $"m.count".as("want_n"))
+    val joined = pur.join(want, Seq("cell"))
+    assert(joined.filter($"top_label" =!= $"want_label").count() == 0)
+    assert(pur.filter($"purity" <= 0.0 || $"purity" > 1.0).count() == 0)
+    assert(joined.filter(
+      $"purity" =!= round($"want_n".cast("double") / $"cell_n", 6)).count() == 0)
+    CacheScope.drain()
+  }
+
   test("within-cell candidate work is k-fold below all-pairs on the real corpus") {
     val asg = KMeans.fit(prepared, K, 2)
     val sizes = asg.groupBy($"cell").count().as[(Long, Long)].collect().map(_._2)
