@@ -103,8 +103,11 @@ object AnnLsh {
     // cache the bucket relation (n·tables narrow rows): the self-join
     // otherwise recomputes the 200-hyperplane signature kernel on BOTH
     // sides — measured at sf0.1 the signatures were ~5 s of an 8.9 s
-    // wall in the knn-graph sibling, vs 0.5 s for the join+dots
-    val b = graft.CacheScope.local(bucketize(spark, emb, tables, bits))
+    // wall in the knn-graph sibling, vs 0.5 s for the join+dots.
+    // EAGER: the self-join's two scan stages run concurrently, and a
+    // lazy fill lets both race to compute every partition (CacheScope
+    // .localEager note — 5× on the knn-graph sibling).
+    val b = graft.CacheScope.localEager(bucketize(spark, emb, tables, bits))
     b.as("a").join(b.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))

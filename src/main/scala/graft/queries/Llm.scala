@@ -182,10 +182,13 @@ object Llm {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
-    // cached: the self-join would otherwise run the signature kernel
-    // on both sides (the AnnLsh.neardupPairs note — ~5 s of the 8.9 s
-    // pre-fix wall at sf0.1)
-    val b = graft.CacheScope.local(graft.operators.AnnLsh.bucketize(s, emb,
+    // cached EAGERLY: the self-join would otherwise run the signature
+    // kernel on both sides (the AnnLsh.neardupPairs note — ~5 s of the
+    // 8.9 s pre-fix wall at sf0.1), and even cached, a LAZY fill lets
+    // the join's two concurrent scan stages race to compute every
+    // partition redundantly — measured 9.3–14.4 s drained vs 1.7–2.6 s
+    // with the fill materialized first (CacheScope.localEager note)
+    val b = graft.CacheScope.localEager(graft.operators.AnnLsh.bucketize(s, emb,
       NeardupAnnTables, NeardupAnnBits))
     val cand = b.as("a").join(b.as("b"),
         $"a.t" === $"b.t" && $"a.bucket" === $"b.bucket" &&
@@ -747,8 +750,11 @@ object Llm {
       // query-local caches (each reused twice below): registered with
       // CacheScope so the harness unpersists them after the query
       // materializes instead of leaking them across a 126-query run
-      val bSig = graft.CacheScope.local(sig(docs, "doc_id"))
-      val iSig = graft.CacheScope.local(sig(inc, "inc_id"))
+      // eager: each signature relation feeds the band join AND the
+      // verify join — concurrent scan stages of one action would race
+      // to fill the minhash kernel lazily (CacheScope.localEager note)
+      val bSig = graft.CacheScope.localEager(sig(docs, "doc_id"))
+      val iSig = graft.CacheScope.localEager(sig(inc, "inc_id"))
       val cand = bands(bSig, "doc_id")
         .join(broadcast(bands(iSig, "inc_id")), "band")
         .select($"inc_id", $"doc_id").distinct()
@@ -950,7 +956,9 @@ object Llm {
     "q_llm_semdedup" -> ((s, d) => {
       import s.implicits._
       val e = kmeansPrepared(s, d)
-      val asg = graft.CacheScope.local(
+      // eager: the within-cell pair self-join scans asg on both sides
+      // concurrently; a lazy fill would re-run the k-means fit per side
+      val asg = graft.CacheScope.localEager(
         graft.operators.KMeans.fit(e, KmeansK, KmeansRounds)
           .select($"vec_id", $"cell"))
       // pair scoring rides the FLOAT relation + the fused codegen dot
@@ -992,7 +1000,9 @@ object Llm {
     "q_llm_cluster_medoids" -> ((s, d) => {
       import s.implicits._
       val e = kmeansPrepared(s, d)
-      val asg = graft.CacheScope.local(
+      // eager: consumed by the pair self-join (both sides), the
+      // cell-size agg, and the final join — all concurrent scan stages
+      val asg = graft.CacheScope.localEager(
         graft.operators.KMeans.fit(e, KmeansK, KmeansRounds)
           .select($"vec_id", $"cell"))
       val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding",
@@ -1230,7 +1240,9 @@ object Llm {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val base = Tables.documents(s, d).select($"doc_id", $"text")
-      val corpus = graft.CacheScope.local(base
+      // eager: the exact-dedup groupBy and the e join scan the widened
+      // corpus concurrently — materialize the union once up front
+      val corpus = graft.CacheScope.localEager(base
         .unionByName(base.select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
         .unionByName(base.select(($"doc_id" + 2000000L).as("doc_id"),
           upper($"text").as("text"))))

@@ -161,7 +161,10 @@ object Projections {
     // budget for; at 100 TB the cache degrades to disk-backed
     // materialization, still cheaper than re-running the occupancy
     // join per side.
-    val a = graft.CacheScope.local(cold.unionByName(hot))
+    // EAGER fill: both sides of the pair join scan this union in
+    // concurrent stages; a lazy fill would re-run the occupancy
+    // join+thin pipeline per side (CacheScope.localEager note)
+    val a = graft.CacheScope.localEager(cold.unionByName(hot))
     val b = a.select($"user_id".as("ub"), $"bk",
         $"lat".as("lat_b"), $"lon".as("lon_b"))
       .withColumn("ci", explode(array((-1 to 1).map(dI =>
@@ -722,7 +725,8 @@ object Projections {
       // equi-join probe side, final membership join) — without the
       // cache each reference re-derives the full cell aggregate and
       // its 1-row threshold broadcast (3 scans + 3 BNLJs in the plan)
-      val dense = graft.CacheScope.local(cells.crossJoin(broadcast(thr))
+      // (eager — the three consumers are concurrent scan stages)
+      val dense = graft.CacheScope.localEager(cells.crossJoin(broadcast(thr))
         .filter($"n_fixes" > $"mean_n" * 1.5)
         .select($"cell_lat", $"cell_lon", $"n_fixes",
           ($"cell_lat" * 1000 + $"cell_lon").as("k")))

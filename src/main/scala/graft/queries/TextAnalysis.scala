@@ -825,7 +825,9 @@ object TextAnalysis {
       // `terms` itself is deliberately NOT persisted — an exploded
       // token relation is corpus-sized, and re-scanning the pruned
       // parquet beats spilling it at 100 TB.
-      val sketch = graft.CacheScope.local(terms
+      // (eager — the candidate and total broadcast builds both scan
+      // it concurrently; a lazy fill would tokenize the corpus twice)
+      val sketch = graft.CacheScope.localEager(terms
         .agg(graft.functions.HeavyHitters.mgSketch(64)($"term").as("mg"),
           count(lit(1)).as("n")))
       val cand = sketch.select(explode(map_keys($"mg")).as("term"))

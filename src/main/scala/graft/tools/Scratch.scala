@@ -19,32 +19,22 @@ object Scratch {
       println(f"SCRATCH $label rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
 
-    import org.apache.spark.sql.functions._
-    import spark.implicits._
-
     // same warmup as Bench
     graft.Tables.names.foreach { t =>
       try graft.Tables.t(spark, d, t).count() catch { case _: Throwable => () }
     }
 
-    // incremental cold stages of the ngram pair pipeline
-    val sh = graft.queries.Llm.shingledPub(spark, d)
-    time("1 shingled")(sh.count())
-    val ex = sh.select($"doc_id", size($"shingles").as("n_sh"), explode($"shingles").as("sh"))
-    time("2 explode")(ex.count())
-    val dfc = ex.groupBy($"sh").agg(count(lit(1)).as("df"))
-    time("3 dfc")(dfc.count())
-    val exCapped = ex.join(dfc.filter($"df" <= graft.queries.Llm.MaxShingleDf).select($"sh"), "sh")
-    time("4 exCapped")(exCapped.count())
-    val pairs = exCapped.as("a").join(exCapped.as("b"),
-        $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .agg(count(lit(1)).as("n_sub"), max($"a.n_sh").as("na"), max($"b.n_sh").as("nb"))
-    time("5 pair agg")(pairs.count())
-    time("6 full ngram_jaccard")(
-      graft.SparkEntry.queries("q_llm_ngram_jaccard")(spark, d).count())
-    time("7 dedup_clusters on top")(
-      graft.SparkEntry.queries("q_llm_dedup_clusters")(spark, d).count())
+    // eager-fill fix: drained-cache rewarm of every affected query
+    val qs = Seq(
+      "q_llm_knn_graph_ann", "q_llm_knn_graph_ann_gate",
+      "q_llm_embed_neardup_ann", "q_llm_embed_neardup_ann_gate",
+      "q_llm_semdedup", "q_llm_cluster_medoids",
+      "q_geo_convoy", "q_geo_groups", "q_geo_hotspots",
+      "q_llm_heavy_hitters", "q_llm_incr_dedup", "q_llm_dedup_funnel")
+    for (pass <- 1 to 2; q <- qs) {
+      graft.CacheScope.drain()
+      time(s"$q pass$pass")(graft.SparkEntry.queries(q)(spark, d).count())
+    }
 
     spark.stop()
   }
