@@ -44,7 +44,9 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      CacheScope.drain() // query-local caches; outside the timed region
+      // query-local caches; outside the timed region — BLOCKING so the
+      // async block removal can't compete with the next timed query
+      CacheScope.drain(blocking = true)
       name -> dt
     }
     // explicit ROOT locale: the f-interpolator honors the JVM default
@@ -90,7 +92,7 @@ object Bench {
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
-        CacheScope.drain()
+        CacheScope.drain(blocking = true)
         dt
       }
       val p1 = pass()

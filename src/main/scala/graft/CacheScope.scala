@@ -38,9 +38,12 @@ object CacheScope {
     val c = local(ds); c.count(); c
   }
 
-  /** Unpersist every registered query-local cache (non-blocking). */
-  def drain(): Unit = synchronized {
-    live.foreach(ds => try ds.unpersist(blocking = false)
+  /** Unpersist every registered query-local cache. Non-blocking by
+    * default (callers inside queries shouldn't wait on bookkeeping);
+    * Bench passes blocking=true so async block removal completes in
+    * the UNTIMED gap instead of competing with the next timed query. */
+  def drain(blocking: Boolean = false): Unit = synchronized {
+    live.foreach(ds => try ds.unpersist(blocking)
       catch { case _: Throwable => () })
     live.clear()
   }
