@@ -71,7 +71,7 @@ object KMeans {
     * [[prepared]] relation (callers cache it — it is scanned once per
     * assignment/update pass). */
   def fit(e: DataFrame, k: Int, rounds: Int): DataFrame =
-    loop(e, k, rounds)._2
+    fitAll(e, k, rounds)._2
 
   /** The trained MODEL — the (cell, centroid) relation the final
     * assignment of [[fit]] uses. This is the train-on-sample /
@@ -79,7 +79,41 @@ object KMeans {
     * batch apply pass at 100 TB and by streaming.SemanticDedup's
     * ingest-time assignment. */
   def fitModel(e: DataFrame, k: Int, rounds: Int): DataFrame =
-    loop(e, k, rounds)._1
+    fitAll(e, k, rounds)._1
+
+  /** One Lloyd loop, BOTH artifacts: (model, assignment). Callers that
+    * need the trained centroids and the fitted assignment together
+    * (train-then-apply pipelines, SemanticDedupSpec) previously ran
+    * [[fit]] + [[fitModel]] — two complete iterative fits of the same
+    * loop (ADVICE r11). */
+  def fitAll(e: DataFrame, k: Int, rounds: Int): (DataFrame, DataFrame) =
+    loop(e, k, rounds)
+
+  /** Train-on-sample / apply-corpus-wide — the 100 TB shape the class
+    * Scaladoc promises, executable: the quantizer trains on the
+    * `trainCap` vectors with the smallest (md5(vec_id), vec_id) rank —
+    * the SAME total order the seed selection already uses, so the
+    * sample is deterministic on both engines and the seeds of the
+    * sampled fit are exactly the seeds of the full fit — and the final
+    * broadcast-assignment pass runs over the whole corpus. Train cost
+    * is trainCap·k cosines per round regardless of corpus size; the
+    * corpus pays exactly ONE n·k assignment pass.
+    *
+    * Invariant (AutoConfigSpec): trainCap ≥ n ⇒ the sample IS the
+    * corpus and the result is row-identical to [[fitAll]] — the final
+    * apply re-derives the loop's own last assignment. */
+  def fitAllSampled(e: DataFrame, k: Int, rounds: Int, trainCap: Int): (DataFrame, DataFrame) = {
+    require(trainCap >= k,
+      s"KMeans: trainCap=$trainCap must hold at least k=$k seed vectors")
+    // cached + eager: the Lloyd loop scans the train relation from two
+    // concurrent stages per round (assignment probe + centroid update)
+    // — the CacheScope.localEager discipline
+    val train = graft.CacheScope.localEager(
+      e.withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
+        .orderBy(col("h"), col("vec_id")).limit(trainCap).drop("h"))
+    val cents = loop(train, k, rounds)._1
+    (cents, assign(e, cents))
+  }
 
   private def loop(e: DataFrame, k: Int, rounds: Int): (DataFrame, DataFrame) = {
     val seedW = Window.orderBy(col("h"), col("vec_id"))

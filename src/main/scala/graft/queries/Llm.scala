@@ -178,7 +178,19 @@ object Llm {
   /** ANN kNN graph (r11): same top-3 semantics, candidates from the
     * pinned 40×5 sign-LSH buckets — rerank-before-dedup, then the same
     * window rank. Unordered — callers sort. */
-  private def annKnnGraph(s: SparkSession, d: String): DataFrame = {
+  private def annKnnGraph(s: SparkSession, d: String): DataFrame =
+    annKnnGraphCfg(s, d, NeardupAnnTables, NeardupAnnBits, compact = false)
+
+  /** The configurable form behind [[annKnnGraph]] (r12): the pinned
+    * query keeps its sealed 40×5 / post-explode-cache plan
+    * (compact = false); the auto-config dispatch path passes the
+    * derived (tables, bits) with compact = true, trading the
+    * n·tables-row payload-carrying cache for a one-row-per-vector
+    * signature-array cache (AnnLsh.neardupPairsCompact note — with
+    * grow-bits table counts the post-explode cache's memory would
+    * grow n^1.7). */
+  private def annKnnGraphCfg(s: SparkSession, d: String, tables: Int,
+      bits: Int, compact: Boolean): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
@@ -188,8 +200,15 @@ object Llm {
     // the join's two concurrent scan stages race to compute every
     // partition redundantly — measured 9.3–14.4 s drained vs 1.7–2.6 s
     // with the fill materialized first (CacheScope.localEager note)
-    val b = graft.CacheScope.localEager(graft.operators.AnnLsh.bucketize(s, emb,
-      NeardupAnnTables, NeardupAnnBits))
+    val b = if (compact) {
+      val c = graft.CacheScope.localEager(
+        emb.select($"vec_id", $"embedding",
+          VecOps.norm(s, $"embedding").as("nrm"),
+          graft.functions.LshSignatures.of(s, $"embedding", tables, bits).as("sigs")))
+      c.select($"vec_id", $"embedding", $"nrm",
+        posexplode($"sigs").as(Seq("t", "bucket")))
+    } else graft.CacheScope.localEager(graft.operators.AnnLsh.bucketize(s, emb,
+      tables, bits))
     val cand = b.as("a").join(b.as("b"),
         $"a.t" === $"b.t" && $"a.bucket" === $"b.bucket" &&
         $"a.vec_id" =!= $"b.vec_id")
@@ -237,17 +256,192 @@ object Llm {
   private val KmeansK = 8
   private val KmeansRounds = 2
 
+  /** SemDeDup from a given cell assignment — the chain shared by the
+    * pinned q_llm_semdedup (fixed k=8, full-corpus fit: the oracle
+    * twin's contract) and [[semdedupAuto]] (grow-k, sampled train):
+    * within-cell pair scoring at ≥ 0.35 (cell-keyed equi-join, never
+    * all-pairs), transitive closure via DedupClusters, canonical =
+    * min vec_id. `asgRaw` must be (vec_id, cell, …); unsorted output
+    * (vec_id, cell, rep, kept) — callers sort. */
+  private def semdedupFrom(s: SparkSession, d: String, asgRaw: DataFrame): DataFrame = {
+    import s.implicits._
+    // eager: the within-cell pair self-join scans asg on both sides
+    // concurrently; a lazy fill would re-run the k-means fit per side
+    val asg = graft.CacheScope.localEager(asgRaw.select($"vec_id", $"cell"))
+    // pair scoring rides the FLOAT relation + the fused codegen dot
+    // (FloatVecDot widens per element, bit-identical to the
+    // double-cast fold — the knn/neardup precedent): the within-cell
+    // pair loop is the Σ cell² hot path, and the interpreted
+    // zip-multiply fold cost 9.9× wall at x10 clone scale vs the
+    // kernel's codegen loop
+    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding",
+      VecOps.norm(s, $"embedding").as("nrm"))
+    val pe = asg.join(emb, "vec_id")
+    val pairs = pe.as("x").join(pe.as("y"),
+        $"x.cell" === $"y.cell" && $"x.vec_id" < $"y.vec_id")
+      .select($"x.vec_id".as("doc_a"), $"y.vec_id".as("doc_b"),
+        round(VecOps.dot(s, $"x.embedding", $"y.embedding") /
+          ($"x.nrm" * $"y.nrm"), 6).as("cs"))
+      .filter($"cs" >= 0.35)
+    val canon = graft.operators.DedupClusters.resolve(s,
+      pairs.select($"doc_a", $"doc_b"))
+    asg.join(canon, asg("vec_id") === canon("doc_id"), "left")
+      .select(asg("vec_id"), asg("cell"),
+        coalesce($"canonical", asg("vec_id")).as("rep"),
+        (coalesce($"canonical", asg("vec_id")) === asg("vec_id")).as("kept"))
+  }
+
+  /** SCALE-ADAPTIVE SemDeDup (r12, VERDICT r11 items 1–2): the grow-k
+    * rule executable end to end. k = [[autoK]](footer row count) keeps
+    * cells at ~256 rows at any corpus size (within-cell pair work
+    * LINEAR in n), and the quantizer trains on an [[autoTrainCap]]-
+    * bounded md5-ranked sample (KMeans.fitAllSampled) with one
+    * corpus-wide assignment pass. At the benchmark corpus (n=2000,
+    * autoK=8, cap ≥ n) the result is row-identical to the pinned
+    * q_llm_semdedup — the AutoConfigSpec invariance pin; at sf0.01
+    * (n=500, autoK=2) it is oracle-checked hash-exact via
+    * q_llm_semdedup_auto's k=2 DuckDB twin. */
+  def semdedupAuto(s: SparkSession, d: String): DataFrame = {
+    val k = autoK(embCount(s, d))
+    semdedupFrom(s, d, graft.operators.KMeans.fitAllSampled(
+      kmeansPrepared(s, d), k, KmeansRounds, autoTrainCap(k))._2)
+  }
+
+  /** Footer row count of the embeddings table (driver-side metadata
+    * read, memoized — no job at query-construction time). */
+  private def embCount(s: SparkSession, d: String): Long =
+    graft.sources.ParquetMeta.rowCount(s, s"$d/embeddings.parquet")
+
+  /** AUTO-DISPATCH near-dup pairs (r12, VERDICT r11 item 2): ONE entry
+    * point that reads the parquet footer row count and picks the path
+    * the scale rules prescribe — exact block-pair scan inside the
+    * [[ExactPairEnvelope]] (declared oracle semantics), auto-config
+    * sign-LSH (AnnLsh.autoConfig + the compact signature cache) past
+    * it. Replaces the fail-loud refusal with the refusal's own advice,
+    * executed. `envelope` is overridable so AutoDispatchSpec can pin
+    * BOTH branches on test-sized corpora; results are rounded to the
+    * oracle's 6 dp on either path. Unordered — callers sort. */
+  def neardupAuto(s: SparkSession, d: String,
+      envelope: Long = ExactPairEnvelope): DataFrame = {
+    import s.implicits._
+    val n = embCount(s, d)
+    if (n <= envelope) exactNeardupPairs(s, d)
+    else {
+      val (tables, bits) = graft.operators.AnnLsh.autoConfig(n)
+      graft.operators.AnnLsh.neardupPairsCompact(s,
+          Tables.embeddings(s, d), 0.35, tables, bits)
+        .select($"vec_a", $"vec_b", round($"cs", 6).as("cs"))
+    }
+  }
+
+  /** AUTO-DISPATCH kNN graph (r12): exact top-3 graph inside the
+    * envelope, auto-config LSH graph (grow-bits tables, compact cache)
+    * past it — same dispatch contract as [[neardupAuto]]. */
+  def knnGraphAuto(s: SparkSession, d: String,
+      envelope: Long = ExactPairEnvelope): DataFrame = {
+    val n = embCount(s, d)
+    if (n <= envelope) exactKnnGraph(s, d)
+    else {
+      val (tables, bits) = graft.operators.AnnLsh.autoConfig(n)
+      annKnnGraphCfg(s, d, tables, bits, compact = true)
+    }
+  }
+
   /** The cached double-cast + norm-ride-along embedding relation the
-    * k-means family scans once per assignment/update pass. */
+    * k-means family scans once per assignment/update pass. EAGER
+    * (ADVICE r11): each Lloyd round's assignment derives both the
+    * broadcast centroid build and the probe side from this relation —
+    * two concurrent scan stages, the exact lazy-fill race the r11
+    * eager-fill fix removed everywhere else. */
   private def kmeansPrepared(s: SparkSession, d: String): DataFrame =
-    graft.CacheScope.local(graft.operators.KMeans.prepared(Tables.embeddings(s, d)))
+    graft.CacheScope.localEager(graft.operators.KMeans.prepared(Tables.embeddings(s, d)))
+
+  /** SCALE-ADAPTIVE k (r12, VERDICT r11 item 1): the SemDeDup grow-k
+    * rule as code instead of prose. Cells hold ~[[AutoCellRows]]
+    * vectors at ANY corpus size — k = ⌈n / 256⌉ — so within-cell pair
+    * work is Σ cell²/2 ≈ n·256/2: LINEAR in n where the pinned k=8
+    * leaves it quadratic/8 (the declared limitation of the oracle
+    * queries, whose hash-exact twins require a fixed config).
+    * 256 is chosen so the rule REPRODUCES the pinned config at the
+    * benchmark corpus — autoK(2000) = 8 = KmeansK — making the
+    * auto/pinned invariance pin (AutoConfigSpec) exact, and it keeps
+    * cells comfortably inside the measured per-cell pair budget
+    * (256²/2 ≈ 33k fused dots per cell).
+    *
+    * Residual cost, stated: a FLAT quantizer's assignment pass is n·k
+    * cosines = n²/256 — the same quadratic shape at a 16× deeper
+    * discount than the pinned path's n²/2k = n²/16 pair scan, and the
+    * TRAINING loop is bounded by [[AutoTrainCap]] via
+    * KMeans.fitAllSampled (train-on-sample / apply-anywhere). The
+    * next rung on this ladder is a two-level (coarse √k × fine √k)
+    * quantizer: n·2√k assignment. Measured x10/x30 rows: BASELINE.md
+    * §r12. */
+  val AutoCellRows = 256L
+  def autoK(n: Long): Int =
+    math.max(1L, (n + AutoCellRows - 1) / AutoCellRows).toInt
+
+  /** Train-sample bound for the auto-k fit: enough rows that every
+    * cell sees ~32 training vectors (32·k), floored at 4096 so small
+    * corpora — including the whole benchmark corpus, preserving the
+    * invariance pin — train on ALL their rows. */
+  def autoTrainCap(k: Int): Int = math.max(4096, 32 * k)
 
   /** DuckDB twin of the full iterative k-means fit (WITH RECURSIVE so
     * the semdedup continuation can close components): the same seeds,
     * rounds, rounding, and tie-breaks as operators.KMeans — built
     * programmatically so both oracle entries share one spelling.
     * Exposes CTEs `en` (vec_id, v, nrm) and `a2` (vec_id, cell, cs). */
-  private def kmeansOracleWith: String = {
+  private def kmeansOracleWith: String = kmeansOracleWithK(KmeansK)
+
+  /** Exact kNN-graph DuckDB twin — shared by q_llm_knn_graph and the
+    * dispatch query q_llm_knn_graph_auto (whose sf0.01 branch IS the
+    * exact graph: 500 rows ≤ the 1M envelope). */
+  private def knnGraphOracleSql: String =
+    "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+    "p AS (SELECT a.vec_id AS va, b.vec_id AS vb, " +
+    "round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / " +
+    "(sqrt(list_sum(list_transform(list_zip(a.v, a.v), p -> p[1] * p[2]))) * " +
+    "sqrt(list_sum(list_transform(list_zip(b.v, b.v), p -> p[1] * p[2])))), 6) AS cs " +
+    "FROM e a JOIN e b ON a.vec_id <> b.vec_id), " +
+    "r AS (SELECT va, vb, cs, row_number() OVER " +
+    "(PARTITION BY va ORDER BY cs DESC, vb ASC) AS rk FROM p) " +
+    "SELECT va AS vec_id, rk, vb AS neighbor, cs FROM r WHERE rk <= 3 " +
+    "ORDER BY vec_id, rk"
+
+  /** Exact threshold-pair DuckDB twin — shared by q_llm_embed_neardup
+    * and the dispatch query q_llm_embed_neardup_auto (exact branch at
+    * sf0.01). */
+  private def neardupOracleSql: String =
+    "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+    "p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+    "round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / " +
+    "(sqrt(list_sum(list_transform(list_zip(a.v, a.v), p -> p[1] * p[2]))) * " +
+    "sqrt(list_sum(list_transform(list_zip(b.v, b.v), p -> p[1] * p[2])))), 6) AS cs " +
+    "FROM e a JOIN e b ON a.vec_id < b.vec_id) " +
+    "SELECT vec_a, vec_b, cs FROM p WHERE cs >= 0.35 ORDER BY vec_a, vec_b"
+
+  /** The full SemDeDup DuckDB twin at quantizer size `k` — shared by
+    * the pinned (k=8) and auto (k = autoK(sf0.01 n) = 2) oracle
+    * entries so the two spellings cannot drift. */
+  private def semdedupOracleSql(k: Int): String =
+    kmeansOracleWithK(k) + ", " +
+    s"pe AS (SELECT a$KmeansRounds.vec_id, a$KmeansRounds.cell, en.v, en.nrm " +
+    s"FROM a$KmeansRounds JOIN en USING (vec_id)), " +
+    "pr AS (SELECT x.vec_id AS doc_a, y.vec_id AS doc_b, " +
+    "round(list_sum(list_transform(list_zip(x.v, y.v), p -> p[1] * p[2])) / " +
+    "(x.nrm * y.nrm), 6) AS cs " +
+    "FROM pe x JOIN pe y ON x.cell = y.cell AND x.vec_id < y.vec_id), " +
+    "g AS (SELECT doc_a, doc_b FROM pr WHERE cs >= 0.35), " +
+    "ed AS (SELECT doc_a AS src, doc_b AS dst FROM g UNION SELECT doc_b, doc_a FROM g), " +
+    "r AS (SELECT src, dst FROM ed " +
+    "UNION SELECT r.src, ed.dst FROM r JOIN ed ON r.dst = ed.src), " +
+    "reach AS (SELECT src AS vec_id, dst FROM r UNION SELECT src, src FROM ed), " +
+    "lab AS (SELECT vec_id, MIN(dst) AS canonical FROM reach GROUP BY vec_id) " +
+    s"SELECT a.vec_id, a.cell, COALESCE(l.canonical, a.vec_id) AS rep, " +
+    "(COALESCE(l.canonical, a.vec_id) = a.vec_id) AS kept " +
+    s"FROM a$KmeansRounds a LEFT JOIN lab l ON a.vec_id = l.vec_id ORDER BY a.vec_id"
+
+  private def kmeansOracleWithK(k: Int): String = {
     def assignCte(cn: String, out: String): String =
       s"${out}_r AS (SELECT en.vec_id, $cn.cell, " +
       s"round(list_sum(list_transform(list_zip(en.v, $cn.centroid), p -> p[1] * p[2])) / " +
@@ -264,7 +458,7 @@ object Llm {
     val parts = Seq(
       "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
       "en AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)",
-      s"sd AS (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h FROM en ORDER BY h, vec_id LIMIT $KmeansK)",
+      s"sd AS (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h FROM en ORDER BY h, vec_id LIMIT $k)",
       "c0v AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) - 1 AS cell, v AS centroid FROM sd)",
       "cn0 AS (SELECT cell, centroid, sqrt(list_sum(list_transform(centroid, x -> x * x))) AS cnrm FROM c0v)",
       assignCte("cn0", "a0")) ++
@@ -922,6 +1116,15 @@ object Llm {
         .select($"n_exact", ($"hits" * 100 >= $"n_exact" * 90).as("ok_recall"))
     }),
 
+    // AUTO-DISPATCH kNN graph (r12, VERDICT r11 item 2): footer-count
+    // dispatch — exact graph inside the 1M-row envelope (this corpus:
+    // oracle-checked hash-exact, same twin as q_llm_knn_graph), auto-
+    // config grow-bits LSH graph past it (AutoDispatchSpec pins the
+    // ANN branch ≡ the configurable graph builder; AutoScaleProbe
+    // measures its x10/x30 walls + sampled edge recall ≥ 0.90).
+    "q_llm_knn_graph_auto" -> ((s, d) =>
+      knnGraphAuto(s, d).orderBy(col("vec_id"), col("rk"))),
+
     // DETERMINISTIC k-MEANS (r11): the trainable coarse quantizer
     // (SemDeDup / IVF building block) as a first-class, hash-checked
     // query — the FULL iterative Lloyd fit (md5-ranked seeds, 2
@@ -953,37 +1156,22 @@ object Llm {
     // with the corpus so cells stay bounded and the within-cell
     // quadratic never bites; the whole chain is oracle-checked
     // hash-exact INCLUDING the clustering and the recursive closure.
-    "q_llm_semdedup" -> ((s, d) => {
-      import s.implicits._
-      val e = kmeansPrepared(s, d)
-      // eager: the within-cell pair self-join scans asg on both sides
-      // concurrently; a lazy fill would re-run the k-means fit per side
-      val asg = graft.CacheScope.localEager(
-        graft.operators.KMeans.fit(e, KmeansK, KmeansRounds)
-          .select($"vec_id", $"cell"))
-      // pair scoring rides the FLOAT relation + the fused codegen dot
-      // (FloatVecDot widens per element, bit-identical to the
-      // double-cast fold — the knn/neardup precedent): the within-cell
-      // pair loop is the Σ cell² hot path, and the interpreted
-      // zip-multiply fold cost 9.9× wall at x10 clone scale vs the
-      // kernel's codegen loop
-      val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding",
-        VecOps.norm(s, $"embedding").as("nrm"))
-      val pe = asg.join(emb, "vec_id")
-      val pairs = pe.as("x").join(pe.as("y"),
-          $"x.cell" === $"y.cell" && $"x.vec_id" < $"y.vec_id")
-        .select($"x.vec_id".as("doc_a"), $"y.vec_id".as("doc_b"),
-          round(VecOps.dot(s, $"x.embedding", $"y.embedding") /
-            ($"x.nrm" * $"y.nrm"), 6).as("cs"))
-        .filter($"cs" >= 0.35)
-      val canon = graft.operators.DedupClusters.resolve(s,
-        pairs.select($"doc_a", $"doc_b"))
-      asg.join(canon, asg("vec_id") === canon("doc_id"), "left")
-        .select(asg("vec_id"), asg("cell"),
-          coalesce($"canonical", asg("vec_id")).as("rep"),
-          (coalesce($"canonical", asg("vec_id")) === asg("vec_id")).as("kept"))
-        .orderBy(asg("vec_id"))
-    }),
+    "q_llm_semdedup" -> ((s, d) =>
+      semdedupFrom(s, d,
+        graft.operators.KMeans.fit(kmeansPrepared(s, d), KmeansK, KmeansRounds))
+        .orderBy(col("vec_id"))),
+
+    // SCALE-ADAPTIVE SemDeDup (r12): the grow-k rule EXECUTABLE —
+    // k = ⌈n/256⌉ from the parquet footer count, quantizer trained on
+    // an md5-ranked bounded sample, one corpus-wide assignment pass
+    // (KMeans.fitAllSampled). Oracle-checked at sf0.01 where
+    // autoK(500) = 2 (the k=2 DuckDB twin runs the same seeds/rounds/
+    // closure); at the n=2000 bench corpus autoK = 8 and the result is
+    // row-identical to the pinned query (AutoConfigSpec invariance
+    // pin). Scale rows (x10: k=79, x30: k=235 — near-flat per-row
+    // pair work vs the pinned query's 2.38× at x10): BASELINE.md §r12.
+    "q_llm_semdedup_auto" -> ((s, d) =>
+      semdedupAuto(s, d).orderBy(col("vec_id"))),
 
     // CLUSTER MEDOIDS (r11, curation on top of the trained quantizer):
     // per-cell representative selection — the vector maximizing the
@@ -1144,6 +1332,14 @@ object Llm {
           ($"extras" === 0).as("ok_precision"))
     }),
 
+    // AUTO-DISPATCH near-dup (r12, VERDICT r11 item 2): the exact
+    // scan's fail-loud refusal, replaced by its own advice executed —
+    // footer-count dispatch to exact inside the envelope (this corpus:
+    // oracle-checked, same twin as q_llm_embed_neardup) or auto-config
+    // LSH (grow-bits tables, compact signature cache) past it.
+    "q_llm_embed_neardup_auto" -> ((s, d) =>
+      neardupAuto(s, d).orderBy(col("vec_a"), col("vec_b"))),
+
     // Embedding-quality check: avg intra-label vs inter-label cosine.
     // A global statistic, so at scale it is a SAMPLED estimator with a
     // SIZE-INVARIANT bound: per label, keep the PairSimCap vectors with
@@ -1236,6 +1432,16 @@ object Llm {
     // case-mangled at +2M) so every stage visibly fires. Counts only
     // ever aggregate (4 output rows at any corpus size); the lag
     // window runs over those 4 rows, never data.
+    // Declared scope of the near-dup stage (ADVICE r11): the pair
+    // relation is the SHARED base-corpus ngramPairScores (doc_ids <
+    // 1M), so a planted +1M/+2M clone that somehow survived the
+    // normalization stage could not be flagged near-dup. On this
+    // corpus that set is empty by construction — the +1M copies are
+    // byte-exact (caught at stage 2) and the +2M upper() mangles are
+    // ASCII, where lower(trim(upper(x))) ≡ lower(trim(x)) folds them
+    // at stage 3 — and the DuckDB twin shares the same pair relation,
+    // so the stage is pinned as "near-dup among base survivors", not
+    // silently narrower.
     "q_llm_dedup_funnel" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -1720,17 +1926,10 @@ object Llm {
        "sqrt(list_sum(list_transform(list_zip(qv, qv), p -> p[1] * p[2])))) AS cs " +
        "FROM e CROSS JOIN q WHERE vec_id <> 0) " +
        "SELECT vec_id, label, round(cs, 6) AS cs FROM c ORDER BY cs DESC, vec_id ASC LIMIT 10"),
-    "q_llm_knn_graph" ->
-      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
-       "p AS (SELECT a.vec_id AS va, b.vec_id AS vb, " +
-       "round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / " +
-       "(sqrt(list_sum(list_transform(list_zip(a.v, a.v), p -> p[1] * p[2]))) * " +
-       "sqrt(list_sum(list_transform(list_zip(b.v, b.v), p -> p[1] * p[2])))), 6) AS cs " +
-       "FROM e a JOIN e b ON a.vec_id <> b.vec_id), " +
-       "r AS (SELECT va, vb, cs, row_number() OVER " +
-       "(PARTITION BY va ORDER BY cs DESC, vb ASC) AS rk FROM p) " +
-       "SELECT va AS vec_id, rk, vb AS neighbor, cs FROM r WHERE rk <= 3 " +
-       "ORDER BY vec_id, rk"),
+    "q_llm_knn_graph" -> knnGraphOracleSql,
+    // dispatch twin: at sf0.01 (500 rows ≤ the 1M envelope) the auto
+    // query IS the exact graph — same SQL, shared val
+    "q_llm_knn_graph_auto" -> knnGraphOracleSql,
     // graph-gate twin: exact edge count from the same SQL, verdict
     // asserted TRUE — hash match ⇔ the 40×5 LSH graph held ≥ 0.90
     // edge recall on this corpus
@@ -1751,23 +1950,12 @@ object Llm {
        s" SELECT vec_id, cell, cs FROM a$KmeansRounds ORDER BY vec_id"),
     // semdedup twin: the kmeans CTEs + within-cell pair scoring + the
     // q_geo_groups recursive min-label closure
-    "q_llm_semdedup" ->
-      (kmeansOracleWith + ", " +
-       s"pe AS (SELECT a$KmeansRounds.vec_id, a$KmeansRounds.cell, en.v, en.nrm " +
-       s"FROM a$KmeansRounds JOIN en USING (vec_id)), " +
-       "pr AS (SELECT x.vec_id AS doc_a, y.vec_id AS doc_b, " +
-       "round(list_sum(list_transform(list_zip(x.v, y.v), p -> p[1] * p[2])) / " +
-       "(x.nrm * y.nrm), 6) AS cs " +
-       "FROM pe x JOIN pe y ON x.cell = y.cell AND x.vec_id < y.vec_id), " +
-       "g AS (SELECT doc_a, doc_b FROM pr WHERE cs >= 0.35), " +
-       "ed AS (SELECT doc_a AS src, doc_b AS dst FROM g UNION SELECT doc_b, doc_a FROM g), " +
-       "r AS (SELECT src, dst FROM ed " +
-       "UNION SELECT r.src, ed.dst FROM r JOIN ed ON r.dst = ed.src), " +
-       "reach AS (SELECT src AS vec_id, dst FROM r UNION SELECT src, src FROM ed), " +
-       "lab AS (SELECT vec_id, MIN(dst) AS canonical FROM reach GROUP BY vec_id) " +
-       s"SELECT a.vec_id, a.cell, COALESCE(l.canonical, a.vec_id) AS rep, " +
-       "(COALESCE(l.canonical, a.vec_id) = a.vec_id) AS kept " +
-       s"FROM a$KmeansRounds a LEFT JOIN lab l ON a.vec_id = l.vec_id ORDER BY a.vec_id"),
+    "q_llm_semdedup" -> semdedupOracleSql(KmeansK),
+    // auto-k twin: IDENTICAL chain at the sf0.01 auto config —
+    // autoK(500) = 2 (the Spark side derives k from the parquet
+    // footer; the train-sample cap ≥ n here, so the sampled fit IS the
+    // full fit and the k=2 recursive twin is exact)
+    "q_llm_semdedup_auto" -> semdedupOracleSql(2),
     // medoid twin: kmeans CTEs + both-orientation within-cell cosine
     // sums (DECIMAL-exact over the 6-dp-rounded terms, the update-CTE
     // discipline) + per-cell argmax; singletons re-enter via the LEFT
@@ -1808,14 +1996,10 @@ object Llm {
        "SELECT tp.cell, mem.cell_n, tp.label AS top_label, " +
        "round(CAST(tp.nl AS DOUBLE) / mem.cell_n, 6) AS purity " +
        "FROM tp JOIN mem USING (cell) WHERE rn = 1 ORDER BY cell"),
-    "q_llm_embed_neardup" ->
-      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
-       "p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
-       "round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / " +
-       "(sqrt(list_sum(list_transform(list_zip(a.v, a.v), p -> p[1] * p[2]))) * " +
-       "sqrt(list_sum(list_transform(list_zip(b.v, b.v), p -> p[1] * p[2])))), 6) AS cs " +
-       "FROM e a JOIN e b ON a.vec_id < b.vec_id) " +
-       "SELECT vec_a, vec_b, cs FROM p WHERE cs >= 0.35 ORDER BY vec_a, vec_b"),
+    "q_llm_embed_neardup" -> neardupOracleSql,
+    // dispatch twin: 500 rows ≤ the envelope ⇒ the auto query runs the
+    // exact branch — same SQL, shared val
+    "q_llm_embed_neardup_auto" -> neardupOracleSql,
     // ANN gate twin: the exact-pair COUNT from the same SQL, with the
     // recall/precision verdicts ASSERTED — hash match ⇔ the engine's
     // 40×5 LSH held ≥ 0.95 recall at precision 1.0 on this corpus.

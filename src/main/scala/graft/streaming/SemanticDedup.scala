@@ -58,9 +58,16 @@ object SemanticDedup {
   case class CellSurvivors(ids: Array[Long], embs: Array[Array[Float]])
 
   /** Spark's round(x, 6): BigDecimal HALF_UP — spelled identically so
-    * stream cosines equal the batch column values bit-for-bit. */
+    * stream cosines equal the batch column values bit-for-bit.
+    * NaN/Infinity pass through unrounded, exactly like Spark's
+    * RoundBase (which checks isNaN/isInfinite before touching
+    * BigDecimal) — a zero-norm embedding yields a NaN cosine, and the
+    * unguarded BigDecimal(NaN) constructor would kill the streaming
+    * query with NumberFormatException where the batch column sails
+    * through (ADVICE r11). */
   private def round6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    if (x.isNaN || x.isInfinite) x
+    else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Sequential left-fold dot in double with float widening — the
     * FloatVecDot / aggregate(zip_with) fold order. */
@@ -92,17 +99,28 @@ object SemanticDedup {
     }.sortBy(_.cell)
 
   /** The batch assignment rule on one vector: rounded cosine argmax,
-    * ties to the smallest cell (centroids pre-sorted by cell, strict
-    * `>` keeps the first = smallest on ties). */
+    * ties to the smallest cell (centroids pre-sorted by cell; the
+    * first winner stays on ties).
+    *
+    * NaN pin (ADVICE r11): the batch argmax is max(struct(cs, -cell))
+    * under Spark SQL's total order, where NaN sorts GREATER than every
+    * number — so a zero-norm vector (all cosines NaN) lands in the
+    * smallest cell, and a partially-NaN row picks the smallest
+    * NaN-cosine cell. `java.lang.Double.compare` has exactly that NaN
+    * ordering, and the `bestCell < 0` first-iteration seed guarantees
+    * a cell is always assigned (the old NegativeInfinity sentinel
+    * returned cell −1 on all-NaN, diverging from batch). */
   private[streaming] def assignCell(emb: Array[Float], model: Array[Centroid]): Long = {
     val nrm = nrmF(emb)
     var bestCell = -1L
-    var bestCs = Double.NegativeInfinity
+    var bestCs = 0.0
     var i = 0
     while (i < model.length) {
       val c = model(i)
       val cs = round6(dotFD(emb, c.vec) / (nrm * c.nrm))
-      if (cs > bestCs) { bestCs = cs; bestCell = c.cell }
+      if (bestCell < 0 || java.lang.Double.compare(cs, bestCs) > 0) {
+        bestCs = cs; bestCell = c.cell
+      }
       i += 1
     }
     bestCell
