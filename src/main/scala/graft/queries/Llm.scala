@@ -189,7 +189,7 @@ object Llm {
     * signature-array cache (AnnLsh.neardupPairsCompact note — with
     * grow-bits table counts the post-explode cache's memory would
     * grow n^1.7). */
-  private def annKnnGraphCfg(s: SparkSession, d: String, tables: Int,
+  private[graft] def annKnnGraphCfg(s: SparkSession, d: String, tables: Int,
       bits: Int, compact: Boolean): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
