@@ -46,27 +46,40 @@ final class JdbcUpsertSink(url: String, table: String, keyCol: String,
     val cols = batch.columns.toSeq
     val nonKey = cols.filterNot(_ == keyCol)
     val insCols = cols.mkString(", ")
-    // single-row MERGE against the 1-row dummy table (Derby spelling;
-    // Postgres swaps SYSIBM.SYSDUMMY1 for a VALUES source)
-    val mergeSql =
-      s"""MERGE INTO $table t
-         |USING SYSIBM.SYSDUMMY1
-         |ON t.$keyCol = ?
-         |WHEN MATCHED THEN UPDATE SET ${nonKey.map(c => s"$c = ?").mkString(", ")}
-         |WHEN NOT MATCHED THEN INSERT ($insCols) VALUES (${cols.map(_ => "?").mkString(", ")})""".stripMargin
+    // Dialect by URL scheme (r12, the PgSmokeSpec hop): Postgres's
+    // canonical upsert is INSERT … ON CONFLICT (atomic since 9.5,
+    // requires a unique index on the key — the natural DDL for a
+    // current-state table); everything else gets the single-row MERGE
+    // against the 1-row dummy table in the Derby spelling this sink
+    // grew up on. Parameter ORDER differs per dialect, so the binding
+    // below walks `paramCols`, not the SQL text.
+    val isPg = url.startsWith("jdbc:postgresql:")
+    val upsertSql =
+      if (isPg)
+        s"INSERT INTO $table ($insCols) VALUES (${cols.map(_ => "?").mkString(", ")}) " +
+        s"ON CONFLICT ($keyCol) DO UPDATE SET " +
+        nonKey.map(c => s"$c = EXCLUDED.$c").mkString(", ")
+      else
+        s"""MERGE INTO $table t
+           |USING SYSIBM.SYSDUMMY1
+           |ON t.$keyCol = ?
+           |WHEN MATCHED THEN UPDATE SET ${nonKey.map(c => s"$c = ?").mkString(", ")}
+           |WHEN NOT MATCHED THEN INSERT ($insCols) VALUES (${cols.map(_ => "?").mkString(", ")})""".stripMargin
+    val paramCols: Seq[String] =
+      if (isPg) cols else (keyCol +: nonKey) ++ cols
     val colIdx = cols.zipWithIndex.toMap
-    val u = url; val t = table; val key = keyCol; val bs = batchSize
+    // locals only inside the partition closure — capturing a field
+    // would drag `this` into the task serialization
+    val u = url; val bs = batchSize
     batch.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
         val conn = DriverManager.getConnection(u)
         try {
-          val st = conn.prepareStatement(mergeSql)
+          val st = conn.prepareStatement(upsertSql)
           var n = 0
           rows.foreach { r =>
             var p = 1
-            st.setObject(p, r.get(colIdx(key))); p += 1
-            nonKey.foreach { c => st.setObject(p, r.get(colIdx(c))); p += 1 }
-            cols.foreach { c => st.setObject(p, r.get(colIdx(c))); p += 1 }
+            paramCols.foreach { c => st.setObject(p, r.get(colIdx(c))); p += 1 }
             st.addBatch()
             n += 1
             if (n % bs == 0) st.executeBatch()

@@ -1,0 +1,207 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VecOps
+import graft.queries.Llm
+
+/** Scale evidence for the r12 EXECUTABLE scale rules (VERDICT r11
+  * item 1): clone-scale the embedding corpus (FullScale's rotation +
+  * sign-flip perturbation — cross-copy cosines pseudo-random) and
+  * measure, at each multiplier,
+  *
+  *   - auto-k SemDeDup vs the pinned k=8 query: wall + per-row cost
+  *     (the pinned path's x10 ratio was 2.38×; the grow-k rule should
+  *     hold it near-flat), plus the SAMPLED pair-containment both
+  *     ways — the fraction of true ≥0.35 pairs whose endpoints share
+  *     a cell, i.e. the SemDeDup trade made measurable (finer auto
+  *     cells legitimately contain FEWER weak pairs; recorded, not
+  *     gated);
+  *   - auto-config (grow-bits) kNN graph vs the pinned 40×5 graph:
+  *     wall + SAMPLED edge recall vs exact ground truth computed for
+  *     ~500 md5-sampled query vectors (full exact graphs are
+  *     envelope-guarded at these sizes) — the ≥ 0.90 gate floor,
+  *     printed as ok=true/false;
+  *   - auto-config near-dup pairs vs the pinned 40×5 scan: wall +
+  *     pair recall vs the sampled queries' exact ≥0.35 pairs.
+  *
+  * The ANN branches are forced (envelope=1) because the probe sizes
+  * sit below the 1M-row dispatch envelope where production would
+  * rightly run exact.
+  *
+  * Usage: runMain graft.tools.AutoScaleProbe [mult ...]  (default 10 30)
+  *   GRAFT_AUTOSCALE_STEPS=semdedup,knn,neardup   narrows the families
+  *   GRAFT_AUTOSCALE_SKIP_PINNED=1                auto paths only
+  */
+object AutoScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val mults = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10, 30)
+    val src = "/root/testdata/sf0.1"
+    val steps = sys.env.get("GRAFT_AUTOSCALE_STEPS")
+      .map(_.split(',').filter(_.nonEmpty).toSet)
+      .getOrElse(Set("semdedup", "knn", "neardup"))
+    val skipPinned = sys.env.contains("GRAFT_AUTOSCALE_SKIP_PINNED")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val KEY = 10000000L
+
+    def build(n: Int): String = {
+      if (n == 1) return src
+      val dir = Files.createTempDirectory(s"graft_auto_x$n").toString
+      val dims = graft.Tables.embeddings(spark, src)
+        .select(size(col("embedding"))).head().getInt(0)
+      (0 until n).map { c =>
+        val base = graft.Tables.embeddings(spark, src)
+        if (c == 0) base
+        else base.select(
+          (col("vec_id") + lit(c * KEY)).as("vec_id"),
+          transform(sequence(lit(0), lit(dims - 1)), i =>
+            (element_at(col("embedding"), pmod(i + lit(7 * c), lit(dims)) + 1) *
+              when(pmod(xxhash64(lit(c), i), lit(2)) === 0, 1.0).otherwise(-1.0))
+              .cast("float")).as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+
+    def timed(tag: String)(f: => DataFrame): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val rows = f.count()
+      val t = (System.nanoTime() - t0) / 1e9
+      graft.CacheScope.drain(blocking = true)
+      println(f"AUTOSCALE $tag rows=$rows t=$t%.2f")
+      (rows, t)
+    }
+
+    /** (vec_id, embedding, nrm) + the exact top-3 graph and ≥0.35
+      * pairs for ~500 hash-sampled query vectors — ground truth the
+      * full exact operators refuse to compute at these sizes. */
+    def sampledExact(dir: String, n: Long): (DataFrame, DataFrame) = {
+      val e = graft.Tables.embeddings(spark, dir).select($"vec_id", $"embedding",
+        VecOps.norm(spark, $"embedding").as("nrm"))
+      val sampleMod = math.max(1L, n / 500L)
+      val q = e.filter(pmod(xxhash64($"vec_id"), lit(sampleMod)) === 0)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"), $"nrm".as("qnrm"))
+      val cand = e.join(broadcast(q), $"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id".as("nb"),
+          round(VecOps.dot(spark, $"embedding", $"qv") / ($"nrm" * $"qnrm"), 6).as("cs"))
+      val w = Window.partitionBy($"qid").orderBy($"cs".desc, $"nb".asc)
+      val g = cand.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+        .select($"qid", $"nb").cache()
+      val p = cand.filter($"cs" >= 0.35).select($"qid", $"nb").cache()
+      (g, p)
+    }
+
+    // untimed session warmup (the r6 bench lesson): the first execution
+    // of each family pays JIT + codegen for the whole fused-kernel
+    // pipeline, and the auto row always runs first — warm each family's
+    // pinned query once on the x1 corpus so timed rows are steady-state
+    if (steps("semdedup")) graft.SparkEntry.queries("q_llm_semdedup")(spark, src).count()
+    if (steps("knn")) graft.SparkEntry.queries("q_llm_knn_graph_ann")(spark, src).count()
+    if (steps("neardup")) graft.SparkEntry.queries("q_llm_embed_neardup_ann")(spark, src).count()
+    graft.CacheScope.drain(blocking = true)
+
+    for (m <- mults) {
+      val dir = build(m)
+      val n = graft.sources.ParquetMeta.rowCount(spark, s"$dir/embeddings.parquet")
+      val (tables, bits) = graft.operators.AnnLsh.autoConfig(n)
+      val kAuto = Llm.autoK(n)
+      println(s"AUTOSCALE x$m n=$n autoK=$kAuto autoCfg=${tables}x$bits")
+      val (exactG, exactP) = sampledExact(dir, n)
+      val nG = exactG.count(); val nP = exactP.count()
+
+      if (steps("semdedup")) {
+        val (_, _) = timed(s"x$m semdedup_auto k=$kAuto")(
+          Llm.semdedupAuto(spark, dir))
+        // containment of the sampled true pairs in auto cells
+        val asgA = Llm.semdedupAuto(spark, dir).select($"vec_id", $"cell")
+        val inA = exactP
+          .join(asgA.select($"vec_id".as("qid"), $"cell".as("ca")), "qid")
+          .join(asgA.select($"vec_id".as("nb"), $"cell".as("cb")), "nb")
+          .filter($"ca" === $"cb").count()
+        graft.CacheScope.drain(blocking = true)
+        println(f"AUTOSCALE x$m semdedup_auto containment $inA/$nP=${inA.toDouble / math.max(1, nP)}%.3f")
+        if (!skipPinned) {
+          timed(s"x$m semdedup_pinned k=8")(
+            graft.SparkEntry.queries("q_llm_semdedup")(spark, dir))
+          val asgP = graft.SparkEntry.queries("q_llm_semdedup")(spark, dir)
+            .select($"vec_id", $"cell")
+          val inP = exactP
+            .join(asgP.select($"vec_id".as("qid"), $"cell".as("ca")), "qid")
+            .join(asgP.select($"vec_id".as("nb"), $"cell".as("cb")), "nb")
+            .filter($"ca" === $"cb").count()
+          graft.CacheScope.drain(blocking = true)
+          println(f"AUTOSCALE x$m semdedup_pinned containment $inP/$nP=${inP.toDouble / math.max(1, nP)}%.3f")
+        }
+      }
+
+      if (steps("knn")) {
+        timed(s"x$m knn_graph_auto ${tables}x$bits")(
+          Llm.knnGraphAuto(spark, dir, envelope = 1L))
+        val hitsA = exactG.join(
+          Llm.knnGraphAuto(spark, dir, envelope = 1L)
+            .select($"vec_id".as("qid"), $"neighbor".as("nb")),
+          Seq("qid", "nb")).count()
+        graft.CacheScope.drain(blocking = true)
+        val recA = hitsA.toDouble / math.max(1, nG)
+        println(f"AUTOSCALE x$m knn_graph_auto recall $hitsA/$nG=$recA%.4f ok=${recA >= 0.90}")
+        if (!skipPinned) {
+          timed(s"x$m knn_graph_ann_pinned 40x5")(
+            graft.SparkEntry.queries("q_llm_knn_graph_ann")(spark, dir))
+          val hitsP = exactG.join(
+            graft.SparkEntry.queries("q_llm_knn_graph_ann")(spark, dir)
+              .select($"vec_id".as("qid"), $"neighbor".as("nb")),
+            Seq("qid", "nb")).count()
+          graft.CacheScope.drain(blocking = true)
+          println(f"AUTOSCALE x$m knn_graph_ann_pinned recall $hitsP/$nG=${hitsP.toDouble / math.max(1, nG)}%.4f")
+        }
+      }
+
+      if (steps("neardup")) {
+        timed(s"x$m neardup_auto ${tables}x$bits")(
+          Llm.neardupAuto(spark, dir, envelope = 1L))
+        val hitsA = exactP.join(
+          Llm.neardupAuto(spark, dir, envelope = 1L)
+            .select($"vec_a".as("qid"), $"vec_b".as("nb"))
+            .unionByName(Llm.neardupAuto(spark, dir, envelope = 1L)
+              .select($"vec_b".as("qid"), $"vec_a".as("nb"))),
+          Seq("qid", "nb")).count()
+        graft.CacheScope.drain(blocking = true)
+        val recA = hitsA.toDouble / math.max(1, nP)
+        println(f"AUTOSCALE x$m neardup_auto recall $hitsA/$nP=$recA%.4f ok=${recA >= 0.95}")
+        if (!skipPinned) {
+          timed(s"x$m neardup_ann_pinned 40x5")(
+            graft.SparkEntry.queries("q_llm_embed_neardup_ann")(spark, dir))
+          val hitsP = exactP.join(
+            graft.SparkEntry.queries("q_llm_embed_neardup_ann")(spark, dir)
+              .select($"vec_a".as("qid"), $"vec_b".as("nb"))
+              .unionByName(graft.SparkEntry.queries("q_llm_embed_neardup_ann")(spark, dir)
+                .select($"vec_b".as("qid"), $"vec_a".as("nb"))),
+            Seq("qid", "nb")).count()
+          graft.CacheScope.drain(blocking = true)
+          println(f"AUTOSCALE x$m neardup_ann_pinned recall $hitsP/$nP=${hitsP.toDouble / math.max(1, nP)}%.4f")
+        }
+      }
+
+      exactG.unpersist(); exactP.unpersist()
+      if (dir != src) {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        val p = Paths.get(dir)
+        F.walk(p).iterator().asScala.toSeq.reverse.foreach(F.deleteIfExists(_))
+      }
+    }
+    spark.stop()
+  }
+}
