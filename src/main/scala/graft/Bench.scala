@@ -39,8 +39,20 @@ object Bench {
     }
     // name-sorted: Map iteration order shifts whenever the query set
     // changes, which reshuffles which query pays shared-cache warmup —
-    // stable ordering keeps per-query numbers comparable across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // stable ordering keeps per-query numbers comparable across rounds.
+    // ONE deliberate exception (VERDICT r11 item 7): the shared
+    // shingle/trigram-pair family cache fills on whichever family
+    // member runs first, and under the plain name sort that was
+    // q_llm_corpus_dedup — so corpus_dedup/dedup_funnel carried the
+    // whole fill in driver runs (25.6/18.3 s single-pass vs 1.2/1.6 s
+    // steady state, BENCH_r11). The fill's honest owner is
+    // q_llm_ngram_jaccard — the query whose plan DEFINES the pair
+    // relation — so it runs first, timed, and the heavy-looking
+    // entries show their own per-plan cost.
+    val familyFirst = Seq("q_llm_ngram_jaccard").filter(SparkEntry.queries.contains)
+    val ordered = familyFirst ++
+      SparkEntry.queries.keys.toSeq.sorted.filterNot(familyFirst.toSet)
+    val results = ordered.map(n => n -> SparkEntry.queries(n)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9

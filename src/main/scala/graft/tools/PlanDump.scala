@@ -138,13 +138,34 @@ object PlanDump {
       "q_llm_embed_neardup_ann_gate" -> ("retrieval accuracy gate (r10): the exact block-pair " +
         "scan and the LSH path meet in ONE full_outer join on (vec_a, vec_b), folded to a 1-row " +
         "integer-exact verdict (hits·100 ≥ n_exact·95, zero extras) — an audit plan that " +
-        "deliberately pays both paths; the oracle asserts the verdicts from the exact-pair SQL"))
+        "deliberately pays both paths; the oracle asserts the verdicts from the exact-pair SQL"),
+      "q_llm_dedup_funnel" -> ("dedup waterfall (r11, audited r12): ONE eager-filled widened-corpus " +
+        "cache feeds the exact/normalized stage groupBys; the near-dup stage restricts the SHARED " +
+        "base-corpus trigram pair relation via two survivor equi-joins before the DedupClusters " +
+        "fixpoint; the four stage counts fold through a 4-row window — no stage re-reads text"),
+      "q_llm_cluster_medoids" -> ("per-cell medoid curation (r11, audited r12): the SAME Σ cell² " +
+        "cell-keyed equi-join bound as semdedup, argmax as ONE order-independent max(struct) " +
+        "partial agg (no window over pair rows), singleton cells re-enter via LEFT join so " +
+        "output is exactly k rows"),
+      "q_llm_coreset_sample" -> ("per-cell coreset prototypes (r11, audited r12): centrality rank " +
+        "rides Spark's WindowGroupLimit pushdown — map-side partial top-3 BEFORE the cell " +
+        "exchange, so only ≤ 3k rows survive to the final sort at any corpus size"),
+      "q_llm_cluster_purity" -> ("quantizer quality eval (r11, audited r12): two low-cardinality " +
+        "partial-agg groupBys (k·|labels| groups max) + one broadcast-sized join back — no " +
+        "window, no pair work"),
+      "q_llm_semdedup_auto" -> ("the grow-k rule EXECUTABLE (r12): k = ⌈n/256⌉ from the parquet " +
+        "footer, quantizer trained on the md5-ranked bounded sample, ONE corpus-wide k-row " +
+        "broadcast assignment pass, then the same cell-keyed pair join at ~256-row cells — " +
+        "within-cell pair work linear in n where the pinned k leaves it quadratic/2k"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — final physical plans at sf0.1 (AQE-settled)\n\n")
     sb.append("Generated by `graft.tools.PlanDump` after executing each query —\n")
     sb.append("these are the plans the 100 TB design assumes (SURVEY §4), verified\n")
     sb.append("mechanically in PlanSpec and recorded here for review.\n")
+    sb.append(s"Audited: ${picks.size} representative plans of the " +
+      s"${graft.SparkEntry.queries.size}-query tree (counts computed at dump " +
+      "time — the doc cannot go stale against SparkEntry).\n")
     picks.foreach { case (name, why) =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       df.collect()
