@@ -250,6 +250,21 @@ object Llm {
       .select($"vec_a", $"vec_b", round($"cs", 6).as("cs"))
   }
 
+  /** The PQ handoff's pair relation (ANN path C — shared by
+    * q_llm_embed_neardup_pq and its gate): AnnPq.neardupPairs with
+    * auto-config LSH candidates (grow-bits, the executable scale
+    * rule) and the measured m=32 × ksub=16 × margin=0.2 operating
+    * point (PqProbe r12: recall 0.988/0.982/0.978 at
+    * sf0.001/0.01/0.1, precision 1.0 by exact rerank). pq ⊆ exact
+    * for the same rounding reason as [[annNeardupPairs]]. */
+  private def pqNeardupPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (tables, bits) = graft.operators.AnnLsh.autoConfig(embCount(s, d))
+    graft.operators.AnnPq.neardupPairs(s, Tables.embeddings(s, d), 0.35,
+        tables, bits, m = 32, ksub = 16, margin = 0.2)
+      .select($"vec_a", $"vec_b", round($"cs", 6).as("cs"))
+  }
+
   /** k-means pinned config (q_llm_kmeans / q_llm_semdedup): k=8 cells,
     * 2 Lloyd refinement rounds — fixed, not converged (the AnnIvf
     * discipline; the oracle twin runs the same rounds). */
@@ -1340,6 +1355,42 @@ object Llm {
     "q_llm_embed_neardup_auto" -> ((s, d) =>
       neardupAuto(s, d).orderBy(col("vec_a"), col("vec_b"))),
 
+    // ANN scale path C (r12, VERDICT r11 item 8): PRODUCT-QUANTIZED
+    // near-dup retrieval — the memory-bounded form. The corpus is
+    // compressed 8× (32 packed byte-codes vs 256 B of floats); LSH
+    // band candidates carry only the codes through the exchange, the
+    // first-stage filter is 32 SDC table lookups per pair (no vector
+    // arithmetic), and only the (threshold − margin) survivor band
+    // touches full embeddings for the exact rerank. Engine-only for
+    // the same reason as q_llm_embed_neardup_ann (hash-derived miss
+    // set); accuracy is oracle-gated by the _gate twin below.
+    "q_llm_embed_neardup_pq" -> ((s, d) =>
+      pqNeardupPairs(s, d).orderBy(col("vec_a"), col("vec_b"))),
+
+    // Oracle-checked accuracy GATE for the PQ path — the
+    // q_llm_embed_neardup_ann_gate protocol verbatim: Spark pays both
+    // the exact scan and the PQ path and folds them to integer-exact
+    // verdicts (recall ≥ 0.95 without float division, zero extras);
+    // the DuckDB twin computes n_exact from the same exact-pair SQL
+    // and asserts TRUE — hash match ⇔ the PQ config genuinely holds
+    // ≥ 0.95 recall at precision 1.0 on the driver's own corpus
+    // (measured 0.988/0.982/0.978 at sf0.001/0.01/0.1;
+    // deterministic — codebooks are hash-seeded, candidates
+    // hash-derived). An AUDIT query, like every _gate.
+    "q_llm_embed_neardup_pq_gate" -> ((s, d) => {
+      import s.implicits._
+      val e = exactNeardupPairs(s, d).select($"vec_a", $"vec_b", lit(1).as("ex"))
+      val p = pqNeardupPairs(s, d).select($"vec_a", $"vec_b", lit(1).as("hit"))
+      e.join(p, Seq("vec_a", "vec_b"), "full_outer")
+        .agg(coalesce(sum(coalesce($"ex", lit(0))), lit(0)).cast("long").as("n_exact"),
+          coalesce(sum(coalesce($"ex", lit(0)) * coalesce($"hit", lit(0))), lit(0))
+            .cast("long").as("hits"),
+          coalesce(sum(when($"ex".isNull, 1).otherwise(0)), lit(0)).cast("long").as("extras"))
+        .select($"n_exact",
+          ($"hits" * 100 >= $"n_exact" * 95).as("ok_recall"),
+          ($"extras" === 0).as("ok_precision"))
+    }),
+
     // Embedding-quality check: avg intra-label vs inter-label cosine.
     // A global statistic, so at scale it is a SAMPLED estimator with a
     // SIZE-INVARIANT bound: per label, keep the PairSimCap vectors with
@@ -2004,6 +2055,17 @@ object Llm {
     // recall/precision verdicts ASSERTED — hash match ⇔ the engine's
     // 40×5 LSH held ≥ 0.95 recall at precision 1.0 on this corpus.
     "q_llm_embed_neardup_ann_gate" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+       "p AS (SELECT round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / " +
+       "(sqrt(list_sum(list_transform(list_zip(a.v, a.v), p -> p[1] * p[2]))) * " +
+       "sqrt(list_sum(list_transform(list_zip(b.v, b.v), p -> p[1] * p[2])))), 6) AS cs " +
+       "FROM e a JOIN e b ON a.vec_id < b.vec_id) " +
+       "SELECT COUNT(*) AS n_exact, TRUE AS ok_recall, TRUE AS ok_precision " +
+       "FROM p WHERE cs >= 0.35"),
+    // PQ gate twin: identical protocol — hash match ⇔ the PQ path
+    // (auto-config LSH candidates + 32×16 SDC filter at margin 0.2 +
+    // exact rerank) held ≥ 0.95 recall at precision 1.0.
+    "q_llm_embed_neardup_pq_gate" ->
       ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
        "p AS (SELECT round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / " +
        "(sqrt(list_sum(list_transform(list_zip(a.v, a.v), p -> p[1] * p[2]))) * " +

@@ -187,19 +187,30 @@ object SemanticDedup {
   }
 
   private def update(theta: Double, maxSurvivors: Int)(
-      cell: Long, rows: Iterator[CellVec],
+      cell: Long, rows: Iterator[EmbIn],
       state: GroupState[CellSurvivors]): Iterator[Verdict] = {
-    val (next, out) = fold(cell, rows, state.getOption, theta, maxSurvivors)
+    val (next, out) = fold(cell,
+      rows.map(r => CellVec(r.vecId, cell, r.embedding)),
+      state.getOption, theta, maxSurvivors)
     state.update(next)
     out.iterator
   }
 
-  /** Wire the stage over a stream of embeddings. */
+  /** Wire the stage over a stream of embeddings.
+    *
+    * The cell assignment runs in the groupByKey KEY FUNCTION, not a
+    * preceding `map` (r12, VERDICT r11 item 3): a typed map re-encodes
+    * the whole 64-float payload into a new CellVec row — one full
+    * decode + construct + encode per ingested vector — while
+    * groupByKey's AppendColumns evaluates the key function against the
+    * deserialized row and appends just the 8-byte key to the EXISTING
+    * serialized columns. Same assignment rule, same shuffle key, one
+    * fewer payload ser/de round on the hot path; the in-processor
+    * CellVec wrap is a plain JVM allocation, never encoded. */
   def apply(spark: SparkSession, in: Dataset[EmbIn], model: Array[Centroid],
       theta: Double, maxSurvivors: Int = 100000): Dataset[Verdict] = {
     import spark.implicits._
-    in.map(r => CellVec(r.vecId, assignCell(r.embedding, model), r.embedding))
-      .groupByKey(_.cell)
+    in.groupByKey(r => assignCell(r.embedding, model))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         update(theta, maxSurvivors))
   }
@@ -225,38 +236,65 @@ object SemanticDedupTws {
   import org.apache.spark.sql.streaming.{ListState, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
   import SemanticDedup.{CellSurvivors, CellVec, Centroid, EmbIn, Verdict}
 
-  /** One survivor (public: encoder codegen constructs it). */
-  case class SurvivorRow(id: Long, emb: Array[Float])
+  /** One survivor packed as BINARY: 8 B big-endian id followed by the
+    * embedding's floats (4 B each) — a single primitive column whose
+    * encode is a memcpy, replacing the product-encoder SurvivorRow
+    * (id + array<float>) whose per-element handling was the measured
+    * state-path constant (r12, VERDICT r11 item 3: "a primitive-array
+    * /row encoder should buy 2×"). Pack/unpack are bulk ByteBuffer
+    * ops; the format is an implementation detail of THIS state store
+    * (never crosses a query boundary), versioned only by the
+    * checkpoint itself. */
+  private[streaming] def packSurvivor(id: Long, emb: Array[Float]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + 4 * emb.length)
+    bb.putLong(id)
+    bb.asFloatBuffer().put(emb)
+    bb.array()
+  }
+
+  private[streaming] def unpackId(b: Array[Byte]): Long =
+    java.nio.ByteBuffer.wrap(b).getLong()
+
+  private[streaming] def unpackEmb(b: Array[Byte]): Array[Float] = {
+    val bb = java.nio.ByteBuffer.wrap(b, 8, b.length - 8)
+    val out = new Array[Float]((b.length - 8) / 4)
+    bb.asFloatBuffer().get(out)
+    out
+  }
 
   private class Processor(theta: Double, maxSurvivors: Int)
-      extends StatefulProcessor[Long, CellVec, Verdict] {
-    @transient private var state: ListState[SurvivorRow] = _
+      extends StatefulProcessor[Long, EmbIn, Verdict] {
+    @transient private var state: ListState[Array[Byte]] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      state = getHandle.getListState[SurvivorRow](
-        "survivors", Encoders.product[SurvivorRow], TTLConfig.NONE)
+      state = getHandle.getListState[Array[Byte]](
+        "survivors", Encoders.BINARY, TTLConfig.NONE)
 
-    override def handleInputRows(cell: Long, rows: Iterator[CellVec],
+    override def handleInputRows(cell: Long, rows: Iterator[EmbIn],
         timerValues: TimerValues): Iterator[Verdict] = {
       val prevRows = state.get().toArray
       val prev =
         if (prevRows.isEmpty) None
-        else Some(CellSurvivors(prevRows.map(_.id), prevRows.map(_.emb)))
-      val (next, out) = SemanticDedup.fold(cell, rows, prev, theta, maxSurvivors)
+        else Some(CellSurvivors(prevRows.map(unpackId), prevRows.map(unpackEmb)))
+      val (next, out) = SemanticDedup.fold(cell,
+        rows.map(r => CellVec(r.vecId, cell, r.embedding)),
+        prev, theta, maxSurvivors)
       var i = prevRows.length // append ONLY the newly kept survivors
       while (i < next.ids.length) {
-        state.appendValue(SurvivorRow(next.ids(i), next.embs(i)))
+        state.appendValue(packSurvivor(next.ids(i), next.embs(i)))
         i += 1
       }
       out.iterator
     }
   }
 
+  /** Same cell-assignment-in-key-function wiring as
+    * [[SemanticDedup.apply]] (one payload ser/de round saved per
+    * vector — see that doc). */
   def apply(spark: SparkSession, in: Dataset[EmbIn], model: Array[Centroid],
       theta: Double, maxSurvivors: Int = 100000): Dataset[Verdict] = {
     import spark.implicits._
-    in.map(r => CellVec(r.vecId, SemanticDedup.assignCell(r.embedding, model), r.embedding))
-      .groupByKey(_.cell)
+    in.groupByKey(r => SemanticDedup.assignCell(r.embedding, model))
       .transformWithState(new Processor(theta, maxSurvivors),
         TimeMode.None(), OutputMode.Append())
   }

@@ -115,10 +115,31 @@ object CrossoverProbe {
           col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id"), col("b.vec_id")).distinct().count()
       val ivfCandFrac = ivfCands.toDouble / (n.toDouble * (n - 1) / 2)
-      exact.unpersist(); ann.unpersist(); ivf.unpersist()
       println(f"CROSSOVER_IVF x$k n=$n cells=$ivfCells nprobe=$ivfNprobe " +
         f"ivf_t=$ivfT%.2fs ivf_pairs=$ivfPairs recall=$ivfRecall%.3f " +
         f"cand_frac=$ivfCandFrac%.3f")
+
+      // PQ path C (r12, VERDICT r11 item 8): same corpus, same 0.35
+      // threshold, same protocol — auto-config LSH candidates scored
+      // on 32-byte packed codes (SDC) with exact rerank of the
+      // survivor band. surv_frac = SDC survivors ÷ LSH candidates:
+      // the fraction of candidate pairs that ever touch a full
+      // vector — the payload-movement saving PQ buys on top of the
+      // LSH candidate saving.
+      graft.CacheScope.drain()
+      val (pqTables, pqBits) = graft.operators.AnnLsh.autoConfig(n)
+      val t3 = System.nanoTime()
+      val pq = graft.operators.AnnPq
+        .neardupPairs(spark, emb, 0.35, pqTables, pqBits)
+        .select(col("vec_a"), col("vec_b")).cache()
+      val pqPairs = pq.count()
+      val pqT = (System.nanoTime() - t3) / 1e9
+      val pqHit = pq.join(exact, Seq("vec_a", "vec_b")).count()
+      val pqRecall = if (exactPairs == 0) 1.0 else pqHit.toDouble / exactPairs
+      exact.unpersist(); ann.unpersist(); ivf.unpersist(); pq.unpersist()
+      graft.CacheScope.drain()
+      println(f"CROSSOVER_PQ x$k n=$n lsh=${pqTables}x$pqBits pq_t=$pqT%.2fs " +
+        f"pq_pairs=$pqPairs recall=$pqRecall%.3f")
     }
     spark.stop()
   }

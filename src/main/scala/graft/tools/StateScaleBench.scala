@@ -35,6 +35,13 @@ object StateScaleBench {
     val nKeys = args.headOption.map(_.toInt).getOrElse(1000000)
     val batches = if (args.length > 1) args(1).toInt else 3
     val monitor = if (args.length > 2) args(2) else "trip"
+    // source parallelism per batch: a 4-file batch caps the pre-shuffle
+    // map stage (semdedup's O(k)-cosine assignCell runs THERE) at 4 of
+    // the 32 cores — a real deployment's Kafka topic has as many
+    // partitions as the executor count, so the bench source should too
+    // (r12; 4 remains available to measure the starved shape)
+    val sourceParts = sys.env.get("SPARK_GRAFT_SOURCE_PARTS")
+      .map(_.toInt).getOrElse(32)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -42,6 +49,12 @@ object StateScaleBench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // incremental (changelog) checkpoints: without this every batch
+      // re-snapshots the FULL RocksDB store into the checkpoint — at
+      // semdedup's 58 MB of survivor state that upload dominated batch
+      // walls with 3x run-to-run variance (r12); production state
+      // stores checkpoint the delta, so the bench should too
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       .getOrCreate()
     import spark.implicits._
     spark.sparkContext.setLogLevel("ERROR")
@@ -58,14 +71,14 @@ object StateScaleBench {
           lit(b * 60000L).as("tsMs"),
           (col("id") % 180 - 90).cast("double").as("lat"),
           ((col("id") % 360 - 180).cast("double") + b * 0.01).as("lon"))
-        .coalesce(4).write.mode("append").parquet(in)
+        .coalesce(sourceParts).write.mode("append").parquet(in)
 
     val fixSchema = StructType(Seq(
       StructField("deviceId", StringType), StructField("eventId", LongType),
       StructField("tsMs", LongType), StructField("lat", DoubleType),
       StructField("lon", DoubleType)))
     val raw = spark.readStream.schema(fixSchema)
-      .option("maxFilesPerTrigger", 4) // 4 files per synthesized batch
+      .option("maxFilesPerTrigger", sourceParts) // one synthesized batch
       .parquet(in)
 
     val t0 = System.nanoTime()

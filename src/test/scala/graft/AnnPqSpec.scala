@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN path C (product quantization) contract: packed-code shape,
+  * deterministic training, byte-unpack correctness, and the measured
+  * accuracy floors the q_llm_embed_neardup_pq_gate asserts (PqProbe
+  * r12: recall 0.988/0.982/0.978 at sf0.001/0.01/0.1 for the
+  * m=32 × ksub=16 × margin=0.2 operating point, precision 1.0 by
+  * exact rerank). */
+class AnnPqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val m = 32
+  private val ksub = 16
+
+  private def prepared(d: String) = {
+    val e = graft.Tables.embeddings(spark, d)
+    e.select($"vec_id", $"embedding",
+      graft.functions.VecOps.norm(spark, $"embedding").as("nrm"))
+  }
+
+  test("packed encode: 4 longs per vector, every unpacked byte a live code, deterministic rerun") {
+    val p = prepared(TestSpark.sf)
+    def run() = {
+      val asg = graft.CacheScope.localEager(
+        graft.operators.AnnPq.trainAssign(spark, p, m, ksub, 2))
+      val enc = graft.operators.AnnPq.encodeWith(asg, p)
+        .orderBy($"vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toList))
+      graft.CacheScope.drain()
+      enc
+    }
+    val a = run()
+    assert(a.nonEmpty && a.forall(_._2.length == m / 8),
+      s"expected ${m / 8} packed words per vector")
+    // every byte in [0, ksub)
+    val codes = a.flatMap(_._2.flatMap(w =>
+      (0 until 8).map(j => (w >> (8 * j)) & 255L)))
+    assert(codes.forall(c => c >= 0 && c < ksub),
+      s"code out of range: ${codes.filterNot(c => c >= 0 && c < ksub).take(3).toList}")
+    // hash-seeded training is deterministic end to end
+    assert(run().toList == a.toList, "re-trained encode diverged")
+  }
+
+  test("packed bytes round-trip the training assignment (the sdcDot unpack rule)") {
+    val p = prepared(TestSpark.sf)
+    val asg = graft.CacheScope.localEager(
+      graft.operators.AnnPq.trainAssign(spark, p, m, ksub, 2))
+    val enc = graft.operators.AnnPq.encodeWith(asg, p)
+    // unpack every code with the SAME shiftright/& spelling sdcDot uses
+    val unpacked = enc.select($"vec_id",
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), $"codes")
+      .select($"vec_id", $"sub",
+        expr("shiftright(element_at(codes, cast((sub div 8) + 1 as int)), " +
+          "(sub % 8) * 8) & 255").cast("int").as("code"))
+    val mismatches = unpacked.join(asg.select($"vec_id", $"sub", $"code".as("c0")),
+        Seq("vec_id", "sub"))
+      .filter($"code" =!= $"c0").count()
+    graft.CacheScope.drain()
+    assert(mismatches == 0, s"$mismatches unpacked codes diverge from the assignment")
+  }
+
+  test("neardup pairs: pq ⊆ exact (precision 1.0) and recall ≥ 0.95 at sf0.01") {
+    val d = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("q_llm_embed_neardup")(spark, d)
+      .select($"vec_a", $"vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = SparkEntry.queries("q_llm_embed_neardup_pq")(spark, d)
+      .select($"vec_a", $"vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.CacheScope.drain()
+    assert(pq.subsetOf(exact), "PQ returned a pair the exact scan did not")
+    val recall = if (exact.isEmpty) 1.0 else pq.size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall=$recall (|exact|=${exact.size}, |pq|=${pq.size})")
+  }
+
+  test("ADC topK: ≥ 7 of exact top-10 at sf0.001") {
+    val d = TestSpark.sf
+    val emb = graft.Tables.embeddings(spark, d)
+    val qid = emb.select(min($"vec_id")).head().getLong(0)
+    val q = emb.filter($"vec_id" === qid).select($"embedding".as("qv"))
+    val exact = emb.filter($"vec_id" =!= qid).crossJoin(broadcast(q))
+      .select($"vec_id",
+        (graft.functions.VecOps.dot(spark, $"embedding", $"qv") /
+          (graft.functions.VecOps.norm(spark, $"embedding") *
+            graft.functions.VecOps.norm(spark, $"qv"))).as("cs"))
+      .orderBy($"cs".desc, $"vec_id".asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val pq = graft.operators.AnnPq.topK(spark, emb, qid, 10)
+      .collect().map(_.getLong(0)).toSet
+    graft.CacheScope.drain()
+    assert(pq.size == 10)
+    assert(exact.intersect(pq).size >= 7,
+      s"ADC top-10 overlap ${exact.intersect(pq).size} < 7")
+  }
+}
