@@ -33,11 +33,11 @@ import org.apache.spark.sql.functions._
   * the m·ksub-row codebook relation — the q_llm_embed_outlier
   * centroid-array trick) and attached by a 1-row broadcast
   * cross-join: no driver-side collect, no UDF; the per-row score is
-  * an `aggregate` fold of element_at lookups with the byte codes
-  * unpacked by shiftright/& — all built-in expressions (higher-order
-  * functions evaluate interpreted in Spark, but the fold does m array
-  * reads and adds, no vector arithmetic — the work is already
-  * table-compressed).
+  * the fused codegen kernel functions.PqOps (byte unpack + table
+  * read + double add in a tight generated loop — the FloatVecDot
+  * discipline; the interpreted HOF spelling it replaced cost more
+  * per candidate than the full-vector dot it was supposed to
+  * avoid).
   *
   * Codebook training is the same determinism discipline as AnnIvf's
   * coarse quantizer (hash-seeded init, min(struct) argmin ties,
@@ -217,27 +217,23 @@ object AnnPq {
       .select(expr("transform(iv, x -> x.d)").as("tflat"))
   }
 
-  /** Byte-code j unpacked from a packed-codes column named `p`:
-    * word (j div 8), bits [8·(j mod 8), …+8). SQL-string form because
-    * shiftright's Column-API overload demands a literal shift; the
-    * SQL expression accepts any int expression. */
-  private def codeAt(p: String, j: String): String =
-    s"(shiftright(element_at($p, cast(($j div 8) + 1 as int)), ($j % 8) * 8) & 255)"
-
-  /** The SDC approximate dot between two packed-code columns (by
-    * NAME — these build SQL strings), as an m-step `aggregate` fold
-    * of element_at lookups into the broadcast `tflat` column — zero
-    * per-pair vector arithmetic. */
-  def sdcDot(pa: String, pb: String, m: Int, ksub: Int): Column =
-    expr(s"aggregate(sequence(0, ${m - 1}), cast(0 as double), (acc, j) -> " +
-      s"acc + element_at(tflat, cast(j * ${ksub * ksub} + " +
-      s"${codeAt(pa, "j")} * $ksub + ${codeAt(pb, "j")} + 1 as int)))")
+  /** The SDC approximate dot between two packed-code columns against
+    * the broadcast `tflat` table — the fused codegen kernel
+    * (functions.PqOps.PqSdcDot): a tight generated loop of byte
+    * unpack + table read + double add in j-ascending order. The
+    * first-written `aggregate(sequence(0, m−1), …)` HOF fold was
+    * bit-identical but INTERPRETED — at m=32 its per-candidate lambda
+    * machinery cost more than the fused 64-float dot the PQ filter
+    * exists to avoid (the FloatVecDot lesson, relearned on codes). */
+  def sdcDot(spark: SparkSession, tflat: Column, pa: Column, pb: Column,
+      ksub: Int): Column =
+    graft.functions.PqOps.sdcDot(spark, tflat, pa, pb, ksub)
 
   /** ADC approximate dot of the table's query against a packed-code
-    * column named `p`. */
-  def adcDot(p: String, m: Int, ksub: Int): Column =
-    expr(s"aggregate(sequence(0, ${m - 1}), cast(0 as double), (acc, j) -> " +
-      s"acc + element_at(tflat, cast(j * $ksub + ${codeAt(p, "j")} + 1 as int)))")
+    * column — fused kernel, same layout/fold-order contract. */
+  def adcDot(spark: SparkSession, tflat: Column, p: Column,
+      ksub: Int): Column =
+    graft.functions.PqOps.adcDot(spark, tflat, p, ksub)
 
   /** ALL-PAIRS approximate near-duplicate retrieval — the PQ
     * counterpart of AnnLsh/AnnIvf.neardupPairs, measured under the
@@ -281,8 +277,8 @@ object AnnPq {
         col("a.nrm").as("na"), col("b.nrm").as("nb"))
     val survivors = cand
       .crossJoin(broadcast(sdcFlat(spark, books, m, ksub)))
-      .filter(sdcDot("pa", "pb", m, ksub) / (col("na") * col("nb"))
-        >= threshold - margin)
+      .filter(sdcDot(spark, col("tflat"), col("pa"), col("pb"), ksub) /
+        (col("na") * col("nb")) >= threshold - margin)
       .select(col("vec_a"), col("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
     survivors
@@ -319,8 +315,8 @@ object AnnPq {
     val approx = enc.filter(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(adcFlat(spark, books, q, m, ksub)))
       .select(col("vec_id"),
-        (adcDot("codes", m, ksub) / (col("nrm") * col("qnrm")))
-          .as("approx_cs"))
+        (adcDot(spark, col("tflat"), col("codes"), ksub) /
+          (col("nrm") * col("qnrm"))).as("approx_cs"))
       .orderBy(col("approx_cs").desc, col("vec_id").asc)
       .limit(k * refine)
     approx

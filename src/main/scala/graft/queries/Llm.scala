@@ -255,13 +255,17 @@ object Llm {
     * auto-config LSH candidates (grow-bits, the executable scale
     * rule) and the measured m=32 × ksub=16 × margin=0.2 operating
     * point (PqProbe r12: recall 0.988/0.982/0.978 at
-    * sf0.001/0.01/0.1, precision 1.0 by exact rerank). pq ⊆ exact
-    * for the same rounding reason as [[annNeardupPairs]]. */
+    * sf0.001/0.01/0.1, precision 1.0 by exact rerank). One Lloyd
+    * round, not two: recall is iteration-flat on this corpus
+    * (PqIterProbe — 0.982/0.976 at iters=1 vs 0.982/0.978 at 2, even
+    * 0.956/0.965 with unrefined seeds) and each extra round is two
+    * more shuffles of the training relation. pq ⊆ exact for the same
+    * rounding reason as [[annNeardupPairs]]. */
   private def pqNeardupPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val (tables, bits) = graft.operators.AnnLsh.autoConfig(embCount(s, d))
     graft.operators.AnnPq.neardupPairs(s, Tables.embeddings(s, d), 0.35,
-        tables, bits, m = 32, ksub = 16, margin = 0.2)
+        tables, bits, m = 32, ksub = 16, margin = 0.2, iters = 1)
       .select($"vec_a", $"vec_b", round($"cs", 6).as("cs"))
   }
 

@@ -63,6 +63,42 @@ class AnnPqSpec extends AnyFunSuite {
     assert(mismatches == 0, s"$mismatches unpacked codes diverge from the assignment")
   }
 
+  test("PqSdcDot/PqAdcDot kernels ≡ the interpreted HOF fold, bit-for-bit, codegen-compiled") {
+    val p = prepared(TestSpark.sf)
+    val asg = graft.CacheScope.localEager(
+      graft.operators.AnnPq.trainAssign(spark, p, m, ksub, 2))
+    val books = graft.operators.AnnPq.booksOf(asg)
+    val enc = graft.CacheScope.localEager(
+      graft.operators.AnnPq.encodeWith(asg, p))
+    def codeAt(pn: String, j: String): String =
+      s"(shiftright(element_at($pn, cast(($j div 8) + 1 as int)), ($j % 8) * 8) & 255)"
+    val pairs = enc.as("a").join(enc.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        $"a.codes".as("pa"), $"b.codes".as("pb"))
+      .limit(2000)
+      .crossJoin(broadcast(graft.operators.AnnPq.sdcFlat(spark, books, m, ksub)))
+    TestSpark.withSQLConf("spark.sql.codegen.fallback" -> "false") {
+      val sdcMismatch = pairs.select(
+          graft.operators.AnnPq.sdcDot(spark, $"tflat", $"pa", $"pb", ksub).as("k"),
+          expr(s"aggregate(sequence(0, ${m - 1}), cast(0 as double), (acc, j) -> " +
+            s"acc + element_at(tflat, cast(j * ${ksub * ksub} + " +
+            s"${codeAt("pa", "j")} * $ksub + ${codeAt("pb", "j")} + 1 as int)))").as("h"))
+        .filter($"k" =!= $"h").count()
+      assert(sdcMismatch == 0, s"$sdcMismatch SDC kernel values diverge from the HOF fold")
+      val qid = p.select(min($"vec_id")).head().getLong(0)
+      val q = p.filter($"vec_id" === qid).select($"embedding".as("qv"), $"nrm".as("qnrm"))
+      val adc = enc.crossJoin(broadcast(
+        graft.operators.AnnPq.adcFlat(spark, books, q, m, ksub)))
+      val adcMismatch = adc.select(
+          graft.operators.AnnPq.adcDot(spark, $"tflat", $"codes", ksub).as("k"),
+          expr(s"aggregate(sequence(0, ${m - 1}), cast(0 as double), (acc, j) -> " +
+            s"acc + element_at(tflat, cast(j * $ksub + ${codeAt("codes", "j")} + 1 as int)))").as("h"))
+        .filter($"k" =!= $"h").count()
+      assert(adcMismatch == 0, s"$adcMismatch ADC kernel values diverge from the HOF fold")
+    }
+    graft.CacheScope.drain()
+  }
+
   test("neardup pairs: pq ⊆ exact (precision 1.0) and recall ≥ 0.95 at sf0.01") {
     val d = "/root/testdata/sf0.01"
     val exact = SparkEntry.queries("q_llm_embed_neardup")(spark, d)

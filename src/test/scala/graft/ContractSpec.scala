@@ -16,11 +16,13 @@ class ContractSpec extends AnyFunSuite {
     assert((os -- qs).isEmpty, s"oracles without queries: ${os -- qs}")
     // rows-only by design: sketch internals (HLL, quantile) are not
     // hash-stable vs DuckDB — both accuracy-GATED oracle-side since r10
-    // (q_agg_approx_*_gate) and accuracy-tested in KernelSpec; the ANN
-    // handoff's missed-pair set is hash-derived-LSH-specific (recall
-    // pinned ≥ 0.95 in AnnHandoffSpec)
+    // (q_agg_approx_*_gate) and accuracy-tested in KernelSpec; the
+    // ANN/PQ paths' missed-pair sets are hash-derived-config-specific
+    // (recall pinned ≥ 0.95 in AnnHandoffSpec / AnnPqSpec, each with
+    // its oracle-checked _gate twin)
     assert((qs -- os) == Set("q_agg_approx_distinct", "q_agg_approx_percentile",
-        "q_llm_embed_neardup_ann", "q_llm_knn_graph_ann"),
+        "q_llm_embed_neardup_ann", "q_llm_knn_graph_ann",
+        "q_llm_embed_neardup_pq"),
       s"undeclared engine-only: ${qs -- os}")
   }
 
