@@ -156,7 +156,13 @@ object PlanDump {
       "q_llm_semdedup_auto" -> ("the grow-k rule EXECUTABLE (r12): k = ⌈n/256⌉ from the parquet " +
         "footer, quantizer trained on the md5-ranked bounded sample, ONE corpus-wide k-row " +
         "broadcast assignment pass, then the same cell-keyed pair join at ~256-row cells — " +
-        "within-cell pair work linear in n where the pinned k leaves it quadratic/2k"))
+        "within-cell pair work linear in n where the pinned k leaves it quadratic/2k"),
+      "q_llm_embed_neardup_pq" -> ("ANN path C (r12): per-subspace codebooks trained on narrow " +
+        "(vec_id, sub, subvector) rows, codes packed 8/long so the LSH (t, bucket) candidate " +
+        "self-join exchanges 32 B of codes instead of the 256 B embedding payload; the SDC " +
+        "filter is the fused PqSdcDot kernel against a ONE-ROW broadcast table (map-side, " +
+        "before the pair-dedup shuffle), and full vectors are re-attached by vec_id equi-join " +
+        "ONLY for the (θ − margin) survivor band"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — final physical plans at sf0.1 (AQE-settled)\n\n")
