@@ -154,4 +154,58 @@ class RestartRecoverySpec extends AnyFunSuite {
         s"exactly one dark alert per outage across incarnations: ${events.toSeq}")
     }
   }
+
+  test("SemanticDedupTws: binary-packed survivor state survives a query restart") {
+    // the r12 ListState rows are raw BINARY (8 B id + float bytes,
+    // PqOps-style bulk packing) — this pins that the format round-trips
+    // a RocksDB checkpoint across query incarnations: a duplicate
+    // ingested AFTER the restart must resolve to a survivor kept
+    // BEFORE it, which requires unpacking the pre-restart state row
+    TestSpark.withSQLConf("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      val in = Files.createTempDirectory("restart_semdedup_in").toString
+      val ckpt = Files.createTempDirectory("restart_semdedup_ckpt").toString
+      val out = Files.createTempDirectory("restart_semdedup_out").toString
+      val embSchema = StructType(Seq(
+        StructField("vecId", LongType),
+        StructField("embedding", ArrayType(FloatType))))
+      // single-centroid model: everything lands in cell 0
+      val model = Array(graft.streaming.SemanticDedup.Centroid(0L,
+        Array.tabulate(64)(i => if (i == 0) 1.0 else 0.0), 1.0))
+      def unit(j: Int, scale: Float): Array[Float] = {
+        val v = new Array[Float](64); v(j) = scale; v
+      }
+      def writeVecs(rows: Seq[(Long, Array[Float])]): Unit =
+        rows.toDF("vecId", "embedding")
+          .coalesce(1).write.mode("append").parquet(in)
+      def run(): Unit = {
+        val q = graft.streaming.SemanticDedupTws(spark,
+            spark.readStream.schema(embSchema)
+              .option("maxFilesPerTrigger", 1).parquet(in)
+              .as[graft.streaming.SemanticDedup.EmbIn],
+            model, theta = 0.35).toDF()
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      // incarnation 1: two orthogonal (novel) vectors — both kept
+      writeVecs(Seq(1L -> unit(0, 1.0f), 2L -> unit(1, 1.0f)))
+      run()
+      // incarnation 2: a scaled copy of vec 1 (cosine 1.0 — duplicate
+      // of the PRE-restart survivor) and a fresh orthogonal vector
+      writeVecs(Seq(3L -> unit(0, 0.9f), 4L -> unit(2, 1.0f)))
+      run()
+      val verdicts = spark.read.schema(org.apache.spark.sql.Encoders
+          .product[graft.streaming.SemanticDedup.Verdict].schema).parquet(out)
+        .as[graft.streaming.SemanticDedup.Verdict].collect()
+        .map(v => v.vecId -> (v.rep, v.kept)).toMap
+      assert(verdicts(1L) == (1L, true) && verdicts(2L) == (2L, true),
+        s"pre-restart batch wrong: $verdicts")
+      assert(verdicts(3L) == (1L, false),
+        s"post-restart duplicate must resolve to the pre-restart survivor: $verdicts")
+      assert(verdicts(4L) == (4L, true),
+        s"post-restart novel vector must be kept: $verdicts")
+    }
+  }
 }
