@@ -239,6 +239,65 @@ object Llm {
       .select($"va".as("vec_id"), $"rk", $"vb".as("neighbor"), $"cs")
   }
 
+  /** PQ-ACCELERATED ANN kNN graph (r12 experiment): the same LSH
+    * candidate structure as [[annKnnGraphCfg]], but the bucket
+    * exchange carries PACKED CODES (32 B) instead of the embedding
+    * payload (256 B), per-bucket candidates rank by the fused SDC
+    * kernel, the local/global top-(3+slack) merge runs on approximate
+    * scores, and ONLY the ≤ (3+slack)·n survivor edges re-attach full
+    * vectors for the exact-cosine final top-3. Slack absorbs SDC
+    * misranking (quantization error can swap near-ties); the edge
+    * recall gate (≥ 0.90, AutoScaleProbe knnpq step) is the accuracy
+    * contract. At cluster scale this is the n^1.7 candidate volume
+    * moving at 1/8 the bytes. */
+  private[graft] def annKnnGraphPq(s: SparkSession, d: String, tables: Int,
+      bits: Int, slack: Int = 8, m: Int = 32, ksub: Int = 16): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val prepared = Tables.embeddings(s, d).select($"vec_id", $"embedding",
+      VecOps.norm(s, $"embedding").as("nrm"))
+    val assigned = graft.CacheScope.localEager(
+      graft.operators.AnnPq.trainAssign(s, prepared, m, ksub, 1))
+    val books = graft.operators.AnnPq.booksOf(assigned)
+    // ONE row per vector: signature array + packed codes + norm — the
+    // compact cache shape, with codes in place of the embedding
+    val bk = graft.CacheScope.localEager(
+      prepared.select($"vec_id",
+          graft.functions.LshSignatures.of(s, $"embedding", tables, bits).as("sigs"))
+        .join(graft.operators.AnnPq.encodeWith(assigned, prepared), Seq("vec_id")))
+    val b = bk.select($"vec_id", $"codes", $"nrm",
+      posexplode($"sigs").as(Seq("t", "bucket")))
+    val cand = b.as("a").join(b.as("b"),
+        $"a.t" === $"b.t" && $"a.bucket" === $"b.bucket" &&
+        $"a.vec_id" =!= $"b.vec_id")
+      .crossJoin(broadcast(graft.operators.AnnPq.sdcFlat(s, books, m, ksub)))
+      .select($"a.t".as("t"), $"a.bucket".as("bucket"),
+        $"a.vec_id".as("va"), $"b.vec_id".as("vb"),
+        (graft.operators.AnnPq.sdcDot(s, $"tflat", $"a.codes", $"b.codes", ksub) /
+          ($"a.nrm" * $"b.nrm")).as("acs"))
+    // same no-exchange local prune as the exact-score graph, top-(3+slack)
+    val wLocal = Window.partitionBy($"t", $"bucket", $"va")
+      .orderBy($"acs".desc, $"vb".asc)
+    val pruned = cand.withColumn("lrk", row_number().over(wLocal))
+      .filter($"lrk" <= 3 + slack)
+    val wA = Window.partitionBy($"va").orderBy($"acs".desc, $"vb".asc)
+    val survivors = pruned.withColumn("ark", dense_rank().over(wA))
+      .filter($"ark" <= 3 + slack)
+      .select($"va", $"vb").dropDuplicates("va", "vb")
+    // exact rerank: full vectors move only for the survivor edges
+    val wFinal = Window.partitionBy($"va").orderBy($"cs".desc, $"vb".asc)
+    survivors
+      .join(prepared.select($"vec_id".as("va"), $"embedding".as("ea"),
+        $"nrm".as("na")), Seq("va"))
+      .join(prepared.select($"vec_id".as("vb"), $"embedding".as("eb"),
+        $"nrm".as("nb")), Seq("vb"))
+      .select($"va", $"vb",
+        round(VecOps.dot(s, $"ea", $"eb") / ($"na" * $"nb"), 6).as("cs"))
+      .withColumn("rk", row_number().over(wFinal).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"va".as("vec_id"), $"rk", $"vb".as("neighbor"), $"cs")
+  }
+
   /** The ANN handoff's pair relation (shared by q_llm_embed_neardup_ann
     * and the gate): AnnLsh.neardupPairs at the pinned 40×5 config.
     * ann ⊆ exact: the unrounded threshold here implies the rounded one

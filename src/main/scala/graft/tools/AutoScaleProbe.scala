@@ -168,6 +168,21 @@ object AutoScaleProbe {
         }
       }
 
+      // r12 experiment: the PQ-accelerated graph — codes through the
+      // bucket exchange, SDC local ranking with slack, exact rerank of
+      // ≤ (3+slack)·n survivor edges. Same auto (tables, bits).
+      if (steps("knnpq")) {
+        timed(s"x$m knn_graph_pq ${tables}x$bits")(
+          Llm.annKnnGraphPq(spark, dir, tables, bits))
+        val hitsQ = exactG.join(
+          Llm.annKnnGraphPq(spark, dir, tables, bits)
+            .select($"vec_id".as("qid"), $"neighbor".as("nb")),
+          Seq("qid", "nb")).count()
+        graft.CacheScope.drain(blocking = true)
+        val recQ = hitsQ.toDouble / math.max(1, nG)
+        println(f"AUTOSCALE x$m knn_graph_pq recall $hitsQ/$nG=$recQ%.4f ok=${recQ >= 0.90}")
+      }
+
       if (steps("neardup")) {
         timed(s"x$m neardup_auto ${tables}x$bits")(
           Llm.neardupAuto(spark, dir, envelope = 1L))
