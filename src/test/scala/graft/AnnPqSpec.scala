@@ -113,6 +113,24 @@ class AnnPqSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"recall=$recall (|exact|=${exact.size}, |pq|=${pq.size})")
   }
 
+  test("PQ-accelerated kNN graph: edge recall ≥ 0.90 vs the exact graph at sf0.1 (m=64, slack=32)") {
+    // the KnnPqSweep-measured config: codes at 64 subspaces (scalar
+    // 16-level quantization, 64 B packed) rank candidates well enough
+    // that the exact rerank of ≤ 35·n survivor edges recovers 0.978 /
+    // 0.984 edge recall at x1 / x10 — measured 5.6× faster than the
+    // exact-score auto graph at x10 (BASELINE r12)
+    val d = "/root/testdata/sf0.1"
+    val exact = SparkEntry.queries("q_llm_knn_graph")(spark, d)
+      .select($"vec_id", $"neighbor").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = graft.queries.Llm.annKnnGraphPq(spark, d, 40, 5, slack = 32, m = 64)
+      .select($"vec_id", $"neighbor").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.CacheScope.drain()
+    val recall = if (exact.isEmpty) 1.0 else pq.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.90, s"edge recall=$recall (|exact|=${exact.size}, |pq|=${pq.size})")
+  }
+
   test("ADC topK: ≥ 7 of exact top-10 at sf0.001") {
     val d = TestSpark.sf
     val emb = graft.Tables.embeddings(spark, d)
