@@ -151,6 +151,14 @@ case class PqAdcDot(table: Expression, pa: Expression, ksub: Int)
 }
 
 object PqOps {
+  // Byte-code layout assumption (ADVICE r12): both kernels read the
+  // packed-code array as longs and derive m = words*8 — one byte code
+  // per subspace, 8 per long, ksub <= 256. A non-multiple-of-8 m would
+  // make the last long's padding bytes decode as code 0 for subspaces
+  // >= m and index tflat past its logical end (UnsafeArrayData.getDouble
+  // is unchecked — silent garbage, not an error). AnnPq.requireCodeLayout
+  // guards every public entry that reaches these kernels.
+
   /** Idempotently register the kernels (ksub baked into the function
     * name — same pattern as LshSignatures). */
   def register(spark: SparkSession, ksub: Int): Unit = {

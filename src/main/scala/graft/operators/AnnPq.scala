@@ -68,6 +68,21 @@ import org.apache.spark.sql.functions._
   */
 object AnnPq {
 
+  /** Byte-code layout contract (ADVICE r12): PqOps packs one byte
+    * code per subspace, 8 per long, and derives m as words·8 — so m
+    * MUST be a multiple of 8 (otherwise the padding bytes of the last
+    * long decode as code 0 for subspaces ≥ m and the SDC/ADC kernels
+    * index tflat past its logical end: UnsafeArrayData.getDouble is
+    * unchecked, yielding silent garbage scores, not an error) — and
+    * ksub MUST fit a byte (≤ 256). Checked loudly at every public
+    * entry point that reaches the kernels. */
+  private[operators] def requireCodeLayout(m: Int, ksub: Int): Unit =
+    require(m % 8 == 0 && m > 0 && ksub > 0 && ksub <= 256,
+      s"AnnPq: m=$m must be a positive multiple of 8 (codes pack 8 per " +
+      s"long; PqOps derives m = words*8) and ksub=$ksub must be in " +
+      "1..256 (one byte per code) — other shapes decode padding bytes " +
+      "as code 0 and read the SDC/ADC table out of bounds silently")
+
   /** (vec_id, sub, sv) — each prepared row split into `m` contiguous
     * subvectors. Zero shuffle: an explode over sequence(0, m−1) plus
     * a per-row slice; dsub derives from size(embedding) so no
@@ -97,6 +112,7 @@ object AnnPq {
     * spaces). */
   def trainAssign(spark: SparkSession, emb: DataFrame, m: Int, ksub: Int,
       iters: Int): DataFrame = {
+    requireCodeLayout(m, ksub)
     val sv = subvectors(emb, m)
     val seedIds = emb
       .select(col("vec_id"), xxhash64(col("vec_id")).as("h"))
@@ -256,6 +272,7 @@ object AnnPq {
   def neardupPairs(spark: SparkSession, emb: DataFrame, threshold: Double,
       tables: Int, bits: Int, m: Int = 32, ksub: Int = 16,
       margin: Double = 0.2, iters: Int = 2): DataFrame = {
+    requireCodeLayout(m, ksub)
     val prepared = emb.select(col("vec_id"), col("embedding"),
       VecOps.norm(spark, col("embedding")).as("nrm"))
     // trained once, folded twice (books + encode) — eager per the
@@ -304,6 +321,7 @@ object AnnPq {
   def topK(spark: SparkSession, emb: DataFrame, queryVecId: Long, k: Int,
       m: Int = 32, ksub: Int = 16, refine: Int = 4,
       iters: Int = 2): DataFrame = {
+    requireCodeLayout(m, ksub)
     val prepared = emb.select(col("vec_id"), col("embedding"),
       VecOps.norm(spark, col("embedding")).as("nrm"))
     val assigned = graft.CacheScope.localEager(

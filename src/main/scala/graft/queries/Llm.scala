@@ -249,9 +249,17 @@ object Llm {
     * misranking (quantization error can swap near-ties); the edge
     * recall gate (≥ 0.90, AutoScaleProbe knnpq step) is the accuracy
     * contract. At cluster scale this is the n^1.7 candidate volume
-    * moving at 1/8 the bytes. */
+    * moving at 1/4 the bytes (64 B codes vs 256 B floats at m=64).
+    *
+    * Defaults are the MEASURED operating point (KnnPqSweep r12,
+    * ADVICE r12): m=64 / slack=32 — edge recall 0.978/0.984/0.968 at
+    * x1/x10/x30. The neardup config (m=32, slack=8) only reaches
+    * 0.663/0.489 here because this corpus's top-3 edge cosines
+    * cluster in 0.31–0.38 and m=32's quantization noise scrambles
+    * near-tie ranking; top-3 needs finer codes than a 0.35 threshold
+    * filter does. */
   private[graft] def annKnnGraphPq(s: SparkSession, d: String, tables: Int,
-      bits: Int, slack: Int = 8, m: Int = 32, ksub: Int = 16): DataFrame = {
+      bits: Int, slack: Int = 32, m: Int = 64, ksub: Int = 16): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val prepared = Tables.embeddings(s, d).select($"vec_id", $"embedding",
@@ -412,13 +420,44 @@ object Llm {
     }
   }
 
-  /** AUTO-DISPATCH kNN graph (r12): exact top-3 graph inside the
-    * envelope, auto-config LSH graph (grow-bits tables, compact cache)
-    * past it — same dispatch contract as [[neardupAuto]]. */
+  /** Measured wall crossover between the pinned 40×5 graph and the
+    * grow-bits auto config (r13, VERDICT r12 item 1). Clean samples
+    * (AutoScaleProbe x10 + KnnX30Walls back-to-back x30, BASELINE):
+    *
+    *   n=20,000: pinned 46.9 s  vs auto(289×9)  232 s  — pinned wins 5×
+    *   n=60,000: pinned  831 s  vs auto(472×10) 288 s  — auto wins 2.9×
+    *
+    * Power-law interpolation of the two clean samples (pinned
+    * exponent log(831/46.9)/log 3 ≈ 2.61 — the n²/2^bits law; auto
+    * log(288/232)/log 3 ≈ 0.20 — grow-bits holds occupancy constant)
+    * puts the crossover at n ≈ 20k·(232/46.9)^(1/2.41) ≈ 39k. Both
+    * configs hold the ≥0.90 edge-recall gate on either side (pinned
+    * 0.9957 at x30, auto 0.9985+ from x10 up), so the threshold is a
+    * pure cost choice — misplacing it costs wall, never correctness. */
+  val GraphPinnedCeiling = 40000L
+
+  /** AUTO-DISPATCH kNN graph — THREE regimes (r13, VERDICT r12
+    * item 1): exact top-3 graph inside the envelope (declared oracle
+    * semantics), the PINNED 40×5 LSH graph in the band where the
+    * grow-bits rule still overpays (the r12 probe measured the auto
+    * config 5× over the pinned wall at n=20k), and the grow-bits auto
+    * config past [[GraphPinnedCeiling]] where its flatter law wins.
+    * Same dispatch contract as [[neardupAuto]] (which stays
+    * two-regime: its threshold filter keeps the exchange
+    * survivor-sized, so auto already wins at n=20k there). Both
+    * thresholds are footer-count driven and overridable so
+    * AutoDispatchSpec can pin all three branches on test corpora.
+    * Note the middle band only binds when `envelope` is below the
+    * ceiling (production tunings and the probes force it down; the
+    * default refusal envelope of 1M rows sits past the crossover, and
+    * past 1M the auto config is the measured winner anyway). */
   def knnGraphAuto(s: SparkSession, d: String,
-      envelope: Long = ExactPairEnvelope): DataFrame = {
+      envelope: Long = ExactPairEnvelope,
+      pinnedCeiling: Long = GraphPinnedCeiling): DataFrame = {
     val n = embCount(s, d)
     if (n <= envelope) exactKnnGraph(s, d)
+    else if (n <= pinnedCeiling)
+      annKnnGraphCfg(s, d, NeardupAnnTables, NeardupAnnBits, compact = true)
     else {
       val (tables, bits) = graft.operators.AnnLsh.autoConfig(n)
       annKnnGraphCfg(s, d, tables, bits, compact = true)

@@ -267,6 +267,15 @@ object SemanticDedupTws {
     @transient private var state: ListState[Array[Byte]] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      // CHECKPOINT COMPATIBILITY (ADVICE r12): the r12 switch from
+      // Encoders.product[SurvivorRow] to BINARY changed the state
+      // schema under the SAME variable name — a checkpoint written by
+      // the pre-r12 encoder fails the state-schema compatibility check
+      // on restore (or would misdecode without it). Fine for this
+      // greenfield store (no released checkpoints predate the change);
+      // any such checkpoint must be discarded. If the packed layout
+      // ever changes again, bump the variable name ("survivors_v2") so
+      // the incompatibility is explicit at restore time.
       state = getHandle.getListState[Array[Byte]](
         "survivors", Encoders.BINARY, TTLConfig.NONE)
 

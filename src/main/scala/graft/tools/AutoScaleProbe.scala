@@ -147,24 +147,39 @@ object AutoScaleProbe {
       }
 
       if (steps("knn")) {
-        timed(s"x$m knn_graph_auto ${tables}x$bits")(
-          Llm.knnGraphAuto(spark, dir, envelope = 1L))
-        val hitsA = exactG.join(
-          Llm.knnGraphAuto(spark, dir, envelope = 1L)
-            .select($"vec_id".as("qid"), $"neighbor".as("nb")),
-          Seq("qid", "nb")).count()
-        graft.CacheScope.drain(blocking = true)
-        val recA = hitsA.toDouble / math.max(1, nG)
-        println(f"AUTOSCALE x$m knn_graph_auto recall $hitsA/$nG=$recA%.4f ok=${recA >= 0.90}")
-        if (!skipPinned) {
-          timed(s"x$m knn_graph_ann_pinned 40x5")(
-            graft.SparkEntry.queries("q_llm_knn_graph_ann")(spark, dir))
-          val hitsP = exactG.join(
-            graft.SparkEntry.queries("q_llm_knn_graph_ann")(spark, dir)
-              .select($"vec_id".as("qid"), $"neighbor".as("nb")),
+        // r13 three-regime dispatch (VERDICT r12 item 1): time the path
+        // knnGraphAuto actually picks (regime in the tag), then the
+        // forced ALTERNATIVE config so every row shows dispatched-vs-
+        // best side by side. Graph results (≤ 3n rows) are Spark-cached
+        // before the recall join so recall attribution doesn't re-pay
+        // the whole build (the r12 probe ran every graph twice).
+        def graphRecall(tag: String, df: => org.apache.spark.sql.DataFrame,
+            gate: Boolean): Double = {
+          val g = df.cache()
+          timed(tag)(g)
+          val hits = exactG.join(
+            g.select($"vec_id".as("qid"), $"neighbor".as("nb")),
             Seq("qid", "nb")).count()
+          g.unpersist()
           graft.CacheScope.drain(blocking = true)
-          println(f"AUTOSCALE x$m knn_graph_ann_pinned recall $hitsP/$nG=${hitsP.toDouble / math.max(1, nG)}%.4f")
+          val rec = hits.toDouble / math.max(1, nG)
+          val okTxt = if (gate) f" ok=${rec >= 0.90}" else ""
+          println(f"AUTOSCALE $tag recall $hits/$nG=$rec%.4f$okTxt")
+          rec
+        }
+        val pinnedRegime = n <= Llm.GraphPinnedCeiling
+        val regime = if (pinnedRegime) "pinned40x5" else s"auto${tables}x$bits"
+        graphRecall(s"x$m knn_graph_dispatch $regime",
+          Llm.knnGraphAuto(spark, dir, envelope = 1L), gate = true)
+        if (!skipPinned) {
+          if (pinnedRegime)
+            graphRecall(s"x$m knn_graph_alt auto${tables}x$bits",
+              Llm.annKnnGraphCfg(spark, dir, tables, bits, compact = true),
+              gate = false)
+          else
+            graphRecall(s"x$m knn_graph_alt pinned40x5",
+              Llm.annKnnGraphCfg(spark, dir, 40, 5, compact = true),
+              gate = false)
         }
       }
 
@@ -172,10 +187,15 @@ object AutoScaleProbe {
       // bucket exchange, SDC local ranking with slack, exact rerank of
       // ≤ (3+slack)·n survivor edges. Same auto (tables, bits).
       if (steps("knnpq")) {
-        timed(s"x$m knn_graph_pq ${tables}x$bits")(
-          Llm.annKnnGraphPq(spark, dir, tables, bits))
+        // explicit measured operating point (ADVICE r12): m=64/slack=32
+        // is the config every recorded recall number and the AnnPqSpec
+        // pin use; the old default-arg call ran m=32/slack=8 — a config
+        // the sweep measures at 0.663/0.489 edge recall, so the ok=
+        // gate below would systematically read false
+        timed(s"x$m knn_graph_pq ${tables}x$bits m64s32")(
+          Llm.annKnnGraphPq(spark, dir, tables, bits, slack = 32, m = 64))
         val hitsQ = exactG.join(
-          Llm.annKnnGraphPq(spark, dir, tables, bits)
+          Llm.annKnnGraphPq(spark, dir, tables, bits, slack = 32, m = 64)
             .select($"vec_id".as("qid"), $"neighbor".as("nb")),
           Seq("qid", "nb")).count()
         graft.CacheScope.drain(blocking = true)
