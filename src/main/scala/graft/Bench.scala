@@ -37,21 +37,28 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
+    // Shared shingle/trigram-pair cache fill, UNTIMED but REPORTED
+    // (VERDICT r12 item 4; supersedes the r11 familyFirst scheme that
+    // charged the whole fill to q_llm_ngram_jaccard's timed slot —
+    // 6.3 s single-pass vs 0.24 s rewarm in BENCH_r12). The pair
+    // relation is a raw Spark .cache() shared by identical plans, so
+    // one warmup fill serves the whole family (ngram_jaccard /
+    // containment / dedup_clusters / corpus_dedup / dedup_funnel) and
+    // every timed member shows its own per-plan cost; the fill's cost
+    // stays visible as `fill_s` instead of inflating one query 26×
+    // over its steady state.
+    val fillS = {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries.get("q_llm_ngram_jaccard")
+        .foreach(_(spark, sfDir).count())
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    CacheScope.drain(blocking = true)
     // name-sorted: Map iteration order shifts whenever the query set
     // changes, which reshuffles which query pays shared-cache warmup —
     // stable ordering keeps per-query numbers comparable across rounds.
-    // ONE deliberate exception (VERDICT r11 item 7): the shared
-    // shingle/trigram-pair family cache fills on whichever family
-    // member runs first, and under the plain name sort that was
-    // q_llm_corpus_dedup — so corpus_dedup/dedup_funnel carried the
-    // whole fill in driver runs (25.6/18.3 s single-pass vs 1.2/1.6 s
-    // steady state, BENCH_r11). The fill's honest owner is
-    // q_llm_ngram_jaccard — the query whose plan DEFINES the pair
-    // relation — so it runs first, timed, and the heavy-looking
-    // entries show their own per-plan cost.
-    val familyFirst = Seq("q_llm_ngram_jaccard").filter(SparkEntry.queries.contains)
-    val ordered = familyFirst ++
-      SparkEntry.queries.keys.toSeq.sorted.filterNot(familyFirst.toSet)
+    val ordered = SparkEntry.queries.keys.toSeq.sorted
     val results = ordered.map(n => n -> SparkEntry.queries(n)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -120,18 +127,29 @@ object Bench {
       .map { case (k, _, ps) =>
         "\"" + k + "\":[" + ps.map(sec).mkString(",") + "]" }
       .mkString("{", ",", "}")
-    // Full per-query map goes to a file (the harness captures only the
-    // last ~2000 chars of output, which truncated the 90-entry inline
-    // map in r01/r02 → parsed:null); the stdout line stays under that
-    // window: total + the slow set inline, with an explicit rollup of
-    // what was elided so nothing is silently dropped.
+    // Per-query STEADY map (VERDICT r12 item 2: "fold the rewarm-
+    // median protocol into the single-pass artifact"): rewarm median
+    // where one ran (the slow/suspect set), single-pass otherwise.
+    // steady_total is the self-identifying load check — a run whose
+    // single-pass total sits far above its own steady_total is
+    // load-skewed and says so in its own artifact (BENCH_FULL r12:
+    // 863 s single-pass with an in-file 8.6→195 s rewarm spread).
+    val rewarmByName = rewarm.map { case (k, v, _) => k -> v }.toMap
+    val steady = results.map { case (k, v) =>
+      k -> math.min(v, rewarmByName.getOrElse(k, v)) }
+    val steadyTotal = steady.map(_._2).sum
     val warmupJson = warmupQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fullJson = results.map { case (k, v) => "\"" + k + "\":" + sec(v) }
-      .mkString("{\"metric\":\"total\",\"value\":" + sec(total) +
-        ",\"unit\":\"sec\",\"sf\":\"" + sfDir + "\",\"rewarm\":" + rewarmJson +
-        ",\"rewarm_spread\":" + spreadJson +
-        ",\"warmup\":" + warmupJson +
-        ",\"queries\":{", ",", "}}")
+    val fullJson = "{\"metric\":\"total\",\"value\":" + sec(total) +
+      ",\"unit\":\"sec\",\"sf\":\"" + sfDir + "\"" +
+      ",\"steady_total\":" + sec(steadyTotal) +
+      ",\"fill_s\":" + sec(fillS) +
+      ",\"rewarm\":" + rewarmJson +
+      ",\"rewarm_spread\":" + spreadJson +
+      ",\"warmup\":" + warmupJson +
+      ",\"queries\":" + results.map { case (k, v) => "\"" + k + "\":" + sec(v) }
+        .mkString("{", ",", "}") +
+      ",\"steady\":" + steady.map { case (k, v) => "\"" + k + "\":" + sec(v) }
+        .mkString("{", ",", "}") + "}"
     // Split output paths (VERDICT r8 item 5, second offense in r7):
     // the driver invokes Bench bare and owns BENCH_FULL.json; local
     // seal passes set GRAFT_BENCH_OUT=BENCH_LOCAL.json so the two
@@ -139,16 +157,23 @@ object Bench {
     val outName = sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH_FULL.json")
     val fullPath = Paths.get(outName).toAbsolutePath
     Files.writeString(fullPath, fullJson + "\n")
-    val slow = results.filter(_._2 >= 0.25).sortBy(-_._2).take(45)
-    val slowSet = slow.map(_._1).toSet
-    val fast = results.filterNot(kv => slowSet(kv._1))
-    val qs = slow.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + sec(v) }
+    // The stdout line must survive the driver's tail capture (VERDICT
+    // r12 item 2): the harness keeps only the LAST ~2000 chars of
+    // output, and in every round r01–r12 the inline line overflowed
+    // that window (45-query slow set + rewarm + spread maps), so
+    // BENCH_rN.parsed was null all twelve rounds. The line is now
+    // BOUNDED (~700 chars — fits the window with room for sbt's
+    // epilogue): top-12 steady-state entries inline, everything else
+    // rolled up into rest_n/rest_sec, full maps in the `full` file.
+    val topSteady = steady.sortBy(-_._2).take(12)
+    val qs = topSteady.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
+    val restSec = steadyTotal - topSteady.map(_._2).sum
     println(s"""{"metric":"total","value":${sec(total)},"unit":"sec",""" +
-      s""""n_queries":${results.size},"queries":$qs,""" +
-      s""""fast_n":${fast.size},"fast_sec":${sec(fast.map(_._2).sum)},""" +
-      s""""rewarm":$rewarmJson,"rewarm_spread":$spreadJson,""" +
-      s""""warmup":$warmupJson,""" +
+      s""""n_queries":${results.size},"steady_total":${sec(steadyTotal)},""" +
+      s""""queries":$qs,""" +
+      s""""rest_n":${results.size - topSteady.size},"rest_sec":${sec(restSec)},""" +
+      s""""fill_s":${sec(fillS)},"rewarm_n":${rewarm.size},""" +
       s""""full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
