@@ -420,44 +420,36 @@ object Llm {
     }
   }
 
-  /** Measured wall crossover between the pinned 40×5 graph and the
-    * grow-bits auto config (r13, VERDICT r12 item 1). Clean samples
-    * (AutoScaleProbe x10 + KnnX30Walls back-to-back x30, BASELINE):
+  /** AUTO-DISPATCH kNN graph (r12; dispatch RE-CONFIRMED two-regime in
+    * r13): exact top-3 graph inside the envelope (declared oracle
+    * semantics), auto-config LSH graph (grow-bits tables, compact
+    * cache) past it — same dispatch contract as [[neardupAuto]].
     *
-    *   n=20,000: pinned 46.9 s  vs auto(289×9)  232 s  — pinned wins 5×
-    *   n=60,000: pinned  831 s  vs auto(472×10) 288 s  — auto wins 2.9×
+    * The r12 verdict asked for a THIRD regime (pinned 40×5 in a
+    * mid-scale band) on the strength of one probe sample that put the
+    * auto config at 232 s vs pinned 46.9 s at n=20k. That sample was
+    * LOAD-SKEWED: the r13 idle-VM back-to-back duel
+    * (tools.KnnGraphDuel, alternating order, BASELINE r13) REFUTES it
+    * at every probed size —
     *
-    * Power-law interpolation of the two clean samples (pinned
-    * exponent log(831/46.9)/log 3 ≈ 2.61 — the n²/2^bits law; auto
-    * log(288/232)/log 3 ≈ 0.20 — grow-bits holds occupancy constant)
-    * puts the crossover at n ≈ 20k·(232/46.9)^(1/2.41) ≈ 39k. Both
-    * configs hold the ≥0.90 edge-recall gate on either side (pinned
-    * 0.9957 at x30, auto 0.9985+ from x10 up), so the threshold is a
-    * pure cost choice — misplacing it costs wall, never correctness. */
-  val GraphPinnedCeiling = 40000L
-
-  /** AUTO-DISPATCH kNN graph — THREE regimes (r13, VERDICT r12
-    * item 1): exact top-3 graph inside the envelope (declared oracle
-    * semantics), the PINNED 40×5 LSH graph in the band where the
-    * grow-bits rule still overpays (the r12 probe measured the auto
-    * config 5× over the pinned wall at n=20k), and the grow-bits auto
-    * config past [[GraphPinnedCeiling]] where its flatter law wins.
-    * Same dispatch contract as [[neardupAuto]] (which stays
-    * two-regime: its threshold filter keeps the exchange
-    * survivor-sized, so auto already wins at n=20k there). Both
-    * thresholds are footer-count driven and overridable so
-    * AutoDispatchSpec can pin all three branches on test corpora.
-    * Note the middle band only binds when `envelope` is below the
-    * ceiling (production tunings and the probes force it down; the
-    * default refusal envelope of 1M rows sits past the crossover, and
-    * past 1M the auto config is the measured winner anyway). */
+    *   n= 8,000: pinned 46.5/34.5 s vs auto(108×7) 28.6/26.9 s
+    *   n=20,000: pinned 114.2/56.0 s vs auto(289×9) 49.9/22.4 s
+    *   n=60,000: pinned 754.7 s     vs auto(472×10) 518.0 s (same
+    *             session; clean r12 back-to-back: 831 vs 288 s)
+    *
+    * — which is what the candidate-volume law says it must be: the
+    * pair work coefficient is tables/2^bits (n² · occupancy), and the
+    * grow-bits rule drives it DOWN (40/32=1.25 → 108/128=0.84 →
+    * 289/512=0.56 → 472/1024=0.46) while holding recall (auto
+    * 0.9985+ vs pinned 0.9957–0.9963, gate ≥0.90 green everywhere).
+    * Below the divergence point autoConfig(n) IS 40×5, so there is no
+    * band where the pinned config wins and no third threshold to
+    * hold. The mid-scale "gap" was measurement noise, same family as
+    * the r12 x30 613→288 s correction. */
   def knnGraphAuto(s: SparkSession, d: String,
-      envelope: Long = ExactPairEnvelope,
-      pinnedCeiling: Long = GraphPinnedCeiling): DataFrame = {
+      envelope: Long = ExactPairEnvelope): DataFrame = {
     val n = embCount(s, d)
     if (n <= envelope) exactKnnGraph(s, d)
-    else if (n <= pinnedCeiling)
-      annKnnGraphCfg(s, d, NeardupAnnTables, NeardupAnnBits, compact = true)
     else {
       val (tables, bits) = graft.operators.AnnLsh.autoConfig(n)
       annKnnGraphCfg(s, d, tables, bits, compact = true)

@@ -147,12 +147,14 @@ object AutoScaleProbe {
       }
 
       if (steps("knn")) {
-        // r13 three-regime dispatch (VERDICT r12 item 1): time the path
-        // knnGraphAuto actually picks (regime in the tag), then the
-        // forced ALTERNATIVE config so every row shows dispatched-vs-
-        // best side by side. Graph results (≤ 3n rows) are Spark-cached
-        // before the recall join so recall attribution doesn't re-pay
-        // the whole build (the r12 probe ran every graph twice).
+        // r13: time the dispatched path (config in the tag), then the
+        // pinned-40×5 alternative so every row shows dispatched-vs-
+        // alternative side by side. Graph results (≤ 3n rows) are
+        // Spark-cached before the recall join so recall attribution
+        // doesn't re-pay the whole build (the r12 probe ran every
+        // graph twice). For order-controlled WALL evidence use
+        // KnnGraphDuel — this step's walls carry whatever load the
+        // recall ground-truth build left behind.
         def graphRecall(tag: String, df: => org.apache.spark.sql.DataFrame,
             gate: Boolean): Double = {
           val g = df.cache()
@@ -167,20 +169,12 @@ object AutoScaleProbe {
           println(f"AUTOSCALE $tag recall $hits/$nG=$rec%.4f$okTxt")
           rec
         }
-        val pinnedRegime = n <= Llm.GraphPinnedCeiling
-        val regime = if (pinnedRegime) "pinned40x5" else s"auto${tables}x$bits"
-        graphRecall(s"x$m knn_graph_dispatch $regime",
+        graphRecall(s"x$m knn_graph_dispatch auto${tables}x$bits",
           Llm.knnGraphAuto(spark, dir, envelope = 1L), gate = true)
-        if (!skipPinned) {
-          if (pinnedRegime)
-            graphRecall(s"x$m knn_graph_alt auto${tables}x$bits",
-              Llm.annKnnGraphCfg(spark, dir, tables, bits, compact = true),
-              gate = false)
-          else
-            graphRecall(s"x$m knn_graph_alt pinned40x5",
-              Llm.annKnnGraphCfg(spark, dir, 40, 5, compact = true),
-              gate = false)
-        }
+        if (!skipPinned)
+          graphRecall(s"x$m knn_graph_alt pinned40x5",
+            Llm.annKnnGraphCfg(spark, dir, 40, 5, compact = true),
+            gate = false)
       }
 
       // r12 experiment: the PQ-accelerated graph — codes through the

@@ -1,0 +1,66 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Clean back-to-back wall duel between the pinned 40×5 kNN graph and
+  * the grow-bits auto-config graph (both on the compact-cache path the
+  * dispatcher uses), at an arbitrary clone multiplier — the decisive
+  * sample for GraphPinnedCeiling (r13). The r12 AutoScaleProbe x10
+  * sample (pinned 46.9 s vs auto 232 s) and the r13 one (pinned 299 s
+  * vs auto 45.7 s) CONTRADICT each other, and both sessions carried
+  * concurrent load; this tool samples both configs twice in
+  * alternating order (P A A P) in one session on an idle VM so
+  * order/warmth effects are visible in the spread instead of deciding
+  * the threshold.
+  *
+  * Usage: runMain graft.tools.KnnGraphDuel [mult]   (default 10)
+  */
+object KnnGraphDuel {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val src = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val KEY = 10000000L
+    val dims = graft.Tables.embeddings(spark, src)
+      .select(size(col("embedding"))).head().getInt(0)
+    val dir = Files.createTempDirectory(s"graft_duel_x$mult").toString
+    (0 until mult).map { c =>
+      val base = graft.Tables.embeddings(spark, src)
+      if (c == 0) base
+      else base.select(
+        (col("vec_id") + lit(c * KEY)).as("vec_id"),
+        transform(sequence(lit(0), lit(dims - 1)), i =>
+          (element_at(col("embedding"), pmod(i + lit(7 * c), lit(dims)) + 1) *
+            when(pmod(xxhash64(lit(c), i), lit(2)) === 0, 1.0).otherwise(-1.0))
+            .cast("float")).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val n = graft.sources.ParquetMeta.rowCount(spark, s"$dir/embeddings.parquet")
+    val (tables, bits) = graft.operators.AnnLsh.autoConfig(n)
+    println(s"DUEL x$mult n=$n autoCfg=${tables}x$bits")
+    def t(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      graft.CacheScope.drain(blocking = true)
+      println(f"DUEL x$mult $tag rows=$r t=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
+    def pinned(): Long = graft.queries.Llm
+      .annKnnGraphCfg(spark, dir, 40, 5, compact = true).count()
+    def auto(): Long = graft.queries.Llm
+      .annKnnGraphCfg(spark, dir, tables, bits, compact = true).count()
+    t("pinned40x5 #1")(pinned())
+    t(s"auto${tables}x$bits #1")(auto())
+    t(s"auto${tables}x$bits #2")(auto())
+    t("pinned40x5 #2")(pinned())
+    spark.stop()
+  }
+}

@@ -63,26 +63,16 @@ class AutoDispatchSpec extends AnyFunSuite {
     } finally CacheScope.drain()
   }
 
-  test("knnGraphAuto middle regime (envelope < n ≤ pinnedCeiling) ≡ the pinned 40×5 graph") {
-    // r13 three-regime pin (VERDICT r12 item 1): the band where the
-    // grow-bits rule overpays (measured 5× at n=20k) runs the pinned
-    // config. sf0.001's n=500 sits below GraphPinnedCeiling, so a
-    // forced envelope pins the MIDDLE branch at its default ceiling.
-    try {
-      assert(Llm.GraphPinnedCeiling === 40000L)
-      val mid = graphSet(Llm.knnGraphAuto(spark, TestSpark.sf, envelope = 10L))
-      val pinned = graphSet(
-        Llm.annKnnGraphCfg(spark, TestSpark.sf, 40, 5, compact = true))
-      assert(mid === pinned)
-    } finally CacheScope.drain()
-  }
-
-  test("knnGraphAuto above the pinned ceiling ≡ the auto-config LSH graph, edge recall recorded") {
+  test("knnGraphAuto above the envelope ≡ the auto-config LSH graph, edge recall recorded") {
+    // Two-regime dispatch RE-CONFIRMED in r13 (VERDICT r12 item 1
+    // asked for a third, pinned-40×5 mid-scale band; the idle-VM
+    // KnnGraphDuel samples refuted the gap that motivated it — the
+    // grow-bits auto config wins at every probed n, see the
+    // knnGraphAuto doc and BASELINE r13): no third threshold exists
+    // to pin, so the branch pins are exact below / auto above.
     try {
       val (tables, bits) = AnnLsh.autoConfig(500L)
-      // force BOTH thresholds below n=500 to pin the top branch
-      val auto = graphSet(Llm.knnGraphAuto(spark, TestSpark.sf,
-        envelope = 10L, pinnedCeiling = 20L))
+      val auto = graphSet(Llm.knnGraphAuto(spark, TestSpark.sf, envelope = 10L))
       val cfg = graphSet(Llm.annKnnGraphCfg(spark, TestSpark.sf, tables, bits, compact = true))
       assert(auto === cfg)
       // edge recall vs the exact graph at the auto config — the gate
