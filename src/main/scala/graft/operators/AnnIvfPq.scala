@@ -158,4 +158,65 @@ object AnnIvfPq {
       .filter(col("cs") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cs"))
   }
+
+  /** Probe-limited top-k neighbors of `queryVecId` by ADC scan over
+    * the residual-compressed corpus — the retrieval face of the same
+    * index. Only rows whose home cell is among the query's `nprobe`
+    * nearest cells are scored (the IVF saving), each with
+    *   dot(q, y) ≈ dot(q, c_home)  — exact, k-row broadcast
+    *            + ADC(q, codes_y)  — m table lookups on residual codes
+    * (the PQ saving: the scan touches 32 B codes, not 256 B floats);
+    * the top k·refine approximate hits are exact-cosine reranked.
+    * At nprobe = cells this degrades gracefully to a full ADC scan
+    * (AnnPq.topK's shape) with the residual-tightened codebooks. */
+  def topK(spark: SparkSession, emb: DataFrame, queryVecId: Long, k: Int,
+      cells: Int = 64, nprobe: Int = 8, m: Int = 32, ksub: Int = 16,
+      refine: Int = 4, iters: Int = 2, pqIters: Int = 1): DataFrame = {
+    AnnPq.requireCodeLayout(m, ksub)
+    val assigned = graft.CacheScope.localEager(
+      AnnIvf.assignCells(spark, emb, cells, iters))
+    val cents = AnnIvf.centroidsOf(assigned)
+    val resid = graft.CacheScope.localEager(
+      assigned.join(broadcast(cents), Seq("cell"))
+        .select(col("vec_id"), col("cell").as("home"), col("nrm"),
+          zip_with(col("embedding"), col("centroid"),
+            (x, c) => (x - c).cast("float")).as("embedding")))
+    val pqAssigned = graft.CacheScope.localEager(
+      AnnPq.trainAssign(spark, resid, m, ksub, pqIters))
+    val books = AnnPq.booksOf(pqAssigned)
+    val codes = AnnPq.encodeWith(pqAssigned, resid)
+      .join(resid.select(col("vec_id"), col("home")), Seq("vec_id"))
+    val q = assigned.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"), col("nrm").as("qnrm"))
+    // per-cell exact query·centroid + the query's nprobe nearest cells
+    val qcell = cents.crossJoin(broadcast(q))
+      .select(col("cell"),
+        VecOps.dot(spark, col("centroid"), col("qv")).as("qcdot"),
+        (VecOps.dot(spark, col("centroid"), col("qv")) /
+          (VecOps.norm(spark, col("centroid")) * col("qnrm"))).as("qccs"))
+    val probed = qcell
+      .orderBy(col("qccs").desc, col("cell").asc).limit(nprobe)
+      .select(col("cell").as("home"), col("qcdot"))
+    // ADC LUT of the query against the RESIDUAL codebooks (the same
+    // one-row broadcast shape as AnnPq.adcFlat)
+    val qlut = AnnPq.adcFlat(spark, books, q, m, ksub)
+    val approx = codes.filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(probed), Seq("home"))
+      .crossJoin(broadcast(qlut))
+      .select(col("vec_id"),
+        ((col("qcdot") + AnnPq.adcDot(spark, col("tflat"), col("codes"), ksub)) /
+          (col("nrm") * col("qnrm"))).as("approx_cs"))
+      .orderBy(col("approx_cs").desc, col("vec_id").asc)
+      .limit(k * refine)
+    val prepared = emb.select(col("vec_id"), col("embedding"),
+      VecOps.norm(spark, col("embedding")).as("nrm"))
+    approx
+      .join(prepared, Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (VecOps.dot(spark, col("embedding"), col("qv")) /
+          (col("nrm") * col("qnrm"))).as("cs"))
+      .orderBy(col("cs").desc, col("vec_id").asc)
+      .limit(k)
+  }
 }

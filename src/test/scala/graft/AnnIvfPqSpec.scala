@@ -92,6 +92,33 @@ class AnnIvfPqSpec extends AnyFunSuite {
     } finally CacheScope.drain()
   }
 
+  test("probe-limited ADC topK: planted copy ranks #1, ≥ 7 of exact top-10") {
+    try {
+      val qid = 0L
+      val exactTop = {
+        val e = planted.select($"vec_id", $"embedding",
+          VecOps.norm(spark, $"embedding").as("nrm"))
+        val q = e.filter($"vec_id" === qid)
+          .select($"embedding".as("qv"), $"nrm".as("qnrm"))
+        e.filter($"vec_id" =!= qid).crossJoin(broadcast(q))
+          .select($"vec_id",
+            (VecOps.dot(spark, $"embedding", $"qv") / ($"nrm" * $"qnrm")).as("cs"))
+          .orderBy($"cs".desc, $"vec_id".asc).limit(10)
+          .collect().map(_.getLong(0))
+      }
+      assert(exactTop.head === qid + IdShift,
+        "the planted ε=0.5 copy must be the exact nearest neighbor")
+      val got = AnnIvfPq.topK(spark, planted, qid, 10,
+          cells = 64, nprobe = 16)
+        .collect().map(_.getLong(0))
+      assert(got.head === qid + IdShift,
+        s"IVF-PQ topK must surface the planted copy first, got ${got.head}")
+      val overlap = got.toSet.intersect(exactTop.toSet).size
+      info(s"IVF-PQ top-10 overlap vs exact: $overlap/10")
+      assert(overlap >= 7, s"overlap=$overlap")
+    } finally CacheScope.drain()
+  }
+
   test("residual codes are tighter than raw-PQ codes at equal m (distortion measured)") {
     // the point of encoding residuals: quantization error applies to
     // what's left AFTER the coarse quantizer. Measured as mean squared
