@@ -456,6 +456,63 @@ object Llm {
     }
   }
 
+  /** Exact brute-force cosine top-10 of the fixed query vector
+    * (vec_id 0) — the q_llm_knn_cosine plan, factored so the auto
+    * dispatcher's exact branch IS the oracle-checked query. Fused
+    * codegen dot kernel, per-vector norms computed once at the scan,
+    * broadcast one-row query side. */
+  private[graft] def exactTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d).select($"vec_id", $"label", $"embedding",
+      VecOps.norm(s, $"embedding").as("nrm"))
+    val q = e.filter($"vec_id" === 0L).select($"embedding".as("qv"), $"nrm".as("qn"))
+    e.filter($"vec_id" =!= 0L)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", $"label",
+        round(VecOps.dot(s, $"embedding", $"qv") / ($"nrm" * $"qn"), 6).as("cs"))
+      .orderBy($"cs".desc, $"vec_id".asc)
+      .limit(10)
+  }
+
+  /** IVF probe-limited top-10 of the fixed query vector — the scale
+    * form of [[exactTopK]]: rank cell centroids by cosine to the
+    * query, exact-rerank only inside the `nprobe` nearest lists
+    * (AnnIvf.topKWith — candidates come from a broadcast probe join,
+    * never a full scan; at 100 TB the lists are hash-partitioned by
+    * cell so a query touches nprobe partitions). Same output schema
+    * as the exact plan (vec_id, label, cs@6dp). Deterministic: the
+    * quantizer is hash-seeded, ties break on vec_id. */
+  private[graft] def annTopK(s: SparkSession, d: String,
+      cells: Int, nprobe: Int): DataFrame = {
+    import s.implicits._
+    val labels = Tables.embeddings(s, d).select($"vec_id", $"label")
+    graft.operators.AnnIvf.topK(s, Tables.embeddings(s, d), 0L, 10,
+        nprobe = nprobe, cells = cells)
+      .join(labels, "vec_id")
+      .select($"vec_id", $"label", round($"cs", 6).as("cs"))
+      .orderBy($"cs".desc, $"vec_id".asc)
+  }
+
+  /** AUTO-DISPATCH top-k retrieval (r13): the third member of the
+    * exact→ANN dispatch family (near-dup pairs r12, kNN graph r12,
+    * and now single-query retrieval — the decontamination-lookup /
+    * index-serving shape). Footer row count picks the path: exact
+    * brute force inside the envelope (declared oracle semantics,
+    * same twin as q_llm_knn_cosine), grow-cells IVF probe-limited
+    * search ([[AnnIvf.autoTopKConfig]]: cells = ⌈√n⌉, nprobe =
+    * ⌈cells/2⌉) past it, with the ≥0.7 top-10 overlap contract held
+    * by q_llm_knn_topk_ann_gate and measured across scales by
+    * TopKProbeSpec. */
+  def topKAuto(s: SparkSession, d: String,
+      envelope: Long = ExactPairEnvelope): DataFrame = {
+    val n = embCount(s, d)
+    if (n <= envelope) exactTopK(s, d)
+    else {
+      val (cells, nprobe) = graft.operators.AnnIvf.autoTopKConfig(n)
+      annTopK(s, d, cells, nprobe)
+    }
+  }
+
   /** The cached double-cast + norm-ride-along embedding relation the
     * k-means family scans once per assignment/update pass. EAGER
     * (ADVICE r11): each Lloyd round's assignment derives both the
@@ -516,6 +573,19 @@ object Llm {
     "(PARTITION BY va ORDER BY cs DESC, vb ASC) AS rk FROM p) " +
     "SELECT va AS vec_id, rk, vb AS neighbor, cs FROM r WHERE rk <= 3 " +
     "ORDER BY vec_id, rk"
+
+  /** Exact top-10 DuckDB twin — shared by q_llm_knn_cosine and the
+    * dispatch query q_llm_knn_topk_auto (whose sf0.01 branch IS the
+    * exact scan: 500 rows ≤ the 1M envelope). */
+  private def knnTopKOracleSql: String =
+    "WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+    "q AS (SELECT v AS qv FROM e WHERE vec_id = 0), " +
+    "c AS (SELECT vec_id, label, " +
+    "list_sum(list_transform(list_zip(v, qv), p -> p[1] * p[2])) / " +
+    "(sqrt(list_sum(list_transform(list_zip(v, v), p -> p[1] * p[2]))) * " +
+    "sqrt(list_sum(list_transform(list_zip(qv, qv), p -> p[1] * p[2])))) AS cs " +
+    "FROM e CROSS JOIN q WHERE vec_id <> 0) " +
+    "SELECT vec_id, label, round(cs, 6) AS cs FROM c ORDER BY cs DESC, vec_id ASC LIMIT 10"
 
   /** Exact threshold-pair DuckDB twin — shared by q_llm_embed_neardup
     * and the dispatch query q_llm_embed_neardup_auto (exact branch at
@@ -1158,19 +1228,56 @@ object Llm {
 
     // Brute-force cosine top-k of a fixed query vector (vec_id 0).
     // Fused codegen dot kernel + per-vector norm precompute — same
-    // left-fold double arithmetic as the aggregate/zip_with composition.
-    "q_llm_knn_cosine" -> ((s, d) => {
-      import s.implicits._
-      val e = Tables.embeddings(s, d).select($"vec_id", $"label", $"embedding",
-        VecOps.norm(s, $"embedding").as("nrm"))
-      val q = e.filter($"vec_id" === 0L).select($"embedding".as("qv"), $"nrm".as("qn"))
-      e.filter($"vec_id" =!= 0L)
-        .crossJoin(broadcast(q))
-        .select($"vec_id", $"label",
-          round(VecOps.dot(s, $"embedding", $"qv") / ($"nrm" * $"qn"), 6).as("cs"))
-        .orderBy($"cs".desc, $"vec_id".asc)
-        .limit(10)
+    // left-fold double arithmetic as the aggregate/zip_with
+    // composition. Factored to exactTopK (r13) so the topk auto
+    // dispatcher's exact branch is THIS oracle-checked plan.
+    "q_llm_knn_cosine" -> ((s, d) => exactTopK(s, d)),
+
+    // ANN top-k RETRIEVAL (r13): the scale handoff for
+    // q_llm_knn_cosine — same top-10 semantics, candidates from the
+    // query's nprobe nearest IVF lists instead of a full scan
+    // (exact-rerank inside the probed lists, so every error is a
+    // candidate miss, never a scoring error). Engine-only: the
+    // neighbor set is a deterministic function of the hash-seeded
+    // quantizer; the accuracy contract is the gate below. Config is
+    // the grow-cells auto rule at this corpus size — the same
+    // config the dispatcher would pick past the envelope.
+    "q_llm_knn_topk_ann" -> ((s, d) => {
+      val n = graft.sources.ParquetMeta.rowCount(s, s"$d/embeddings.parquet")
+      val (cells, nprobe) = graft.operators.AnnIvf.autoTopKConfig(n)
+      annTopK(s, d, cells, nprobe)
     }),
+
+    // Oracle-checked accuracy GATE for the retrieval handoff (r13):
+    // the knn_graph_ann_gate protocol applied to single-query top-k —
+    // Spark pays BOTH the exact scan and the probe-limited search and
+    // folds them to one integer-exact verdict row (top-10 overlap ⇔
+    // hits·10 ≥ n_exact·7); the DuckDB twin computes n_exact from the
+    // exact top-10 SQL and asserts TRUE, so a hash match certifies
+    // the IVF retrieval genuinely holds ≥ 0.7 overlap ON THE DRIVER'S
+    // CORPUS. 0.7 is the honest floor for the near-uniform regime
+    // (top-10 sits at cosine ~0.3–0.5 where cell assignment
+    // discriminates weakest; measured overlap by SF in TopKProbeSpec)
+    // — clustered real embeddings sit well above it.
+    "q_llm_knn_topk_ann_gate" -> ((s, d) => {
+      import s.implicits._
+      val n = graft.sources.ParquetMeta.rowCount(s, s"$d/embeddings.parquet")
+      val (cells, nprobe) = graft.operators.AnnIvf.autoTopKConfig(n)
+      val e = exactTopK(s, d).select($"vec_id", lit(1).as("ex"))
+      val a = annTopK(s, d, cells, nprobe).select($"vec_id", lit(1).as("hit"))
+      e.join(a, Seq("vec_id"), "left")
+        .agg(count(lit(1)).cast("long").as("n_exact"),
+          coalesce(sum($"hit"), lit(0)).cast("long").as("hits"))
+        .select($"n_exact", ($"hits" * 10 >= $"n_exact" * 7).as("ok_overlap"))
+    }),
+
+    // AUTO-DISPATCH top-k retrieval (r13): footer-count dispatch —
+    // exact brute force inside the 1M-row envelope (this corpus:
+    // oracle-checked hash-exact, same twin as q_llm_knn_cosine),
+    // grow-cells IVF probe-limited search past it (TopKProbeSpec pins
+    // the ANN branch ≡ annTopK at the auto config and the ≥0.7
+    // overlap floor at every probed scale).
+    "q_llm_knn_topk_auto" -> ((s, d) => topKAuto(s, d)),
 
     // kNN GRAPH (r11): exact top-3 cosine neighbors for EVERY vector —
     // the SemDeDup-style building block (semantic dedup / embedding
@@ -2062,15 +2169,23 @@ object Llm {
        "AND a.doc_id < b.doc_id) " +
        "SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming " +
        "FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY doc_a, doc_b"),
-    "q_llm_knn_cosine" ->
-      ("WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+    "q_llm_knn_cosine" -> knnTopKOracleSql,
+    // retrieval dispatch twin: at sf0.01 (500 rows ≤ the 1M envelope)
+    // the auto query IS the exact scan — same SQL, shared val
+    "q_llm_knn_topk_auto" -> knnTopKOracleSql,
+    // retrieval-gate twin: exact top-10 count from the same SQL,
+    // verdict asserted TRUE — hash match ⇔ the grow-cells IVF
+    // retrieval held ≥ 0.7 top-10 overlap on this corpus
+    "q_llm_knn_topk_ann_gate" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0), " +
-       "c AS (SELECT vec_id, label, " +
+       "c AS (SELECT vec_id, " +
        "list_sum(list_transform(list_zip(v, qv), p -> p[1] * p[2])) / " +
        "(sqrt(list_sum(list_transform(list_zip(v, v), p -> p[1] * p[2]))) * " +
        "sqrt(list_sum(list_transform(list_zip(qv, qv), p -> p[1] * p[2])))) AS cs " +
-       "FROM e CROSS JOIN q WHERE vec_id <> 0) " +
-       "SELECT vec_id, label, round(cs, 6) AS cs FROM c ORDER BY cs DESC, vec_id ASC LIMIT 10"),
+       "FROM e CROSS JOIN q WHERE vec_id <> 0), " +
+       "t AS (SELECT vec_id FROM c ORDER BY round(cs, 6) DESC, vec_id ASC LIMIT 10) " +
+       "SELECT COUNT(*) AS n_exact, TRUE AS ok_overlap FROM t"),
     "q_llm_knn_graph" -> knnGraphOracleSql,
     // dispatch twin: at sf0.01 (500 rows ≤ the 1M envelope) the auto
     // query IS the exact graph — same SQL, shared val

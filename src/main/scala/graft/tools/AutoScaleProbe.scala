@@ -33,8 +33,13 @@ import graft.queries.Llm
   * sit below the 1M-row dispatch envelope where production would
   * rightly run exact.
   *
+  *   - (r13) grow-cells IVF top-k retrieval vs the exact scan:
+  *     both walls + top-10 overlap at the auto config
+  *     (AnnIvf.autoTopKConfig) — the ≥ 0.7 gate floor, printed as
+  *     ok=true/false.
+  *
   * Usage: runMain graft.tools.AutoScaleProbe [mult ...]  (default 10 30)
-  *   GRAFT_AUTOSCALE_STEPS=semdedup,knn,neardup   narrows the families
+  *   GRAFT_AUTOSCALE_STEPS=semdedup,knn,neardup,topk   narrows the families
   *   GRAFT_AUTOSCALE_SKIP_PINNED=1                auto paths only
   */
 object AutoScaleProbe {
@@ -43,7 +48,7 @@ object AutoScaleProbe {
     val src = "/root/testdata/sf0.1"
     val steps = sys.env.get("GRAFT_AUTOSCALE_STEPS")
       .map(_.split(',').filter(_.nonEmpty).toSet)
-      .getOrElse(Set("semdedup", "knn", "neardup"))
+      .getOrElse(Set("semdedup", "knn", "neardup", "topk"))
     val skipPinned = sys.env.contains("GRAFT_AUTOSCALE_SKIP_PINNED")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -221,6 +226,23 @@ object AutoScaleProbe {
           graft.CacheScope.drain(blocking = true)
           println(f"AUTOSCALE x$m neardup_ann_pinned recall $hitsP/$nP=${hitsP.toDouble / math.max(1, nP)}%.4f")
         }
+      }
+
+      // r13: grow-cells IVF retrieval vs the exact scan — single
+      // fixed-query top-10, overlap against the brute-force answer.
+      // The exact scan is cheap at any probed size (one broadcast
+      // crossJoin over n rows), so this step carries its own full
+      // ground truth rather than the sampled kind.
+      if (steps("topk")) {
+        val (cells, nprobe) = graft.operators.AnnIvf.autoTopKConfig(n)
+        timed(s"x$m topk_exact")(Llm.exactTopK(spark, dir))
+        timed(s"x$m topk_auto ${cells}c${nprobe}p")(
+          Llm.annTopK(spark, dir, cells, nprobe))
+        val hitsT = Llm.exactTopK(spark, dir).select($"vec_id")
+          .join(Llm.annTopK(spark, dir, cells, nprobe).select($"vec_id"),
+            "vec_id").count()
+        graft.CacheScope.drain(blocking = true)
+        println(f"AUTOSCALE x$m topk_auto overlap $hitsT/10=${hitsT / 10.0}%.2f ok=${hitsT >= 7}")
       }
 
       exactG.unpersist(); exactP.unpersist()

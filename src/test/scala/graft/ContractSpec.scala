@@ -19,10 +19,11 @@ class ContractSpec extends AnyFunSuite {
     // (q_agg_approx_*_gate) and accuracy-tested in KernelSpec; the
     // ANN/PQ paths' missed-pair sets are hash-derived-config-specific
     // (recall pinned ≥ 0.95 in AnnHandoffSpec / AnnPqSpec, each with
-    // its oracle-checked _gate twin)
+    // its oracle-checked _gate twin; the r13 IVF retrieval's overlap
+    // pinned ≥ 0.7 in TopKProbeSpec with its own _gate twin)
     assert((qs -- os) == Set("q_agg_approx_distinct", "q_agg_approx_percentile",
         "q_llm_embed_neardup_ann", "q_llm_knn_graph_ann",
-        "q_llm_embed_neardup_pq"),
+        "q_llm_embed_neardup_pq", "q_llm_knn_topk_ann"),
       s"undeclared engine-only: ${qs -- os}")
   }
 
