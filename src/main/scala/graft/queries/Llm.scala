@@ -502,7 +502,21 @@ object Llm {
     * search ([[AnnIvf.autoTopKConfig]]: cells = ⌈√n⌉, nprobe =
     * ⌈cells/2⌉) past it, with the ≥0.7 top-10 overlap contract held
     * by q_llm_knn_topk_ann_gate and measured across scales by
-    * TopKProbeSpec. */
+    * TopKProbeSpec.
+    *
+    * Honest wall accounting (AutoScaleProbe topk step, r13): at
+    * local probe sizes the IVF path LOSES on wall even amortized —
+    * single-shot is train-dominated (x30: 52.8 s vs the 0.73 s exact
+    * scan), and with the index pre-built and both corpora cached,
+    * per-query walls are exact 0.25–0.40 s vs IVF 0.63–0.68 s
+    * (breakeven never): per-query job overhead (probe ranking job +
+    * two broadcasts) swamps the 2× candidate cut when the whole
+    * corpus scores in milliseconds. Mean top-10 overlap across 20
+    * queries: 0.92. The probe-limited form's claim is therefore
+    * cluster-regime, same family as the PQ graph's: past ~100M rows
+    * a full scan per ad-hoc query stops being free, and the index
+    * bounds per-query work to nprobe hash-partitioned lists while
+    * the exact scan grows with n unbounded. */
   def topKAuto(s: SparkSession, d: String,
       envelope: Long = ExactPairEnvelope): DataFrame = {
     val n = embCount(s, d)

@@ -243,6 +243,58 @@ object AutoScaleProbe {
             "vec_id").count()
         graft.CacheScope.drain(blocking = true)
         println(f"AUTOSCALE x$m topk_auto overlap $hitsT/10=${hitsT / 10.0}%.2f ok=${hitsT >= 7}")
+
+        // AMORTIZED form — the production retrieval shape (AnnIvf
+        // Scaladoc: index built once, queried many times). The
+        // single-shot number above is TRAIN-dominated (the one-shot
+        // topK runs 2 Lloyd rounds inline), which is anti-economical
+        // for one ad-hoc query at any corpus size; what an index
+        // serves is repeated queries. Train once (wall recorded),
+        // then serve 20 hash-sampled queries via topKWith against
+        // the cached index and 20 exact scans against the cached
+        // prepared relation, reporting mean per-query wall + mean
+        // overlap. Both sides query the same cached corpus so the
+        // comparison isolates probe-limited vs full scan.
+        val emb = graft.Tables.embeddings(spark, dir)
+        val qids = emb.select($"vec_id")
+          .orderBy(md5(concat(lit("topkq"), $"vec_id".cast("string"))))
+          .limit(20).collect().map(_.getLong(0)).toSeq
+        val tTrain0 = System.nanoTime()
+        val assigned = graft.operators.AnnIvf
+          .assignCells(spark, emb, cells, 2).cache()
+        val cents = graft.operators.AnnIvf.centroidsOf(assigned).cache()
+        assigned.count(); cents.count()
+        val tTrain = (System.nanoTime() - tTrain0) / 1e9
+        val prepared = emb.select($"vec_id", $"embedding",
+          VecOps.norm(spark, $"embedding").as("nrm")).cache()
+        prepared.count()
+        def exactOne(qid: Long) = {
+          val q = prepared.filter($"vec_id" === qid)
+            .select($"embedding".as("qv"), $"nrm".as("qn"))
+          prepared.filter($"vec_id" =!= qid)
+            .crossJoin(broadcast(q))
+            .select($"vec_id",
+              (VecOps.dot(spark, $"embedding", $"qv") / ($"nrm" * $"qn")).as("cs"))
+            .orderBy($"cs".desc, $"vec_id".asc).limit(10)
+        }
+        var tEx = 0.0; var tIvf = 0.0; var hitsSum = 0L
+        for (qid <- qids) {
+          val t1 = System.nanoTime()
+          val ex = exactOne(qid).select($"vec_id").collect().map(_.getLong(0)).toSet
+          tEx += (System.nanoTime() - t1) / 1e9
+          val t2 = System.nanoTime()
+          val iv = graft.operators.AnnIvf
+            .topKWith(spark, assigned, cents, qid, 10, nprobe)
+            .select($"vec_id").collect().map(_.getLong(0)).toSet
+          tIvf += (System.nanoTime() - t2) / 1e9
+          hitsSum += (ex & iv).size
+        }
+        assigned.unpersist(); cents.unpersist(); prepared.unpersist()
+        graft.CacheScope.drain(blocking = true)
+        println(f"AUTOSCALE x$m topk_amortized train=$tTrain%.2f " +
+          f"exact_per_q=${tEx / qids.size}%.3f ivf_per_q=${tIvf / qids.size}%.3f " +
+          f"mean_overlap=${hitsSum.toDouble / (10.0 * qids.size)}%.3f " +
+          f"breakeven_q=${if (tEx > tIvf) math.ceil(tTrain / (tEx / qids.size - tIvf / qids.size)).toLong else -1L}")
       }
 
       exactG.unpersist(); exactP.unpersist()
