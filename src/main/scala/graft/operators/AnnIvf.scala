@@ -170,6 +170,59 @@ object AnnIvf {
       .limit(k)
   }
 
+  /** Persist a trained index: the inverted lists as CELL-PARTITIONED
+    * parquet (one directory per cell — the literal on-disk form of
+    * "at 100 TB the lists are hash-partitioned by cell") plus the
+    * tiny centroid table. This is what turns the retrieval
+    * amortization argument into a layout artifact: the train cost is
+    * paid ONCE at write time, and every subsequent query is
+    * [[topKFromIndex]] — a centroid ranking over k rows plus a scan
+    * of exactly nprobe cell directories (partition pruning; nothing
+    * rereads or rescans the corpus). AnnIvfIndexSpec pins both the
+    * result equality with the in-memory search and the pruning (the
+    * probed scan's input files are a strict nprobe-cell subset). */
+  def writeIndex(spark: SparkSession, emb: DataFrame, dir: String,
+      cells: Int, iters: Int = 2): Unit = {
+    val assigned = assignCells(spark, emb, cells, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/lists")
+    centroidsOf(assigned).write.mode("overwrite")
+      .parquet(s"$dir/centroids")
+    assigned.unpersist()
+  }
+
+  /** Top-k cosine neighbors of an EXTERNAL query vector against a
+    * PERSISTED index ([[writeIndex]]): rank the k-row centroid table
+    * (collected driver-side — bounded by cells, the same discipline
+    * as the broadcast model ships), then scan ONLY the nprobe probed
+    * cell partitions via a literal `cell IN (...)` predicate so the
+    * parquet source prunes partitions statically — per-query IO is
+    * nprobe directories at ANY corpus size, visible as
+    * PartitionFilters in the scan and pinned by AnnIvfIndexSpec via
+    * the input-file set. Exact scoring inside the probed lists with
+    * the riding norms (every error is a candidate miss). */
+  def topKFromIndex(spark: SparkSession, dir: String,
+      query: Array[Float], k: Int, nprobe: Int): DataFrame = {
+    val qnrm = math.sqrt(query.map(v => v.toDouble * v).sum)
+    val qcol = array(query.map(v => lit(v)): _*).cast("array<float>")
+    // k centroid rows: ranking them is driver-side arithmetic, not a job
+    val probed = withCnrm(spark, spark.read.parquet(s"$dir/centroids"))
+      .withColumn("ccs",
+        VecOps.dot(spark, col("centroid"), qcol) / (col("cnrm") * lit(qnrm)))
+      .select(col("cell"), col("ccs"))
+      .orderBy(col("ccs").desc, col("cell").asc)
+      .limit(nprobe)
+      .collect().map(_.getInt(0)).toSeq
+    spark.read.parquet(s"$dir/lists")
+      .filter(col("cell").isin(probed: _*))
+      .withColumn("cs",
+        VecOps.dot(spark, col("embedding"), qcol) / (col("nrm") * lit(qnrm)))
+      .select(col("vec_id"), col("cell"), col("cs"))
+      .orderBy(col("cs").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** ALL-PAIRS approximate near-duplicate retrieval — the IVF
     * counterpart of [[AnnLsh.neardupPairs]], measured under the same
     * CrossoverProbe protocol (r11, VERDICT r10 item 3) so path B is
