@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.AnnIvf
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Online retrieval serving (r13): AnnIvf.probeCandidates — a query
+  * stream scored against a persisted IVF index with zero state.
+  * Proves the composition laws the streaming family holds everywhere
+  * else:
+  *   - stream ≡ batch: the same transform over the same queries
+  *     yields the identical match set whether the query side is a
+  *     MemoryStream (two triggers) or a batch DataFrame;
+  *   - statelessness: stateOperators empty after processing (the
+  *     probe ranking is row-local HOF arithmetic, candidates come
+  *     from one stream-static equi-join);
+  *   - self-retrieval: a query that IS a corpus vector matches its
+  *     own row at cosine 1.0.
+  */
+class AnnStreamServeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.01"
+  private val Cells = 23
+  private val Nprobe = 12
+  private val Theta = 0.6
+
+  private lazy val indexDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfserve").toString
+    AnnIvf.writeIndex(spark,
+      Tables.embeddings(spark, d).select($"vec_id", $"embedding"),
+      dir, Cells)
+    dir
+  }
+
+  // six corpus vectors replayed as external queries (query_id ≠ vec_id
+  // so accidental id equality can't mask a join bug)
+  private lazy val queryRows: Seq[(Long, Array[Float])] =
+    Tables.embeddings(spark, d).filter($"vec_id" < 6)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0) + 1000L, r.getSeq[Float](1).toArray)).toSeq
+
+  test("stream == batch, zero state, self-matches at cos 1.0") {
+    val (b1, b2) = queryRows.splitAt(3)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = AnnIvf.probeCandidatesFromIndex(
+        in.toDF.toDF("query_id", "qvec"), spark, indexDir, Nprobe, Theta)
+      .writeStream.format("memory").queryName("ann_serve_out")
+      .outputMode("append").start()
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "stream-static ANN serving must hold zero state")
+    val stream = spark.table("ann_serve_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    q.stop()
+    val batch = AnnIvf.probeCandidatesFromIndex(
+        queryRows.toDF("query_id", "qvec"), spark, indexDir, Nprobe, Theta)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(stream == batch)
+    // each replayed corpus vector finds its own row at cosine 1.0
+    for (qid <- queryRows.map(_._1))
+      assert(stream.contains((qid, qid - 1000L, 1.0)),
+        s"query $qid missing its self-match at cos 1.0")
+  }
+}
