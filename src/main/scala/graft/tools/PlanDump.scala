@@ -162,7 +162,12 @@ object PlanDump {
         "self-join exchanges 32 B of codes instead of the 256 B embedding payload; the SDC " +
         "filter is the fused PqSdcDot kernel against a ONE-ROW broadcast table (map-side, " +
         "before the pair-dedup shuffle), and full vectors are re-attached by vec_id equi-join " +
-        "ONLY for the (θ − margin) survivor band"))
+        "ONLY for the (θ − margin) survivor band"),
+      "q_llm_knn_topk_auto" -> ("retrieval dispatch (r13), exact branch at this corpus size: " +
+        "ONE-ROW broadcast of the query vector over the scan (BroadcastNestedLoopJoin with a " +
+        "1-row build side is the intended crossJoin shape, not the pair-inflation anti-pattern), " +
+        "fused dot kernel, TakeOrderedAndProject top-10 — no shuffle anywhere; past the envelope " +
+        "the same id serves from the grow-cells IVF probe join"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — final physical plans at sf0.1 (AQE-settled)\n\n")
