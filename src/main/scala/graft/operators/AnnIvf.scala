@@ -285,6 +285,28 @@ object AnnIvf {
     probeCandidates(queries, spark.read.parquet(s"$dir/lists"),
       spark.read.parquet(s"$dir/centroids"), nprobe, threshold)
 
+  /** Incremental index maintenance: append a batch of new vectors to
+    * a persisted index WITHOUT retraining — assign each new vector to
+    * its argmax-cosine cell under the FROZEN quantizer (one broadcast
+    * join against the k-row centroid table; the standard IVF
+    * practice — the coarse quantizer is retrained offline on its own
+    * cadence, not per ingest batch) and append the rows into the
+    * cell-partitioned lists. Centroids are deliberately NOT updated:
+    * [[topKFromIndex]]/[[probeCandidates]] results for pre-existing
+    * vectors are byte-identical before and after an append
+    * (AnnIvfIndexSpec pins this), and probe ranking for new queries
+    * sees the same cell geometry the lists were written under.
+    * Append-mode parquet into partitionBy(cell) only touches the
+    * directories the batch lands in. */
+  def appendToIndex(spark: SparkSession, newEmb: DataFrame,
+      dir: String): Unit = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val e = newEmb.select(col("vec_id"), col("embedding"),
+      VecOps.norm(spark, col("embedding")).as("nrm"))
+    assign(spark, e, cents)
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/lists")
+  }
+
   /** ALL-PAIRS approximate near-duplicate retrieval — the IVF
     * counterpart of [[AnnLsh.neardupPairs]], measured under the same
     * CrossoverProbe protocol (r11, VERDICT r10 item 3) so path B is

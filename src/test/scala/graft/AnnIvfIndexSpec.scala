@@ -74,4 +74,45 @@ class AnnIvfIndexSpec extends AnyFunSuite {
     assert(probedRows < total,
       s"probed scan read the whole corpus ($probedRows of $total)")
   }
+
+  test("appendToIndex: frozen quantizer — old results byte-identical, new vectors retrievable") {
+    // own index dir: this test mutates the lists
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfappend").toString
+    val emb = Tables.embeddings(spark, d).select($"vec_id", $"embedding")
+    AnnIvf.writeIndex(spark, emb, dir, Cells)
+    val before = AnnIvf.topKFromIndex(spark, dir, query, 10, Nprobe).collect().toSeq
+    val centsBefore = spark.read.parquet(s"$dir/centroids").collect().toSet
+    // append three ε-perturbed copies of vectors 0..2 (cos ≈ 0.995 to
+    // their originals) under fresh ids — assign-only, no retrain
+    val dims = emb.select(size($"embedding")).head().getInt(0)
+    val eps = lit(0.1) * graft.functions.VecOps.norm(spark, $"embedding") / math.sqrt(dims)
+    val copies = emb.filter($"vec_id" < 3).select(
+      ($"vec_id" + 10000000L).as("vec_id"),
+      transform(sequence(lit(0), lit(dims - 1)), i =>
+        (element_at($"embedding", i + 1) +
+          eps * when(pmod(xxhash64($"vec_id", i), lit(2)) === 0, 1.0)
+            .otherwise(-1.0)).cast("float")).as("embedding"))
+    AnnIvf.appendToIndex(spark, copies, dir)
+    // centroids untouched (the quantizer is frozen by design)
+    assert(spark.read.parquet(s"$dir/centroids").collect().toSet === centsBefore)
+    // lists grew by exactly the appended batch
+    assert(spark.read.parquet(s"$dir/lists").count() === emb.count() + 3)
+    // the appended near-copy of vec 0 now surfaces for vec 0's query…
+    val after = AnnIvf.topKFromIndex(spark, dir, query, 11, Nprobe).collect().toSeq
+    assert(after.exists(r => r.getLong(0) === 10000000L && r.getDouble(2) > 0.9),
+      "appended near-copy of the query vector must rank with high cosine")
+    // …and the pre-existing rows are byte-identical with their order
+    // preserved: top-11 after the append is exactly the old top-10
+    // with the copy inserted at its rank (the frozen quantizer
+    // guarantee — no old cosine or cell moved)
+    assert(after.filterNot(_.getLong(0) >= 10000000L)
+        .map(r => (r.getLong(0), r.getDouble(2))) ===
+      before.map(r => (r.getLong(0), r.getDouble(2))))
+    // an appended vector is itself retrievable at cos 1.0
+    val q2 = copies.filter($"vec_id" === 10000001L)
+      .select($"embedding").head().getSeq[Float](0).toArray
+    val self = AnnIvf.topKFromIndex(spark, dir, q2, 1, Nprobe).collect()
+    assert(self.head.getLong(0) === 10000001L)
+    assert(math.abs(self.head.getDouble(2) - 1.0) < 1e-6)
+  }
 }
