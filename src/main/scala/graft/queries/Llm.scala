@@ -1293,6 +1293,45 @@ object Llm {
     // overlap floor at every probed scale).
     "q_llm_knn_topk_auto" -> ((s, d) => topKAuto(s, d)),
 
+    // ANN SERVING, ORACLE-CHECKED (r13): the probe-limited serving
+    // relation itself hash-checked end to end — external queries
+    // (the first 6 corpus vectors under fresh query ids) ranked
+    // against the md5-seeded KMeans quantizer's centroid table,
+    // nprobe nearest cells probed, candidates exact-scored, θ-matches
+    // emitted. The WHOLE chain (iterative Lloyd fit included) runs
+    // identically in DuckDB, so a hash match certifies the serving
+    // semantics — probe ranking, cell membership, scoring, threshold
+    // — not just the spec-pinned engine form (AnnIvf.probeCandidates
+    // is the same relation with the float kernel + literal-array
+    // centroid ship for streams). Probe ranking at 6 dp with cell
+    // tiebreak and θ applied to the ROUNDED cosine: cross-engine
+    // rank/filter determinism by construction. Candidate work is
+    // nprobe/k of the corpus per query — never a full scan.
+    "q_llm_ann_serve" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val e = kmeansPrepared(s, d)
+      val (cents, asg) = graft.operators.KMeans.fitAll(e, KmeansK, KmeansRounds)
+      val cn = cents.withColumn("cnrm", VecOps.dnorm(s, $"centroid"))
+      val qs = e.filter($"vec_id" < 6)
+        .select(($"vec_id" + 1000L).as("query_id"),
+          $"v".as("qv"), $"nrm".as("qnrm"))
+      val pr = qs.join(broadcast(cn))
+        .select($"query_id", $"qv", $"qnrm", $"cell",
+          round(VecOps.ddot(s, $"qv", $"centroid") / ($"qnrm" * $"cnrm"), 6)
+            .as("ccs"))
+      val w = Window.partitionBy($"query_id").orderBy($"ccs".desc, $"cell".asc)
+      val probed = pr.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 4)
+        .select($"query_id", $"qv", $"qnrm", $"cell")
+      probed.join(asg.select($"vec_id", $"cell"), "cell")
+        .join(e.select($"vec_id", $"v", $"nrm"), "vec_id")
+        .select($"query_id", $"vec_id",
+          round(VecOps.ddot(s, $"v", $"qv") / ($"nrm" * $"qnrm"), 6).as("cs"))
+        .filter($"cs" >= 0.35)
+        .orderBy($"query_id", $"vec_id")
+    }),
+
     // kNN GRAPH (r11): exact top-3 cosine neighbors for EVERY vector —
     // the SemDeDup-style building block (semantic dedup / embedding
     // clustering consume a neighbor graph, not a single query's
@@ -2200,6 +2239,24 @@ object Llm {
        "FROM e CROSS JOIN q WHERE vec_id <> 0), " +
        "t AS (SELECT vec_id FROM c ORDER BY round(cs, 6) DESC, vec_id ASC LIMIT 10) " +
        "SELECT COUNT(*) AS n_exact, TRUE AS ok_overlap FROM t"),
+    // ANN-serving twin: the full probe-limited serving chain on top of
+    // the shared iterative-fit CTEs — same quantizer (cn2 produced the
+    // final assignment a2), same 6-dp probe ranking with cell
+    // tiebreak, same rounded-θ filter
+    "q_llm_ann_serve" ->
+      (kmeansOracleWithK(KmeansK) +
+       ", qs AS (SELECT vec_id + 1000 AS query_id, v AS qv, nrm AS qnrm FROM en WHERE vec_id < 6)" +
+       ", pr AS (SELECT qs.query_id, qs.qv, qs.qnrm, cn2.cell, " +
+       "round(list_sum(list_transform(list_zip(qs.qv, cn2.centroid), p -> p[1] * p[2])) / " +
+       "(qs.qnrm * cn2.cnrm), 6) AS ccs FROM qs CROSS JOIN cn2)" +
+       ", pp AS (SELECT query_id, qv, qnrm, cell FROM (SELECT *, row_number() OVER " +
+       "(PARTITION BY query_id ORDER BY ccs DESC, cell ASC) AS rn FROM pr) WHERE rn <= 4)" +
+       ", cand AS (SELECT pp.query_id, a2.vec_id, " +
+       "round(list_sum(list_transform(list_zip(en.v, pp.qv), p -> p[1] * p[2])) / " +
+       "(en.nrm * pp.qnrm), 6) AS cs " +
+       "FROM pp JOIN a2 ON a2.cell = pp.cell JOIN en ON en.vec_id = a2.vec_id) " +
+       "SELECT query_id, vec_id, cs FROM cand WHERE cs >= 0.35 " +
+       "ORDER BY query_id, vec_id"),
     "q_llm_knn_graph" -> knnGraphOracleSql,
     // dispatch twin: at sf0.01 (500 rows ≤ the 1M envelope) the auto
     // query IS the exact graph — same SQL, shared val
