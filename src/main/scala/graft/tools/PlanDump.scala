@@ -167,7 +167,12 @@ object PlanDump {
         "ONE-ROW broadcast of the query vector over the scan (BroadcastNestedLoopJoin with a " +
         "1-row build side is the intended crossJoin shape, not the pair-inflation anti-pattern), " +
         "fused dot kernel, TakeOrderedAndProject top-10 — no shuffle anywhere; past the envelope " +
-        "the same id serves from the grow-cells IVF probe join"))
+        "the same id serves from the grow-cells IVF probe join"),
+      "q_llm_ann_serve" -> ("oracle-checked ANN serving (r13): the Lloyd-fit stages are the " +
+        "audited q_llm_kmeans family; serving adds a k-row BROADCAST centroid rank per query " +
+        "(window over ≤ queries·k rows, never corpus-sized), then candidates from a cell " +
+        "EQUI-join (probed cells × assignment — nprobe/k of the corpus, no BNLJ, no full scan) " +
+        "with the rounded exact rerank riding the prepared norms"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — final physical plans at sf0.1 (AQE-settled)\n\n")
