@@ -115,7 +115,13 @@ object AnnIvf {
     * times). */
   def topK(spark: SparkSession, emb: DataFrame, queryVecId: Long, k: Int,
       nprobe: Int = 3, cells: Int = 8, iters: Int = 2): DataFrame = {
-    val assigned = assignCells(spark, emb, cells, iters).cache()
+    // CacheScope, not a bare .cache() (r13): Spark's cache manager
+    // dedupes by logical plan, so an unmanaged cache here would
+    // survive the bench's per-query drain and hand a REPEAT run of
+    // the same topK a warm assignment — breaking per-pass
+    // comparability — while accruing session memory across queries.
+    val assigned = graft.CacheScope.localEager(
+      assignCells(spark, emb, cells, iters))
     topKWith(spark, assigned, centroidsOf(assigned), queryVecId, k, nprobe)
   }
 
