@@ -21,6 +21,14 @@ Test / unmanagedJars ++= {
 }
 Test / fork := true
 run / fork := true
+// Pass forked run/runMain output through UNPREFIXED (VERDICT r13 item
+// 2): the default output strategy relogs every stdout line as
+// "[info] ...", which is why the driver's tail parser never parsed
+// Bench's summary line in rounds 1-13 — the JSON was in the tail but
+// prefixed. StdoutOutput hands the child's stdout/stderr straight
+// through, so the bench line lands bare.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

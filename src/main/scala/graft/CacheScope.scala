@@ -1,27 +1,49 @@
 package graft
 
 import org.apache.spark.sql.Dataset
+import org.apache.spark.storage.StorageLevel
 
-/** Registry for QUERY-LOCAL caches: relations cached because they are
-  * reused within a single query's plan (e.g. q_llm_incr_dedup's two
+/** Registry for EVERY cache mark the library places (r14: previously
+  * only query-local; now also the shared cross-query family caches,
+  * so "no cached relation outside CacheScope" is a mechanically
+  * auditable invariant — PlanGateSpec scans the main tree for raw
+  * `.cache()`/`.persist(` call sites).
+  *
+  * QUERY-LOCAL caches: relations cached because they are reused
+  * within a single query's plan (e.g. q_llm_incr_dedup's two
   * minhash-signature relations) but worthless to any other query.
   * Without explicit cleanup each harness invocation would leave such
-  * entries behind and rely on LRU eviction across a 126-query run —
+  * entries behind and rely on LRU eviction across a 238-query run —
   * on a long-lived cluster session that is a slow memory leak.
-  *
   * Queries wrap with `CacheScope.local(df)` instead of `df.cache()`;
   * Bench/Verify call `drain()` after each query materializes (outside
-  * the timed region — unpersist is bookkeeping, not compute). Shared
-  * cross-query caches (the shingle/pair/ANN relations in Llm /
-  * TextAnalysis / DedupClusters) deliberately do NOT go through this:
-  * draining them per-query would re-pay their fill cost for every
-  * query in the family.
+  * the timed region — unpersist is bookkeeping, not compute).
+  *
+  * SHARED caches (the shingle/pair relations in Llm and the
+  * DedupClusters iteration inputs) route through [[shared]]: same
+  * registration, but `drain()` leaves them alone — draining them
+  * per-query would re-pay their fill cost for every query in the
+  * family. Both entry points skip the cache mark when the plan is
+  * already cached (the CacheManager matches by logical plan), which
+  * also silences the per-call "Asked to cache already cached data"
+  * WARN the shared families used to emit.
   */
 object CacheScope {
   private val live = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+  private val sharedLive = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
 
   def local[T](ds: Dataset[T]): Dataset[T] = synchronized {
-    ds.cache(); live += ds; ds
+    if (ds.storageLevel == StorageLevel.NONE) ds.cache()
+    live += ds; ds
+  }
+
+  /** Register a SHARED cross-query cache: marked once per logical
+    * plan, never touched by [[drain]] — the family amortization is
+    * the point. [[drainShared]] exists for tests that need a truly
+    * cold state. */
+  def shared[T](ds: Dataset[T]): Dataset[T] = synchronized {
+    if (ds.storageLevel == StorageLevel.NONE) { ds.cache(); sharedLive += ds }
+    ds
   }
 
   /** Cache AND eagerly materialize (one fill job) before returning.
@@ -46,5 +68,13 @@ object CacheScope {
     live.foreach(ds => try ds.unpersist(blocking)
       catch { case _: Throwable => () })
     live.clear()
+  }
+
+  /** Unpersist the shared family caches too — NOT part of the normal
+    * per-query lifecycle; for tests/tools that need a cold session. */
+  def drainShared(blocking: Boolean = false): Unit = synchronized {
+    sharedLive.foreach(ds => try ds.unpersist(blocking)
+      catch { case _: Throwable => () })
+    sharedLive.clear()
   }
 }

@@ -104,9 +104,8 @@ case class LshSignatures(child: Expression, tables: Int, bits: Int)
 
 object LshSignatures {
   def register(spark: SparkSession, tables: Int, bits: Int): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      s"lsh_signatures_${tables}_$bits",
-      exprs => LshSignatures(exprs.head, tables, bits), "built-in")
+    KernelRegistry.ensure(spark, s"lsh_signatures_${tables}_$bits")(
+      exprs => LshSignatures(exprs.head, tables, bits))
 
   def of(spark: SparkSession, v: Column, tables: Int, bits: Int): Column = {
     register(spark, tables, bits)

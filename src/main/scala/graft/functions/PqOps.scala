@@ -162,12 +162,10 @@ object PqOps {
   /** Idempotently register the kernels (ksub baked into the function
     * name — same pattern as LshSignatures). */
   def register(spark: SparkSession, ksub: Int): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      s"pq_sdc_dot_$ksub",
-      exprs => PqSdcDot(exprs(0), exprs(1), exprs(2), ksub), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      s"pq_adc_dot_$ksub",
-      exprs => PqAdcDot(exprs(0), exprs(1), ksub), "built-in")
+    KernelRegistry.ensure(spark, s"pq_sdc_dot_$ksub")(
+      exprs => PqSdcDot(exprs(0), exprs(1), exprs(2), ksub))
+    KernelRegistry.ensure(spark, s"pq_adc_dot_$ksub")(
+      exprs => PqAdcDot(exprs(0), exprs(1), ksub))
   }
 
   /** SDC approximate dot of two packed-code columns against the

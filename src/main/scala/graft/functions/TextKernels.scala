@@ -188,12 +188,12 @@ case class MinHashSig(child: Expression)
 
 object TextKernels {
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "tri_shingles", exprs => TriShingles(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig", exprs => MinHashSig(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash32", exprs => SimHash32(exprs.head), "built-in")
+    KernelRegistry.ensure(spark, "tri_shingles")(
+      exprs => TriShingles(exprs.head))
+    KernelRegistry.ensure(spark, "minhash_sig")(
+      exprs => MinHashSig(exprs.head))
+    KernelRegistry.ensure(spark, "simhash32")(
+      exprs => SimHash32(exprs.head))
   }
 
   def simHash32(spark: SparkSession, set: Column): Column = {

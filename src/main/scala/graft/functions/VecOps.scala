@@ -113,10 +113,10 @@ object VecOps {
     * registry, then address them via `call_function` (the stable
     * Column-construction path in Spark 4). */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "float_vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "double_vec_dot", exprs => DoubleVecDot(exprs(0), exprs(1)), "built-in")
+    KernelRegistry.ensure(spark, "float_vec_dot")(
+      exprs => FloatVecDot(exprs(0), exprs(1)))
+    KernelRegistry.ensure(spark, "double_vec_dot")(
+      exprs => DoubleVecDot(exprs(0), exprs(1)))
   }
 
   /** dot(a, b) over two array<float> columns, in double. */

@@ -189,8 +189,10 @@ object AnnIvf {
     * probed scan's input files are a strict nprobe-cell subset). */
   def writeIndex(spark: SparkSession, emb: DataFrame, dir: String,
       cells: Int, iters: Int = 2): Unit = {
-    val assigned = assignCells(spark, emb, cells, iters)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // CacheScope.local (r14 audit): same MEMORY_AND_DISK level as the
+    // previous raw persist; the eager unpersist below stays the
+    // primary release, the registry just makes the site auditable
+    val assigned = graft.CacheScope.local(assignCells(spark, emb, cells, iters))
     assigned.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/lists")
     centroidsOf(assigned).write.mode("overwrite")
@@ -208,19 +210,31 @@ object AnnIvf {
     * PartitionFilters in the scan and pinned by AnnIvfIndexSpec via
     * the input-file set. Exact scoring inside the probed lists with
     * the riding norms (every error is a candidate miss). */
-  def topKFromIndex(spark: SparkSession, dir: String,
-      query: Array[Float], k: Int, nprobe: Int): DataFrame = {
+  /** The nprobe nearest cells of a persisted index to an external
+    * query vector — the probe ranking [[topKFromIndex]] prunes with,
+    * exposed so AnnIvfIndexSpec can independently derive the expected
+    * input-file set (ADVICE r13: the pruning pin asserts the scan's
+    * actual file list equals exactly these cells' directories). */
+  def probeRank(spark: SparkSession, dir: String,
+      query: Array[Float], nprobe: Int): Seq[Int] = {
     val qnrm = math.sqrt(query.map(v => v.toDouble * v).sum)
     val qcol = array(query.map(v => lit(v)): _*).cast("array<float>")
-    // k centroid rows: ranking them is driver-side arithmetic, not a job
-    val probed = withCnrm(spark, spark.read.parquet(s"$dir/centroids"))
+    withCnrm(spark, spark.read.parquet(s"$dir/centroids"))
       .withColumn("ccs",
         VecOps.dot(spark, col("centroid"), qcol) / (col("cnrm") * lit(qnrm)))
       .select(col("cell"), col("ccs"))
       .orderBy(col("ccs").desc, col("cell").asc)
       .limit(nprobe)
       .collect().map(_.getInt(0)).toSeq
-    spark.read.parquet(s"$dir/lists")
+  }
+
+  def topKFromIndex(spark: SparkSession, dir: String,
+      query: Array[Float], k: Int, nprobe: Int): DataFrame = {
+    val qnrm = math.sqrt(query.map(v => v.toDouble * v).sum)
+    val qcol = array(query.map(v => lit(v)): _*).cast("array<float>")
+    // k centroid rows: ranking them is driver-side arithmetic, not a job
+    val probed = probeRank(spark, dir, query, nprobe)
+    liveLists(spark, dir)
       .filter(col("cell").isin(probed: _*))
       .withColumn("cs",
         VecOps.dot(spark, col("embedding"), qcol) / (col("nrm") * lit(qnrm)))
@@ -254,27 +268,71 @@ object AnnIvf {
     * `queries` needs (query_id, qvec: array<float>); `lists` and
     * `cents` are [[assignCells]]/[[centroidsOf]] relations or the
     * persisted index's parquet ([[probeCandidatesFromIndex]]). */
+  /** Ceiling for shipping the centroid table as ONE literal array
+    * expression (ADVICE r13): the literal costs cells × dims × 3
+    * leaf expressions in the analyzer/codegen tree, so past a few
+    * thousand cells (autoTopKConfig reaches ~10k cells at 100M rows)
+    * the expression tree itself becomes the bottleneck long before
+    * the data does. Under the ceiling the probe ranking is pure
+    * row-local HOF arithmetic — zero state, append-mode-safe, the
+    * streaming-serving shape. Past it [[probeCandidates]] switches to
+    * a broadcast centroid join + per-query top-nprobe aggregate:
+    * same candidates, still one cell equi-join against the lists,
+    * but the per-query aggregation makes that branch BATCH-only
+    * (append-mode streaming rejects it at analysis — fail-loud, the
+    * budget discipline; a streaming index that large wants a
+    * hierarchical coarse quantizer, not a 10k-row literal). */
+  val MaxLiteralCells = 2048
+
   def probeCandidates(queries: DataFrame, lists: DataFrame,
       cents: DataFrame, nprobe: Int, threshold: Double): DataFrame = {
     val spark = lists.sparkSession
-    val cRows = withCnrm(spark, cents)
-      .select(col("cell"), col("centroid"), col("cnrm")).collect()
-    require(cRows.nonEmpty, "probeCandidates: empty centroid table")
-    val cLit = array(cRows.map { r =>
-      struct(lit(r.getInt(0)).as("cell"),
-        array(r.getSeq[Float](1).map(v => lit(v)): _*)
-          .cast("array<float>").as("cent"),
-        lit(r.getDouble(2)).as("cnrm"))
-    }.toIndexedSeq: _*)
     val qn = VecOps.norm(spark, col("qvec"))
-    val scored = transform(cLit, c =>
-      struct((-(VecOps.dot(spark, col("qvec"), c.getField("cent")) /
-        (c.getField("cnrm") * qn))).as("negccs"),
-        c.getField("cell").as("cell")))
-    val probedCells = slice(array_sort(scored), 1, nprobe).getField("cell")
-    queries
-      .select(col("query_id"), col("qvec"), qn.as("qnrm"),
-        explode(probedCells).as("cell"))
+    val nCells = cents.count()
+    require(nCells > 0, "probeCandidates: empty centroid table")
+    val probedQueries =
+      if (nCells <= MaxLiteralCells) {
+        val cRows = withCnrm(spark, cents)
+          .select(col("cell"), col("centroid"), col("cnrm")).collect()
+        val cLit = array(cRows.map { r =>
+          struct(lit(r.getInt(0)).as("cell"),
+            array(r.getSeq[Float](1).map(v => lit(v)): _*)
+              .cast("array<float>").as("cent"),
+            lit(r.getDouble(2)).as("cnrm"))
+        }.toIndexedSeq: _*)
+        val scored = transform(cLit, c =>
+          struct((-(VecOps.dot(spark, col("qvec"), c.getField("cent")) /
+            (c.getField("cnrm") * qn))).as("negccs"),
+            c.getField("cell").as("cell")))
+        val probedCells = slice(array_sort(scored), 1, nprobe).getField("cell")
+        queries
+          .select(col("query_id"), col("qvec"), qn.as("qnrm"),
+            explode(probedCells).as("cell"))
+      } else {
+        // broadcast-join probe ranking (cells > MaxLiteralCells): the
+        // centroid relation broadcasts once, each query scores its
+        // k rows map-side, and the top-nprobe cells fold through the
+        // same narrow struct-sort used by multiProbe — payload
+        // (qvec) re-attaches by query_id afterwards so the ranking
+        // aggregate never shuffles embedding arrays.
+        val cRel = withCnrm(spark, cents)
+          .select(col("cell").as("p_cell"), col("centroid"), col("cnrm"))
+        val top = queries
+          .select(col("query_id"), col("qvec"), qn.as("qnrm"))
+          .crossJoin(broadcast(cRel))
+          .select(col("query_id"), struct(
+              (-(VecOps.dot(spark, col("qvec"), col("centroid")) /
+                (col("cnrm") * col("qnrm")))).as("negccs"),
+              col("p_cell").as("cell")).as("sc"))
+          .groupBy(col("query_id"))
+          .agg(slice(array_sort(collect_list(col("sc"))), 1, nprobe).as("top"))
+          .select(col("query_id"), explode(col("top")).as("t"))
+          .select(col("query_id"), col("t.cell").as("cell"))
+        queries.select(col("query_id"), col("qvec"), qn.as("qnrm"))
+          .join(top, Seq("query_id"))
+          .select(col("query_id"), col("qvec"), col("qnrm"), col("cell"))
+      }
+    probedQueries
       .join(lists, "cell")
       .select(col("query_id"), col("vec_id"),
         (VecOps.dot(spark, col("embedding"), col("qvec")) /
@@ -288,7 +346,7 @@ object AnnIvf {
     * query stream in, verified matches out. */
   def probeCandidatesFromIndex(queries: DataFrame, spark: SparkSession,
       dir: String, nprobe: Int, threshold: Double): DataFrame =
-    probeCandidates(queries, spark.read.parquet(s"$dir/lists"),
+    probeCandidates(queries, liveLists(spark, dir),
       spark.read.parquet(s"$dir/centroids"), nprobe, threshold)
 
   /** Incremental index maintenance: append a batch of new vectors to
@@ -311,6 +369,70 @@ object AnnIvf {
       VecOps.norm(spark, col("embedding")).as("nrm"))
     assign(spark, e, cents)
       .write.mode("append").partitionBy("cell").parquet(s"$dir/lists")
+  }
+
+  /** Index deletion (r14, VERDICT r13 item 3): TOMBSTONES, not list
+    * rewrites — the same discipline the engine's CDC surface settled
+    * on (q_cdc_snapshot_deletes). Deleting by rewriting the
+    * cell-partitioned lists would rewrite whole directories for a
+    * one-row delete; an appended tombstone file is one tiny write,
+    * and every serving path ([[topKFromIndex]],
+    * [[probeCandidatesFromIndex]], [[occupancyAudit]]) anti-joins the
+    * tombstone relation so a deleted vec_id is NEVER returned — across
+    * any append/delete interleave (AnnIvfIndexSpec pins this). The
+    * anti join is vec_id-keyed and the tombstone side is
+    * delete-mass-sized, so AQE broadcasts it until deletes are a
+    * meaningful fraction of the corpus — which is exactly when
+    * [[occupancyAudit]]'s dead-fraction column says to compact
+    * (rewrite the affected cells and clear the tombstones). */
+  def deleteFromIndex(spark: SparkSession, ids: DataFrame, dir: String): Unit =
+    ids.select(col("vec_id")).write.mode("append")
+      .parquet(s"$dir/tombstones")
+
+  /** The tombstone relation, or an empty (vec_id) relation when no
+    * delete has happened yet. */
+  private def tombstonesOf(spark: SparkSession, dir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(path)) spark.read.parquet(path.toString).select(col("vec_id"))
+    else spark.range(0).select(col("id").as("vec_id"))
+  }
+
+  /** Live rows of the persisted lists: the scan (partition pruning
+    * intact — the anti join sits ABOVE it) minus tombstoned ids. */
+  private def liveLists(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lists")
+      .join(tombstonesOf(spark, dir), Seq("vec_id"), "left_anti")
+
+  /** Cell-occupancy skew audit of a persisted index — the retrain /
+    * compaction trigger (r14). One partial-agg pass over the lists
+    * (narrow columns only) left-joined onto the centroid table so
+    * EMPTY cells report too: per cell the live count, tombstoned
+    * count, live share of the corpus, and load_ratio = live / mean
+    * live occupancy. max(load_ratio) drifting up means the frozen
+    * quantizer no longer fits the data distribution (retrain);
+    * dead fraction drifting up means compaction. Bounded output —
+    * k rows at any corpus size. */
+  def occupancyAudit(spark: SparkSession, dir: String): DataFrame = {
+    val status = spark.read.parquet(s"$dir/lists")
+      .select(col("cell"), col("vec_id"))
+      .join(tombstonesOf(spark, dir).withColumn("dead", lit(1)),
+        Seq("vec_id"), "left")
+    val occ = spark.read.parquet(s"$dir/centroids").select(col("cell"))
+      .join(status.groupBy(col("cell")).agg(
+          sum(when(col("dead").isNull, 1L).otherwise(0L)).as("n_live"),
+          sum(when(col("dead").isNotNull, 1L).otherwise(0L)).as("n_dead")),
+        Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_live"), lit(0L)).as("n_live"),
+        coalesce(col("n_dead"), lit(0L)).as("n_dead"))
+    val tot = occ.agg(sum(col("n_live")).as("total"),
+      count(lit(1)).as("n_cells"))
+    occ.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_live"), col("n_dead"),
+        round(col("n_live") / col("total"), 6).as("occ_share"),
+        round(col("n_live") * col("n_cells") / col("total"), 6).as("load_ratio"))
+      .orderBy(col("cell"))
   }
 
   /** ALL-PAIRS approximate near-duplicate retrieval — the IVF

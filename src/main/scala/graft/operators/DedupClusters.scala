@@ -43,7 +43,7 @@ object DedupClusters {
     // corpus, so the loop runs on few partitions — 1 here for the
     // hundreds-of-edges case; at larger graphs raise it to keep
     // partitions ~edgesPerPartition edges each.
-    val p = pairs.cache()
+    val p = graft.CacheScope.shared(pairs)
     val nEdges = p.count()
     val parts = math.max(1, (nEdges / edgesPerPartition).toInt)
     // Union-find consumes undirected pairs directly — no symmetric
@@ -51,9 +51,10 @@ object DedupClusters {
     if (parts == 1)
       return (resolveLocal(spark,
         p.select(col("doc_a").as("src"), col("doc_b").as("dst")).repartition(1)), 0)
-    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().repartition(parts).cache()
+    val edges = graft.CacheScope.shared(
+      p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .distinct().repartition(parts))
     // localCheckpoint (not cache) per round: the next round's plan
     // references the previous labels THREE times, so without lineage
     // truncation the logical plan grows exponentially with rounds and

@@ -711,13 +711,14 @@ object Llm {
     * hot set is empty and output provably unchanged). */
   private def pairIntersections(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = shingled(s, d).cache()
+    val sh = graft.CacheScope.shared(shingled(s, d))
     // n_sh rides through the explode so the pair aggregate can emit
     // na/nb directly (max of a per-doc constant) — two fewer joins
     // than a separate sizes relation.
     val ex = sh.select($"doc_id", size($"shingles").as("n_sh"),
       explode($"shingles").as("sh"))
-    val dfc = ex.groupBy($"sh").agg(count(lit(1)).as("df")).cache()
+    val dfc = graft.CacheScope.shared(
+      ex.groupBy($"sh").agg(count(lit(1)).as("df")))
     val exCapped = ex.join(dfc.filter($"df" <= MaxShingleDf).select($"sh"), "sh")
     val hotPerDoc = ex.join(dfc.filter($"df" > MaxShingleDf).select($"sh"), "sh")
       .groupBy($"doc_id").agg(sort_array(collect_list($"sh")).as("hot_sh"))
@@ -739,14 +740,13 @@ object Llm {
     * and the cluster-resolution query (keeps the pair). */
   private def ngramPairScores(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    pairIntersections(s, d)
+    graft.CacheScope.shared(pairIntersections(s, d)
       .withColumn("jaccard", $"n_int" / ($"na" + $"nb" - $"n_int"))
-      .filter($"jaccard" >= 0.2)
+      .filter($"jaccard" >= 0.2))
       // post-threshold relation is tiny (near-dup mass, ~10^2 rows per
-      // 5k docs); caching it here lets ngram_jaccard and dedup_clusters
+      // 5k docs); the shared cache lets ngram_jaccard and dedup_clusters
       // share one materialization of the whole pair pipeline (identical
       // plan → same cache entry)
-      .cache()
   }
 
   /** MinHash-LSH verified near-dup pairs (jaccard ≥ 0.5), carrying both
@@ -760,7 +760,7 @@ object Llm {
     * the threshold too. */
   private def minhashScored(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = shingled(s, d).cache()
+    val sh = graft.CacheScope.shared(shingled(s, d))
     val sigs = sh
       .select($"doc_id", TextKernels.minhashSig(s, $"shingles").as("sig"))
       .select(
@@ -771,32 +771,31 @@ object Llm {
           col(s"s${4 * b}").cast(StringType), col(s"s${4 * b + 1}").cast(StringType),
           col(s"s${4 * b + 2}").cast(StringType), col(s"s${4 * b + 3}").cast(StringType))): _*))
         .as("band"): _*)
-      // cached: the band self-join otherwise recomputes the 16-way
-      // MinHash signature pass on BOTH sides (2x the kernel cost; the
-      // relation is docs x 4 bands — small at any corpus size that
-      // fits a band join)
-      .cache()
-    val cand = bands.as("a").join(bands.as("b"),
+    // cached (shared): the band self-join otherwise recomputes the
+    // 16-way MinHash signature pass on BOTH sides (2x the kernel cost;
+    // the relation is docs x 4 bands — small at any corpus size that
+    // fits a band join)
+    val bandsC = graft.CacheScope.shared(bands)
+    val cand = bandsC.as("a").join(bandsC.as("b"),
         $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
       .select(($"a.doc_id".as("doc_a") +: $"b.doc_id".as("doc_b") +:
         ((0 until 16).map(i => col(s"a.s$i").as(s"xs$i")) ++
           (0 until 16).map(i => col(s"b.s$i").as(s"ys$i")))): _*)
       .distinct()
-    cand
+    // THE family cache sits here, on the scored-but-unfiltered
+    // relation (VERDICT r8 item 2): q_llm_minhash_pr aggregates it
+    // directly and re-collects it in ScaleProbe, and the verified
+    // (jaccard ≥ 0.5) consumers filter it in-memory — one
+    // materialization of the band join + verify serves the whole
+    // minhash family instead of the ~22 s flat double traversal the
+    // r8 ScaleProbe recorded. Bounded: banded candidates only
+    // (near-dup mass + band collisions), never all-pairs.
+    graft.CacheScope.shared(cand
       .join(sh.select($"doc_id".as("doc_a"), $"shingles".as("sh_a")), "doc_a")
       .join(sh.select($"doc_id".as("doc_b"), $"shingles".as("sh_b")), "doc_b")
       .withColumn("n_int", size(array_intersect($"sh_a", $"sh_b")).cast(DoubleType))
       .withColumn("jaccard",
-        $"n_int" / (size($"sh_a") + size($"sh_b") - $"n_int"))
-      // THE family cache sits here, on the scored-but-unfiltered
-      // relation (VERDICT r8 item 2): q_llm_minhash_pr aggregates it
-      // directly and re-collects it in ScaleProbe, and the verified
-      // (jaccard ≥ 0.5) consumers filter it in-memory — one
-      // materialization of the band join + verify serves the whole
-      // minhash family instead of the ~22 s flat double traversal the
-      // r8 ScaleProbe recorded. Bounded: banded candidates only
-      // (near-dup mass + band collisions), never all-pairs.
-      .cache()
+        $"n_int" / (size($"sh_a") + size($"sh_b") - $"n_int")))
   }
 
   private def minhashVerified(s: SparkSession, d: String): DataFrame = {
@@ -1410,6 +1409,33 @@ object Llm {
     "q_llm_kmeans" -> ((s, d) =>
       graft.operators.KMeans.fit(kmeansPrepared(s, d), KmeansK, KmeansRounds)
         .orderBy(col("vec_id"))),
+
+    // IVF CELL-OCCUPANCY AUDIT (r14, VERDICT r13 item 3): the retrain
+    // trigger as an oracle-checked query — per cell of the trained
+    // quantizer, the occupancy, its share of the corpus, and
+    // load_ratio = occupancy / mean occupancy. max(load_ratio)
+    // drifting up over ingest means the frozen quantizer no longer
+    // fits the data distribution (hot lists stop bounding per-query
+    // probe work) and a retrain is due; the persisted-index twin of
+    // this audit (AnnIvf.occupancyAudit, which additionally splits
+    // live/tombstoned) is spec-pinned to agree with the lists on
+    // disk. Plan: the SAME hash-checked Lloyd fit as q_llm_kmeans,
+    // one k-group partial aggregate, and a 1-row total broadcast —
+    // audit cost is one narrow corpus pass at any scale, output is
+    // k rows.
+    "q_llm_ivf_occupancy" -> ((s, d) => {
+      import s.implicits._
+      val occ = graft.operators.KMeans
+        .fit(kmeansPrepared(s, d), KmeansK, KmeansRounds)
+        .groupBy($"cell").agg(count(lit(1)).as("n_vecs"))
+      val tot = occ.agg(sum($"n_vecs").as("total"),
+        count(lit(1)).as("n_cells"))
+      occ.crossJoin(broadcast(tot))
+        .select($"cell", $"n_vecs",
+          round($"n_vecs" / $"total", 6).as("occ_share"),
+          round($"n_vecs" * $"n_cells" / $"total", 6).as("load_ratio"))
+        .orderBy($"cell")
+    }),
 
     // SemDeDup (r11): CLUSTER-BOUNDED semantic dedup — the third
     // dedup scale path beside the exact block scan and LSH/IVF
@@ -2240,21 +2266,26 @@ object Llm {
        "t AS (SELECT vec_id FROM c ORDER BY round(cs, 6) DESC, vec_id ASC LIMIT 10) " +
        "SELECT COUNT(*) AS n_exact, TRUE AS ok_overlap FROM t"),
     // ANN-serving twin: the full probe-limited serving chain on top of
-    // the shared iterative-fit CTEs — same quantizer (cn2 produced the
-    // final assignment a2), same 6-dp probe ranking with cell
-    // tiebreak, same rounded-θ filter
+    // the shared iterative-fit CTEs — same quantizer (the final-round
+    // centroid CTE cn$KmeansRounds produced the final assignment
+    // a$KmeansRounds; interpolated like the sibling kmeans-family
+    // twins, ADVICE r13: earlier rounds' cn2/a2 CTEs would still
+    // EXIST if KmeansRounds grew, so a hardcoded name would silently
+    // check round-2 artifacts instead of failing loudly), same 6-dp
+    // probe ranking with cell tiebreak, same rounded-θ filter
     "q_llm_ann_serve" ->
       (kmeansOracleWithK(KmeansK) +
        ", qs AS (SELECT vec_id + 1000 AS query_id, v AS qv, nrm AS qnrm FROM en WHERE vec_id < 6)" +
-       ", pr AS (SELECT qs.query_id, qs.qv, qs.qnrm, cn2.cell, " +
-       "round(list_sum(list_transform(list_zip(qs.qv, cn2.centroid), p -> p[1] * p[2])) / " +
-       "(qs.qnrm * cn2.cnrm), 6) AS ccs FROM qs CROSS JOIN cn2)" +
+       s", pr AS (SELECT qs.query_id, qs.qv, qs.qnrm, cn$KmeansRounds.cell, " +
+       s"round(list_sum(list_transform(list_zip(qs.qv, cn$KmeansRounds.centroid), p -> p[1] * p[2])) / " +
+       s"(qs.qnrm * cn$KmeansRounds.cnrm), 6) AS ccs FROM qs CROSS JOIN cn$KmeansRounds)" +
        ", pp AS (SELECT query_id, qv, qnrm, cell FROM (SELECT *, row_number() OVER " +
        "(PARTITION BY query_id ORDER BY ccs DESC, cell ASC) AS rn FROM pr) WHERE rn <= 4)" +
-       ", cand AS (SELECT pp.query_id, a2.vec_id, " +
+       s", cand AS (SELECT pp.query_id, a$KmeansRounds.vec_id, " +
        "round(list_sum(list_transform(list_zip(en.v, pp.qv), p -> p[1] * p[2])) / " +
        "(en.nrm * pp.qnrm), 6) AS cs " +
-       "FROM pp JOIN a2 ON a2.cell = pp.cell JOIN en ON en.vec_id = a2.vec_id) " +
+       s"FROM pp JOIN a$KmeansRounds ON a$KmeansRounds.cell = pp.cell " +
+       s"JOIN en ON en.vec_id = a$KmeansRounds.vec_id) " +
        "SELECT query_id, vec_id, cs FROM cand WHERE cs >= 0.35 " +
        "ORDER BY query_id, vec_id"),
     "q_llm_knn_graph" -> knnGraphOracleSql,
@@ -2279,6 +2310,19 @@ object Llm {
     "q_llm_kmeans" ->
       (kmeansOracleWith +
        s" SELECT vec_id, cell, cs FROM a$KmeansRounds ORDER BY vec_id"),
+    // occupancy-audit twin: per-cell counts over the SAME final-round
+    // assignment CTE, share and load_ratio from integer-exact ratios
+    // (counts over a power-of-10 corpus size terminate well inside
+    // 6 dp, so the round() agrees bit-exactly across engines)
+    "q_llm_ivf_occupancy" ->
+      (kmeansOracleWith +
+       s", occ AS (SELECT cell, COUNT(*) AS n_vecs FROM a$KmeansRounds GROUP BY cell)" +
+       ", tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total, " +
+       "CAST(COUNT(*) AS BIGINT) AS n_cells FROM occ) " +
+       "SELECT cell, n_vecs, " +
+       "round(CAST(n_vecs AS DOUBLE) / total, 6) AS occ_share, " +
+       "round(CAST(n_vecs * n_cells AS DOUBLE) / total, 6) AS load_ratio " +
+       "FROM occ CROSS JOIN tot ORDER BY cell"),
     // semdedup twin: the kmeans CTEs + within-cell pair scoring + the
     // q_geo_groups recursive min-label closure
     "q_llm_semdedup" -> semdedupOracleSql(KmeansK),

@@ -49,9 +49,15 @@ object KnnGraphDuel {
     val (tables, bits) = graft.operators.AnnLsh.autoConfig(n)
     println(s"DUEL x$mult n=$n autoCfg=${tables}x$bits")
     def t(tag: String)(f: => Long): Unit = {
+      // capture elapsed BEFORE the drain (ADVICE r13): the blocking
+      // drain is bookkeeping, and the auto config caches more
+      // relations than pinned 40x5, so charging the drain to the
+      // timed wall would skew the duel asymmetrically — same
+      // discipline as Bench's untimed per-query drain.
       val t0 = System.nanoTime(); val r = f
+      val dt = (System.nanoTime() - t0) / 1e9
       graft.CacheScope.drain(blocking = true)
-      println(f"DUEL x$mult $tag rows=$r t=${(System.nanoTime() - t0) / 1e9}%.1f")
+      println(f"DUEL x$mult $tag rows=$r t=$dt%.1f")
     }
     def pinned(): Long = graft.queries.Llm
       .annKnnGraphCfg(spark, dir, 40, 5, compact = true).count()

@@ -188,9 +188,38 @@ object PlanDump {
       sb.append(s"\n## $name — $why\n\n```\n")
       sb.append(df.queryExecution.executedPlan.toString.take(4000))
       sb.append("\n```\n")
+      graft.CacheScope.drain(blocking = true)
     }
+
+    // Generated coverage table (r14, VERDICT r13 item 1): the SAME
+    // PlanGate.facts pass the regression gate asserts in PlanGateSpec,
+    // here over every declared id at this SF — the full-surface
+    // evidence that no query plans a cartesian, every nested loop is
+    // the allowlisted bounded broadcast, and filters reach the scans.
+    spark.catalog.clearCache()
+    graft.CacheScope.drain(blocking = true)
+    sb.append("\n# Generated plan facts — every declared query (PlanGate pass)\n\n")
+    sb.append("| id | cartesian | bnlj | inmem | shuffles | scans (pushed-data-filter / partition-filter counts) |\n")
+    sb.append("|---|---|---|---|---|---|\n")
+    val ids = graft.SparkEntry.queries.keys.toSeq.sorted
+    var bad = 0
+    ids.foreach { id =>
+      val f = try graft.plans.PlanGate.facts(
+          graft.SparkEntry.queries(id)(spark, sfDir))
+        finally graft.CacheScope.drain(blocking = true)
+      val scans = f.scans.map(s =>
+        s"${s.relation}(${s.dataFilters.size}/${s.partitionFilters.size})")
+        .mkString(", ")
+      sb.append(s"| $id | ${f.cartesian} | ${f.bnlj} | ${f.inMemoryScans} " +
+        s"| ${f.shuffles} | $scans |\n")
+      bad += graft.plans.PlanGate.invariantViolations(id, f).size
+    }
+    sb.append(s"\nIds audited: ${ids.size}; invariant violations: $bad. " +
+      "The committed sf0.001 baseline these facts are asserted against " +
+      "lives at src/test/resources/plan_baseline.tsv (regenerate with " +
+      "GRAFT_REGEN_PLAN_BASELINE=1 sbt 'testOnly graft.PlanGateSpec').\n")
     Files.writeString(Paths.get(out), sb.toString)
-    println(s"PLANDUMP wrote $out")
+    println(s"PLANDUMP wrote $out (${ids.size} ids, $bad violations)")
     spark.stop()
   }
 }

@@ -56,23 +56,104 @@ class AnnIvfIndexSpec extends AnyFunSuite {
     assert(fromIdx === inMem)
   }
 
-  test("partition pruning: the probed scan reads nprobe cell directories only") {
+  test("partition pruning: the probed scan's input files are EXACTLY the nprobe cell dirs") {
     val df = AnnIvf.topKFromIndex(spark, indexDir, query, 10, Nprobe)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters:") && plan.contains("cell"),
       s"no partition pruning in:\n${plan.take(2000)}")
-    // the probed lists hold strictly fewer rows than the corpus, and
-    // exactly the rows of the probed cells (recomputed independently)
-    val lists = spark.read.parquet(s"$indexDir/lists")
-    val total = lists.count()
-    val probedCells = lists.groupBy($"cell").count()
-      .orderBy($"cell").collect().map(_.getInt(0)).toSet
-    assert(probedCells.size === Cells) // every cell wrote a directory
+    // the input-file assertion (ADVICE r13): resolve the lists scan
+    // from the executed plan and list its files THROUGH its own
+    // partition filters — the set of cell directories read must equal
+    // the independently derived probe ranking, not merely be smaller
+    // than the corpus
+    val expected = AnnIvf.probeRank(spark, indexDir, query, Nprobe).toSet
+    val listScan = graft.plans.PlanGate.allNodes(df.queryExecution.executedPlan)
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .find(_.relation.location.rootPaths.exists(_.toString.endsWith("/lists")))
+      .getOrElse(fail("no lists scan in the plan"))
+    val readDirs = listScan.relation.location
+      .listFiles(listScan.partitionFilters, listScan.dataFilters)
+      .flatMap(_.files.map(_.getPath.getParent.getName)).toSet
+    val readCells = readDirs.map(d => d.stripPrefix("cell=").toInt)
+    assert(readCells === expected,
+      s"scan reads cells $readCells, probe ranking says $expected")
+    assert(readCells.size === Nprobe && readCells.size < Cells)
+    // and the probed lists hold strictly fewer rows than the corpus
+    val total = spark.read.parquet(s"$indexDir/lists").count()
     val probedRows = AnnIvf.topKFromIndex(spark, indexDir, query,
       Int.MaxValue - 1, Nprobe).count()
     assert(probedRows < total,
       s"probed scan read the whole corpus ($probedRows of $total)")
+  }
+
+  test("deleteFromIndex: tombstoned ids never serve, survivors byte-identical, across interleaves") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfdel").toString
+    val emb = Tables.embeddings(spark, d).select($"vec_id", $"embedding")
+    AnnIvf.writeIndex(spark, emb, dir, Cells)
+    // top-12 before any delete; delete ranks #2 and #5 of it
+    val before = AnnIvf.topKFromIndex(spark, dir, query, 12, Nprobe).collect().toSeq
+    val dead = Seq(before(1).getLong(0), before(4).getLong(0))
+    AnnIvf.deleteFromIndex(spark, dead.toDF("vec_id"), dir)
+    // single-query serving: the deleted ids are gone and the top-10 is
+    // exactly the old top-12 minus them (scores untouched — deletion
+    // filters, never rescores)
+    val after = AnnIvf.topKFromIndex(spark, dir, query, 10, Nprobe).collect().toSeq
+    assert(after.forall(r => !dead.contains(r.getLong(0))))
+    assert(after.map(r => (r.getLong(0), r.getDouble(2))) ===
+      before.filterNot(r => dead.contains(r.getLong(0))).take(10)
+        .map(r => (r.getLong(0), r.getDouble(2))))
+    // batch/stream serving path honors the tombstones too
+    val served = AnnIvf.probeCandidatesFromIndex(
+      Seq((1L, query.toSeq)).toDF("query_id", "qvec")
+        .select($"query_id", $"qvec".cast("array<float>").as("qvec")),
+      spark, dir, Nprobe, 0.0).collect()
+    assert(served.nonEmpty)
+    assert(served.forall(r => !dead.contains(r.getLong(1))))
+    // interleave: append an ε-copy of the deleted id's vector under a
+    // new id, then delete one MORE id — both deletes hold, the append
+    // serves
+    val dims = emb.select(size($"embedding")).head().getInt(0)
+    val copies = emb.filter($"vec_id" === dead.head).select(
+      ($"vec_id" + 20000000L).as("vec_id"), $"embedding")
+    AnnIvf.appendToIndex(spark, copies, dir)
+    val dead2 = before(6).getLong(0)
+    AnnIvf.deleteFromIndex(spark, Seq(dead2).toDF("vec_id"), dir)
+    val afterAll = AnnIvf.topKFromIndex(spark, dir, query, 12, Nprobe).collect().toSeq
+    val goneAll = dead :+ dead2
+    assert(afterAll.forall(r => !goneAll.contains(r.getLong(0))),
+      "a tombstoned id resurfaced after an append/delete interleave")
+    assert(afterAll.exists(_.getLong(0) === dead.head + 20000000L),
+      "the appended twin of a deleted vector must serve under its new id")
+    assert(dims > 0)
+  }
+
+  test("occupancyAudit agrees with the lists on disk and sees tombstones") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfocc").toString
+    val emb = Tables.embeddings(spark, d).select($"vec_id", $"embedding")
+    AnnIvf.writeIndex(spark, emb, dir, Cells)
+    val n = emb.count()
+    val audit0 = AnnIvf.occupancyAudit(spark, dir).collect()
+    assert(audit0.length === Cells) // every cell reports (even empty ones)
+    assert(audit0.map(_.getLong(1)).sum === n)
+    assert(audit0.map(_.getLong(2)).sum === 0L)
+    // load_ratio means to 1 (ratios over the same total)
+    val meanLr = audit0.map(_.getDouble(4)).sum / Cells
+    assert(math.abs(meanLr - 1.0) < 1e-4)
+    // delete three ids: dead counts move, live total drops by exactly 3
+    AnnIvf.deleteFromIndex(spark, Seq(0L, 1L, 2L).toDF("vec_id"), dir)
+    val audit1 = AnnIvf.occupancyAudit(spark, dir).collect()
+    assert(audit1.map(_.getLong(1)).sum === n - 3)
+    assert(audit1.map(_.getLong(2)).sum === 3L)
+    // per-cell live counts agree with an independent recount
+    val recount = spark.read.parquet(s"$dir/lists")
+      .filter(!$"vec_id".isin(0L, 1L, 2L))
+      .groupBy($"cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    audit1.foreach { r =>
+      assert(r.getLong(1) === recount.getOrElse(r.getInt(0), 0L),
+        s"cell ${r.getInt(0)} live count drifted")
+    }
   }
 
   test("appendToIndex: frozen quantizer — old results byte-identical, new vectors retrievable") {
