@@ -115,6 +115,33 @@ object Llm {
     * at 100× scale. The error names the handoff
     * (q_llm_embed_neardup_ann, recall-pinned in AnnHandoffSpec). */
   val ExactPairEnvelope = 1000000L
+
+  /** Dispatch envelope for SINGLE-QUERY top-k retrieval
+    * ([[topKAuto]]) — a LINEAR scan, so deliberately NOT the pair
+    * envelope above (r14, VERDICT r13 item 4: q_llm_knn_topk_auto
+    * previously reused [[ExactPairEnvelope]], an O(n²) budget, for an
+    * O(n) decision). Set from measurement, not inheritance: the
+    * order-controlled TopKDuel at n=1M (x500 clone scale, idle VM,
+    * cells=1000/nprobe=500, quantizer pre-trained and both corpora
+    * cached) measured exact 2.42 s/query vs IVF 5.19 s/query (overlap
+    * 0.975) — the same ~2× exact advantage the r13 probe measured at
+    * n=20k (0.249 vs 0.632) and n=60k (0.397 vs 0.682). The ratio is
+    * scale-FLAT across a 50× span of n because, in memory, both paths
+    * scan every cached
+    * row (the cell filter only skips the dot product) and the IVF side
+    * adds a probe-ranking job + two broadcasts; there is NO local
+    * crossover to find — the loss is structural to the in-memory form,
+    * not a small-n artifact. The envelope therefore sits where the
+    * exact scan stops being OPERATIONALLY viable rather than at a wall
+    * crossover: at 10M×64-float vectors a single query's scan is
+    * ~25 s/query (linear fit through both measured points) and the
+    * corpus tops the single-node cache budget — past that the
+    * probe-limited form is the only shape that bounds per-query work,
+    * and its real win is the persisted index's PARTITION PRUNING
+    * (AnnIvf.topKFromIndex reads only nprobe cell directories), not
+    * the in-memory dot cut. BASELINE.md §r14 records the duel table. */
+  val TopKScanEnvelope = 10000000L
+
   def requireExactPairBudget(n: Long, envelope: Long = ExactPairEnvelope): Unit =
     require(n <= envelope,
       f"q_llm_embed_neardup: $n input vectors → ~${n * (n - 1) / 2}%,d exact " +
@@ -516,9 +543,17 @@ object Llm {
     * cluster-regime, same family as the PQ graph's: past ~100M rows
     * a full scan per ad-hoc query stops being free, and the index
     * bounds per-query work to nprobe hash-partitioned lists while
-    * the exact scan grows with n unbounded. */
+    * the exact scan grows with n unbounded.
+    *
+    * r14 (VERDICT r13 item 4): the envelope is now the RETRIEVAL
+    * envelope [[TopKScanEnvelope]] (10M), measured by TopKDuel — the
+    * exact scan's ~2.1× per-query advantage is scale-flat through
+    * n=1M (no local crossover exists; see the constant's scaladoc),
+    * so the dispatcher keeps the measured winner through the whole
+    * decade the 1M pair envelope would have surrendered to the IVF
+    * loss. */
   def topKAuto(s: SparkSession, d: String,
-      envelope: Long = ExactPairEnvelope): DataFrame = {
+      envelope: Long = TopKScanEnvelope): DataFrame = {
     val n = embCount(s, d)
     if (n <= envelope) exactTopK(s, d)
     else {

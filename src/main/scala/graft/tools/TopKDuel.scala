@@ -34,6 +34,17 @@ import graft.functions.VecOps
   * Usage: runMain graft.tools.TopKDuel [mult ...]   (default 500 1500)
   *   base corpus is 2000 vectors, so 500 → 1M (the current envelope
   *   boundary), 1500 → 3M, 3000 → 6M.
+  *
+  * MEASURED (r14, idle VM, recorded in BASELINE.md §r14): x500 (n=1M,
+  * 1000c/500p, train 1375.6 s amortized) exact 2.417 s/query
+  * mean (0.704–5.066) vs IVF 5.194 s/query (0.943–11.091), overlap
+  * 0.975 — the same ~2× exact advantage the r13 probe measured at
+  * n=20k and 60k. The ratio is scale-flat because in memory both sides scan
+  * every cached row (the cell filter skips only the dot), so no local
+  * crossover exists at any n; the x1500/x3000 points were cut (train
+  * alone is ~70/150 min for a result the flat ratio already
+  * predicts). Outcome: Llm.TopKScanEnvelope = 10M, set by the
+  * operational scan bound, not a wall crossover.
   */
 object TopKDuel {
   def main(args: Array[String]): Unit = {
