@@ -285,13 +285,14 @@ object AnnIvf {
   val MaxLiteralCells = 2048
 
   def probeCandidates(queries: DataFrame, lists: DataFrame,
-      cents: DataFrame, nprobe: Int, threshold: Double): DataFrame = {
+      cents: DataFrame, nprobe: Int, threshold: Double,
+      maxLiteralCells: Int = MaxLiteralCells): DataFrame = {
     val spark = lists.sparkSession
     val qn = VecOps.norm(spark, col("qvec"))
     val nCells = cents.count()
     require(nCells > 0, "probeCandidates: empty centroid table")
     val probedQueries =
-      if (nCells <= MaxLiteralCells) {
+      if (nCells <= maxLiteralCells) {
         val cRows = withCnrm(spark, cents)
           .select(col("cell"), col("centroid"), col("cnrm")).collect()
         val cLit = array(cRows.map { r =>
@@ -345,9 +346,11 @@ object AnnIvf {
     * ([[writeIndex]]): the full online-serving shape — index on disk,
     * query stream in, verified matches out. */
   def probeCandidatesFromIndex(queries: DataFrame, spark: SparkSession,
-      dir: String, nprobe: Int, threshold: Double): DataFrame =
+      dir: String, nprobe: Int, threshold: Double,
+      maxLiteralCells: Int = MaxLiteralCells): DataFrame =
     probeCandidates(queries, liveLists(spark, dir),
-      spark.read.parquet(s"$dir/centroids"), nprobe, threshold)
+      spark.read.parquet(s"$dir/centroids"), nprobe, threshold,
+      maxLiteralCells)
 
   /** Incremental index maintenance: append a batch of new vectors to
     * a persisted index WITHOUT retraining — assign each new vector to

@@ -163,6 +163,7 @@ object PlanGate {
     "q_llm_sample_strat" -> "per-stratum rate relation broadcast (bounded)",
     "q_llm_semdedup" -> "k-row centroid broadcast (kmeans family)",
     "q_llm_semdedup_auto" -> "k-row centroid broadcast (kmeans family)",
+    "q_llm_semdedup_balanced" -> "k-row centroid broadcast (kmeans family)",
     "q_llm_source_overlap" -> "25-row source-pair domain",
     "q_llm_source_similarity" -> "source-pair domain broadcast (bounded)",
     "q_llm_source_topterms" -> "1-row doc-count broadcast (idf)",

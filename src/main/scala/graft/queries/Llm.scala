@@ -414,11 +414,57 @@ object Llm {
     * q_llm_semdedup — the AutoConfigSpec invariance pin; at sf0.01
     * (n=500, autoK=2) it is oracle-checked hash-exact via
     * q_llm_semdedup_auto's k=2 DuckDB twin. */
-  def semdedupAuto(s: SparkSession, d: String): DataFrame = {
-    val k = autoK(embCount(s, d))
+  def semdedupAuto(s: SparkSession, d: String,
+      envelope: Long = SemdedupCellGrowthEnvelope): DataFrame = {
+    val n = embCount(s, d)
+    if (n <= envelope) semdedupWithK(s, d, autoK(n))
+    else semdedupBalanced(s, d)
+  }
+
+  /** k-growth envelope for the SemDeDup auto rule (r14): the x100
+    * sweep priced the n/256 rule's corpus-wide n·k assignment pass at
+    * n²/256 dot products — it crosses the LINEAR within-cell pair
+    * term (n·256) at n≈65k and dominates past ~1M vectors (10M ⇒
+    * 3.9·10¹¹ dots in assignment alone). Inside the envelope
+    * k=⌈n/256⌉ stays the declared oracle semantics (every hash-checked
+    * scale sits here, and the rule is at most ~4× off work-optimal up
+    * to 1M); past it [[semdedupAuto]] switches to the BALANCED rule
+    * [[autoKBalanced]] — still the exact argmax assignment and exact
+    * within-cell pairs, only the k schedule changes. (A two-level
+    * approximate assignment was built and REFUTED first: on this
+    * corpus coarse routing misassigns 42% of vectors at nprobeSuper=2
+    * and the dedup kept set — a transitive-closure function of the
+    * pair graph — retains only 34–80% overlap across probe widths.
+    * AssignDuel/BASELINE §r14 carry the curve; exact-k beats
+    * approximate-routing here because changing k is a CONFIG choice
+    * while misrouting silently changes the answer.) */
+  val SemdedupCellGrowthEnvelope = 1000000L
+
+  /** BALANCED k-growth rule (r14): k = ⌈√(n/2)⌉ minimizes total work
+    * n·k (assignment) + n²/2k (within-cell pairs) — both terms land
+    * at n·√(n/2), i.e. ~n^1.5 overall, vs the n/256 rule's n²/256.
+    * 3× cheaper at 1M vectors, 9× at 10M, ~90× at 1B — and cells of
+    * √(2n) rows mean MORE candidate pairs than n/256's 256-row cells
+    * at scale, so past the crossover the balanced schedule is
+    * strictly higher-recall as well as cheaper. */
+  def autoKBalanced(n: Long): Int =
+    math.max(1L, math.ceil(math.sqrt(n / 2.0)).toLong).toInt
+
+  /** SemDeDup at the balanced-k schedule — the relation
+    * [[semdedupAuto]] dispatches to past
+    * [[SemdedupCellGrowthEnvelope]], declared as its own id so the
+    * scale path is driver-visible at every SF (the
+    * q_llm_embed_neardup_ann precedent) — and, because the schedule
+    * changes only the CONFIG (k) while the chain stays the exact
+    * md5-seeded fit + argmax + within-cell pairs + closure,
+    * oracle-checked hash-exact like its siblings (k=16 at the sf0.01
+    * corpus). */
+  def semdedupBalanced(s: SparkSession, d: String): DataFrame =
+    semdedupWithK(s, d, autoKBalanced(embCount(s, d)))
+
+  private def semdedupWithK(s: SparkSession, d: String, k: Int): DataFrame =
     semdedupFrom(s, d, graft.operators.KMeans.fitAllSampled(
       kmeansPrepared(s, d), k, KmeansRounds, autoTrainCap(k))._2)
-  }
 
   /** Footer row count of the embeddings table (driver-side metadata
     * read, memoized — no job at query-construction time). */
@@ -652,6 +698,15 @@ object Llm {
     * the pinned (k=8) and auto (k = autoK(sf0.01 n) = 2) oracle
     * entries so the two spellings cannot drift. */
   private def semdedupOracleSql(k: Int): String =
+    semdedupOracleCtes(k) +
+    s" SELECT a.vec_id, a.cell, COALESCE(l.canonical, a.vec_id) AS rep, " +
+    "(COALESCE(l.canonical, a.vec_id) = a.vec_id) AS kept " +
+    s"FROM a$KmeansRounds a LEFT JOIN lab l ON a.vec_id = l.vec_id ORDER BY a.vec_id"
+
+  /** The CTE chain of [[semdedupOracleSql]] without the final SELECT
+    * (split r14 so verdict-style consumers can fold the same chain to
+    * a count without re-spelling it). */
+  private def semdedupOracleCtes(k: Int): String =
     kmeansOracleWithK(k) + ", " +
     s"pe AS (SELECT a$KmeansRounds.vec_id, a$KmeansRounds.cell, en.v, en.nrm " +
     s"FROM a$KmeansRounds JOIN en USING (vec_id)), " +
@@ -664,10 +719,7 @@ object Llm {
     "r AS (SELECT src, dst FROM ed " +
     "UNION SELECT r.src, ed.dst FROM r JOIN ed ON r.dst = ed.src), " +
     "reach AS (SELECT src AS vec_id, dst FROM r UNION SELECT src, src FROM ed), " +
-    "lab AS (SELECT vec_id, MIN(dst) AS canonical FROM reach GROUP BY vec_id) " +
-    s"SELECT a.vec_id, a.cell, COALESCE(l.canonical, a.vec_id) AS rep, " +
-    "(COALESCE(l.canonical, a.vec_id) = a.vec_id) AS kept " +
-    s"FROM a$KmeansRounds a LEFT JOIN lab l ON a.vec_id = l.vec_id ORDER BY a.vec_id"
+    "lab AS (SELECT vec_id, MIN(dst) AS canonical FROM reach GROUP BY vec_id)"
 
   private def kmeansOracleWithK(k: Int): String = {
     def assignCte(cn: String, out: String): String =
@@ -1502,6 +1554,16 @@ object Llm {
     // pair work vs the pinned query's 2.38× at x10): BASELINE.md §r12.
     "q_llm_semdedup_auto" -> ((s, d) =>
       semdedupAuto(s, d).orderBy(col("vec_id"))),
+
+    // BALANCED-k SemDeDup (r14): the schedule semdedupAuto dispatches
+    // to past the k-growth envelope — k = ⌈√(n/2)⌉ balances the
+    // assignment (n·k) and within-cell pair (n²/2k) terms at ~n^1.5
+    // total where the n/256 rule goes n²/256. The chain is UNCHANGED
+    // (exact md5-seeded fit, exact argmax, exact pairs, closure), so
+    // unlike an approximate-assignment handoff this scale path is
+    // itself oracle-checked hash-exact (k=16 twin at sf0.01).
+    "q_llm_semdedup_balanced" -> ((s, d) =>
+      semdedupBalanced(s, d).orderBy(col("vec_id"))),
 
     // CLUSTER MEDOIDS (r11, curation on top of the trained quantizer):
     // per-cell representative selection — the vector maximizing the
@@ -2366,6 +2428,10 @@ object Llm {
     // footer; the train-sample cap ≥ n here, so the sampled fit IS the
     // full fit and the k=2 recursive twin is exact)
     "q_llm_semdedup_auto" -> semdedupOracleSql(2),
+    // balanced-k twin (r14): the same shared recursive chain at
+    // k = autoKBalanced(500) = 16 — the scale schedule hash-checked
+    // end to end, fit included
+    "q_llm_semdedup_balanced" -> semdedupOracleSql(16),
     // medoid twin: kmeans CTEs + both-orientation within-cell cosine
     // sums (DECIMAL-exact over the 6-dp-rounded terms, the update-CTE
     // discipline) + per-cell argmax; singletons re-enter via the LEFT

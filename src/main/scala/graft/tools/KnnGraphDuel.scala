@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   * the threshold.
   *
   * Usage: runMain graft.tools.KnnGraphDuel [mult]   (default 10)
+  *   GRAFT_DUEL_ONLY=auto|pinned runs a single config (r14: the x100
+  *   graph row wants the AUTO config alone — the pinned 40×5 wall at
+  *   200k vectors is ~hours by the r13 x30 extrapolation, and the
+  *   dispatch question at that size is already settled by the r13
+  *   order-controlled pairs; the x100 run measures the SCALE PATH,
+  *   not the duel)
+  *   GRAFT_DUEL_REPS=n samples each selected config n times (default
+  *   2, the P A A P protocol when both run)
   */
 object KnnGraphDuel {
   def main(args: Array[String]): Unit = {
@@ -63,10 +71,15 @@ object KnnGraphDuel {
       .annKnnGraphCfg(spark, dir, 40, 5, compact = true).count()
     def auto(): Long = graft.queries.Llm
       .annKnnGraphCfg(spark, dir, tables, bits, compact = true).count()
-    t("pinned40x5 #1")(pinned())
-    t(s"auto${tables}x$bits #1")(auto())
-    t(s"auto${tables}x$bits #2")(auto())
-    t("pinned40x5 #2")(pinned())
+    val only = sys.env.get("GRAFT_DUEL_ONLY")
+    val reps = sys.env.get("GRAFT_DUEL_REPS").map(_.toInt).getOrElse(2)
+    val runPinned = only.forall(_ == "pinned")
+    val runAuto = only.forall(_ == "auto")
+    // P A A P when both run (order/warmth effects land in the spread);
+    // plain repetition when a single config is selected
+    if (runPinned) t("pinned40x5 #1")(pinned())
+    if (runAuto) (1 to reps).foreach(i => t(s"auto${tables}x$bits #$i")(auto()))
+    if (runPinned) (2 to reps).foreach(i => t(s"pinned40x5 #$i")(pinned()))
     spark.stop()
   }
 }

@@ -68,4 +68,47 @@ class AnnStreamServeSpec extends AnyFunSuite {
       assert(stream.contains((qid, qid - 1000L, 1.0)),
         s"query $qid missing its self-match at cos 1.0")
   }
+
+  // r14 (ADVICE r13 follow-through): the >MaxLiteralCells fallback —
+  // broadcast centroid join + per-query top-nprobe aggregate — was
+  // shipped for autoTopKConfig scales (~10k cells at 100M rows) where
+  // the literal expression tree would blow analyzer/codegen limits,
+  // but nothing at test scale can cross the 2048-cell ceiling
+  // naturally. Force the branch via the overridable ceiling and pin
+  // BOTH claims the scaladoc makes:
+  test("broadcast-fallback probe ranking == literal-ship ranking") {
+    val q = queryRows.toDF("query_id", "qvec")
+    def rows(maxLit: Int) =
+      AnnIvf.probeCandidatesFromIndex(q, spark, indexDir, Nprobe, Theta,
+          maxLiteralCells = maxLit)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+    val literal = rows(Int.MaxValue)
+    val fallback = rows(1) // every cell count exceeds 1 → broadcast path
+    assert(literal.nonEmpty && literal == fallback,
+      "the two probe-ranking branches must emit the identical match set")
+  }
+
+  test("broadcast-fallback branch is batch-only: append streaming rejects it") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Array[Float])]
+    // the per-query top-nprobe aggregate has no watermark, so append
+    // mode must refuse at analysis — the declared fail-loud boundary
+    // (a streaming index past the ceiling wants a hierarchical coarse
+    // quantizer, not a silent unbounded-state aggregate)
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      AnnIvf.probeCandidatesFromIndex(
+          in.toDF.toDF("query_id", "qvec"), spark, indexDir, Nprobe, Theta,
+          maxLiteralCells = 1)
+        .writeStream.format("memory").queryName("ann_serve_fallback")
+        .outputMode("append").start()
+    }
+    // the refusal can surface as the append-mode-aggregate check or
+    // the stream-stream-join-after-aggregation check depending on
+    // which unsupported-operation rule fires first — either one is
+    // the analysis-time rejection the scaladoc declares
+    val m = ex.getMessage.toLowerCase
+    assert(m.contains("append") || m.contains("stream"),
+      s"expected an unsupported-streaming-operation refusal, got: ${ex.getMessage.take(200)}")
+  }
 }
