@@ -142,6 +142,21 @@ object Llm {
     * the in-memory dot cut. BASELINE.md §r14 records the duel table. */
   val TopKScanEnvelope = 10000000L
 
+  /** Pair budget for the PINNED-k semdedup oracle anchor (r14): its
+    * within-cell pair work is n²/2k, so the n at which it spends the
+    * exact scan's envelope budget (E²/2 pair evals) is E·√k —
+    * ~2.83M rows at k=8. Same refusal discipline as
+    * [[requireExactPairBudget]], naming the dispatching schedules. */
+  def requirePinnedSemdedupBudget(n: Long): Unit = {
+    val cap = (ExactPairEnvelope * math.sqrt(KmeansK.toDouble)).toLong
+    require(n <= cap,
+      s"q_llm_semdedup: $n rows at the pinned k=$KmeansK quantizer is " +
+      f"~${n.toDouble * n / (2 * KmeansK)}%.2g within-cell pair evaluations " +
+      s"(n²/2k), past the $cap-row pinned-config budget; the pinned form " +
+      "is the fixed oracle anchor — use q_llm_semdedup_auto (schedule " +
+      "dispatch) or q_llm_semdedup_balanced (k=⌈√(n/2)⌉, ~n^1.5 total work)")
+  }
+
   def requireExactPairBudget(n: Long, envelope: Long = ExactPairEnvelope): Unit =
     require(n <= envelope,
       f"q_llm_embed_neardup: $n input vectors → ~${n * (n - 1) / 2}%,d exact " +
@@ -1538,10 +1553,19 @@ object Llm {
     // with the corpus so cells stay bounded and the within-cell
     // quadratic never bites; the whole chain is oracle-checked
     // hash-exact INCLUDING the clustering and the recursive closure.
-    "q_llm_semdedup" -> ((s, d) =>
+    "q_llm_semdedup" -> ((s, d) => {
+      // fail-loud pinned-config budget (r14): at the FIXED oracle
+      // k=8 the within-cell pair work is n²/2k — the exact-pair
+      // quadratic family, measured 661.6 s at 200k rows (x100 sweep)
+      // where the dispatching schedules run 21–57 s. The pinned form
+      // exists as the hash-checked oracle anchor; past the budget the
+      // refusal names the scale forms, the same discipline as
+      // requireExactPairBudget.
+      requirePinnedSemdedupBudget(embCount(s, d))
       semdedupFrom(s, d,
         graft.operators.KMeans.fit(kmeansPrepared(s, d), KmeansK, KmeansRounds))
-        .orderBy(col("vec_id"))),
+        .orderBy(col("vec_id"))
+    }),
 
     // SCALE-ADAPTIVE SemDeDup (r12): the grow-k rule EXECUTABLE —
     // k = ⌈n/256⌉ from the parquet footer count, quantizer trained on

@@ -36,6 +36,16 @@ class SemdedupBalancedSpec extends AnyFunSuite {
     assert(r10m > r1m)
   }
 
+  test("the pinned oracle anchor refuses loudly past its n²/2k budget, naming the handoffs") {
+    graft.queries.Llm.requirePinnedSemdedupBudget(2828427L) // E·√8, inside
+    val ex = intercept[IllegalArgumentException] {
+      graft.queries.Llm.requirePinnedSemdedupBudget(2828429L)
+    }
+    assert(ex.getMessage.contains("q_llm_semdedup_balanced") &&
+      ex.getMessage.contains("q_llm_semdedup_auto"),
+      s"refusal must name the dispatching schedules: ${ex.getMessage}")
+  }
+
   test("dispatch identity: semdedupAuto past the envelope IS semdedupBalanced") {
     val d = "/root/testdata/sf0.001"
     val viaAuto = graft.queries.Llm.semdedupAuto(spark, d, envelope = 0L)
