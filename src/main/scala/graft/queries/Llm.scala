@@ -147,14 +147,16 @@ object Llm {
     * exact scan's envelope budget (E²/2 pair evals) is E·√k —
     * ~2.83M rows at k=8. Same refusal discipline as
     * [[requireExactPairBudget]], naming the dispatching schedules. */
-  def requirePinnedSemdedupBudget(n: Long): Unit = {
+  def requirePinnedSemdedupBudget(n: Long, who: String = "q_llm_semdedup"): Unit = {
     val cap = (ExactPairEnvelope * math.sqrt(KmeansK.toDouble)).toLong
     require(n <= cap,
-      s"q_llm_semdedup: $n rows at the pinned k=$KmeansK quantizer is " +
+      s"$who: $n rows at the pinned k=$KmeansK quantizer is " +
       f"~${n.toDouble * n / (2 * KmeansK)}%.2g within-cell pair evaluations " +
       s"(n²/2k), past the $cap-row pinned-config budget; the pinned form " +
       "is the fixed oracle anchor — use q_llm_semdedup_auto (schedule " +
-      "dispatch) or q_llm_semdedup_balanced (k=⌈√(n/2)⌉, ~n^1.5 total work)")
+      "dispatch) or q_llm_semdedup_balanced (k=⌈√(n/2)⌉, ~n^1.5 total " +
+      "work) for dedup, or re-derive this curation query's cells from " +
+      "the grow-k fit")
   }
 
   def requireExactPairBudget(n: Long, envelope: Long = ExactPairEnvelope): Unit =
@@ -1603,6 +1605,10 @@ object Llm {
     // cell reports exactly one row at any scale.
     "q_llm_cluster_medoids" -> ((s, d) => {
       import s.implicits._
+      // same pinned-config pair budget as q_llm_semdedup (r14): the
+      // within-cell sum-of-cosines self-join is the identical n²/2k
+      // candidate volume at the fixed oracle k
+      requirePinnedSemdedupBudget(embCount(s, d), "q_llm_cluster_medoids")
       val e = kmeansPrepared(s, d)
       // eager: consumed by the pair self-join (both sides), the
       // cell-size agg, and the final join — all concurrent scan stages
