@@ -386,11 +386,73 @@ object AnnIvf {
     * anti join is vec_id-keyed and the tombstone side is
     * delete-mass-sized, so AQE broadcasts it until deletes are a
     * meaningful fraction of the corpus — which is exactly when
-    * [[occupancyAudit]]'s dead-fraction column says to compact
-    * (rewrite the affected cells and clear the tombstones). */
+    * [[occupancyAudit]]'s dead-fraction column says to run
+    * [[compactIndex]] (rewrites the affected cells, clears the
+    * tombstones). */
   def deleteFromIndex(spark: SparkSession, ids: DataFrame, dir: String): Unit =
     ids.select(col("vec_id")).write.mode("append")
       .parquet(s"$dir/tombstones")
+
+  /** Index COMPACTION (r15, VERDICT r14 item 1): execute the rewrite
+    * [[occupancyAudit]]'s dead-fraction column prescribes. Rewrites
+    * EXACTLY the cells the tombstone relation touches — live rows of
+    * each affected cell are staged to a sibling directory with the
+    * same cell partitioning, then swapped in with filesystem renames —
+    * and clears `tombstones/`, so the serving anti-join goes back to
+    * joining an empty relation instead of a forever-growing one.
+    *
+    * Guarantees (AnnIvfIndexSpec pins all four):
+    *   - serving is IDENTICAL before and after: every serving path
+    *     already anti-joins the tombstones, and compaction removes
+    *     precisely the rows that anti-join was hiding — same top-k,
+    *     same order, same cosines;
+    *   - untouched cells' files are byte-identical: the stage-and-
+    *     rename only ever touches `cell=X` directories that actually
+    *     hold a tombstoned row (never a full-index rewrite — the
+    *     whole point of cell-partitioned lists is that maintenance IO
+    *     is proportional to the affected cells);
+    *   - a cell whose rows were ALL deleted loses its directory
+    *     (zero live rows stage nothing); [[occupancyAudit]] still
+    *     reports it — the audit left-joins from the centroid table —
+    *     as 0 live / 0 dead;
+    *   - post-compact [[occupancyAudit]] shows n_dead = 0 everywhere.
+    *
+    * The affected-cell list is a bounded driver-side collect — at
+    * most `cells` rows, the same k-row discipline as the centroid
+    * ships (Pipeline/SemanticDedup model broadcasts). The quantizer is
+    * untouched: compaction moves rows it already placed, so no cell
+    * geometry, centroid, or assignment changes. */
+  def compactIndex(spark: SparkSession, dir: String): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = tombPath.getFileSystem(hconf)
+    if (!fs.exists(tombPath)) return // nothing to compact
+    val tombs = spark.read.parquet(tombPath.toString).select(col("vec_id"))
+    val lists = spark.read.parquet(s"$dir/lists")
+    // bounded collect: ≤ cells rows (distinct partition values)
+    val affected = lists.join(tombs, Seq("vec_id"), "left_semi")
+      .select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (affected.nonEmpty) {
+      // stage the affected cells' LIVE rows; the cell isin predicate
+      // prunes the scan to exactly those directories (the
+      // topKFromIndex pruning path), so compaction reads only what it
+      // rewrites
+      val staged = s"$dir/lists_compacting"
+      lists.filter(col("cell").isin(affected: _*))
+        .join(tombs, Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").partitionBy("cell").parquet(staged)
+      affected.foreach { c =>
+        val oldCell = new org.apache.hadoop.fs.Path(s"$dir/lists/cell=$c")
+        val newCell = new org.apache.hadoop.fs.Path(s"$staged/cell=$c")
+        fs.delete(oldCell, true)
+        // a fully-dead cell stages no directory: deletion IS its rewrite
+        if (fs.exists(newCell)) fs.rename(newCell, oldCell)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+    }
+    fs.delete(tombPath, true)
+  }
 
   /** The tombstone relation, or an empty (vec_id) relation when no
     * delete has happened yet. */
@@ -414,8 +476,8 @@ object AnnIvf {
     * count, live share of the corpus, and load_ratio = live / mean
     * live occupancy. max(load_ratio) drifting up means the frozen
     * quantizer no longer fits the data distribution (retrain);
-    * dead fraction drifting up means compaction. Bounded output —
-    * k rows at any corpus size. */
+    * dead fraction drifting up means run [[compactIndex]]. Bounded
+    * output — k rows at any corpus size. */
   def occupancyAudit(spark: SparkSession, dir: String): DataFrame = {
     val status = spark.read.parquet(s"$dir/lists")
       .select(col("cell"), col("vec_id"))

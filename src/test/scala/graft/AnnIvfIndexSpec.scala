@@ -156,6 +156,69 @@ class AnnIvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("compactIndex: serving identical, untouched cells byte-identical, dead fraction 0, fully-dead cell dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfcompact").toString
+    val emb = Tables.embeddings(spark, d).select($"vec_id", $"embedding")
+    AnnIvf.writeIndex(spark, emb, dir, Cells)
+    val n = emb.count()
+    // delete: two ranked hits of the standing query, PLUS every row of
+    // one whole cell (the fully-dead-cell path must drop the directory)
+    val top = AnnIvf.topKFromIndex(spark, dir, query, 12, Nprobe).collect().toSeq
+    val lists = spark.read.parquet(s"$dir/lists")
+    val deadCell = lists.groupBy($"cell").count()
+      .orderBy($"count".asc, $"cell".asc).head().getInt(0)
+    val cellIds = lists.filter($"cell" === deadCell)
+      .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    val dead = (Seq(top(1).getLong(0), top(4).getLong(0)) ++ cellIds).distinct
+    AnnIvf.deleteFromIndex(spark, dead.toDF("vec_id"), dir)
+    val servedBefore = AnnIvf.topKFromIndex(spark, dir, query, 10, Nprobe)
+      .collect().toSeq.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // fingerprint every file of every UNTOUCHED cell (no tombstoned row)
+    val touched = lists.filter($"vec_id".isin(dead: _*))
+      .select($"cell").distinct().collect().map(_.getInt(0)).toSet
+    def fileDigests(cells: Set[Int]): Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/lists"))
+        .iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p))
+        .filter(p => cells.exists(c => p.toString.contains(s"cell=$c/")))
+        .map(p => p.toString ->
+          md.digest(java.nio.file.Files.readAllBytes(p)).map("%02x".format(_)).mkString)
+        .toMap
+    }
+    val untouched = (0 until Cells).toSet -- touched
+    assert(untouched.nonEmpty && touched.size >= 2)
+    val before = fileDigests(untouched)
+    AnnIvf.compactIndex(spark, dir)
+    // (c) untouched cells' files byte-identical — no full-index rewrite
+    assert(fileDigests(untouched) === before,
+      "compaction rewrote a cell with no tombstoned rows")
+    // (a) serving identical: same ids, same order, same cells/cosines
+    val servedAfter = AnnIvf.topKFromIndex(spark, dir, query, 10, Nprobe)
+      .collect().toSeq.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(servedAfter === servedBefore)
+    // (b) tombstones cleared; the rows are physically gone
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/tombstones")))
+    val listsAfter = spark.read.parquet(s"$dir/lists")
+    assert(listsAfter.count() === n - dead.size)
+    assert(listsAfter.filter($"vec_id".isin(dead: _*)).count() === 0L)
+    // fully-dead cell: directory dropped, audit still reports it (0/0)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/lists/cell=$deadCell")))
+    // (d) dead fraction back to 0, every cell reporting
+    val audit = AnnIvf.occupancyAudit(spark, dir).collect()
+    assert(audit.length === Cells)
+    assert(audit.map(_.getLong(2)).sum === 0L, "n_dead nonzero after compaction")
+    assert(audit.map(_.getLong(1)).sum === n - dead.size)
+    assert(audit.find(_.getInt(0) === deadCell).get.getLong(1) === 0L)
+    // compaction is idempotent: a second run with no tombstones is a no-op
+    AnnIvf.compactIndex(spark, dir)
+    assert(AnnIvf.topKFromIndex(spark, dir, query, 10, Nprobe)
+      .collect().toSeq.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      === servedBefore)
+  }
+
   test("appendToIndex: frozen quantizer — old results byte-identical, new vectors retrievable") {
     // own index dir: this test mutates the lists
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfappend").toString
