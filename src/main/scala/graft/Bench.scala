@@ -13,6 +13,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // WindowExec's bounded-window WARN is asserted mechanically by the
+    // plan gate now (unpartWindows fact + allowlist); at runtime it
+    // only buries real warnings in the bench tail (VERDICT r14 item 4)
+    graft.plans.PlanGate.silenceBoundedWindowWarn()
     // untimed warmup: spin executor threads, load parquet footers and
     // codegen paths so the first timed query isn't charged for JVM start
     Tables.names.foreach { t =>
@@ -154,7 +158,17 @@ object Bench {
     // the driver invokes Bench bare and owns BENCH_FULL.json; local
     // seal passes set GRAFT_BENCH_OUT=BENCH_LOCAL.json so the two
     // artifacts version separately instead of overwriting each other.
-    val outName = sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // r15 (VERDICT r14 item 5 — the de97859 incident): a local
+    // sf0.001 smoke run with GRAFT_BENCH_OUT unset clobbered the
+    // committed BENCH_FULL.json mid-round. The committed artifact
+    // path is now written ONLY for the driver's shape (the sf0.1
+    // default corpus) or under an explicit GRAFT_BENCH_OUT; any other
+    // SF with no explicit output defaults to /tmp, named by SF, so a
+    // smoke run cannot overwrite a committed artifact by accident.
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val outName = sys.env.getOrElse("GRAFT_BENCH_OUT",
+      if (sfName == "sf0.1") "BENCH_FULL.json"
+      else s"/tmp/BENCH_FULL_$sfName.json")
     val fullPath = Paths.get(outName).toAbsolutePath
     Files.writeString(fullPath, fullJson + "\n")
     // The stdout line must survive the driver's tail capture (VERDICT

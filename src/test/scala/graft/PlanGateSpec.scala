@@ -119,6 +119,28 @@ class PlanGateSpec extends AnyFunSuite {
     }
   }
 
+  test("the gate goes red on a planted unpartitioned window over an unbounded relation") {
+    // the WindowExec "No Partition Defined" pathology: every row of the
+    // input moves to ONE partition. The library's own unpartitioned
+    // windows run over bounded relations (PlanGate.UnpartWindowAllowlist
+    // names each bound); a corpus-sized one like this must trip the
+    // invariant for any id not consciously allowlisted.
+    import org.apache.spark.sql.expressions.Window
+    val planted = Tables.lineitem(spark, sf)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("l_orderkey"), col("l_linenumber"))))
+    val f = PlanGate.facts(planted)
+    assert(f.unpartWindows >= 1, s"plant failed: ${f.render}")
+    val v = PlanGate.invariantViolations("q_not_allowlisted", f)
+    assert(v.exists(_.contains("unpartitioned Window")),
+      s"invariant check missed the single-partition window: $v")
+    // a healthy partitioned spelling of the same rank stays clean
+    val healthy = Tables.lineitem(spark, sf)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))))
+    assert(PlanGate.facts(healthy).unpartWindows === 0)
+  }
+
   test("no raw cache/persist call sites outside CacheScope (source audit)") {
     // the mechanical form of "no InMemoryRelation outside CacheScope":
     // every main-tree cache mark routes through CacheScope (query-local,
