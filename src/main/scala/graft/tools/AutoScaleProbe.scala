@@ -121,8 +121,16 @@ object AutoScaleProbe {
       val dir = build(m)
       val n = graft.sources.ParquetMeta.rowCount(spark, s"$dir/embeddings.parquet")
       val (tables, bits) = graft.operators.AnnLsh.autoConfig(n)
-      val kAuto = Llm.autoK(n)
-      println(s"AUTOSCALE x$m n=$n autoK=$kAuto autoCfg=${tables}x$bits")
+      // EFFECTIVE k (ADVICE r14): semdedupAuto dispatches to the
+      // balanced schedule past SemdedupCellGrowthEnvelope, so at
+      // multipliers pushing n past 1M the timed row runs the balanced
+      // k — label it with what actually runs, not the n/256 rule
+      val kAuto =
+        if (n <= Llm.SemdedupCellGrowthEnvelope) Llm.autoK(n)
+        else Llm.autoKBalanced(n)
+      val kSched =
+        if (n <= Llm.SemdedupCellGrowthEnvelope) "n/256" else "balanced"
+      println(s"AUTOSCALE x$m n=$n autoK=$kAuto sched=$kSched autoCfg=${tables}x$bits")
       val (exactG, exactP) = sampledExact(dir, n)
       val nG = exactG.count(); val nP = exactP.count()
 

@@ -72,6 +72,12 @@ object KnnGraphDuel {
     def auto(): Long = graft.queries.Llm
       .annKnnGraphCfg(spark, dir, tables, bits, compact = true).count()
     val only = sys.env.get("GRAFT_DUEL_ONLY")
+    // fail loudly on a typo (ADVICE r14): any other value would make
+    // both runPinned and runAuto false — the duel would pay the full
+    // corpus build and then time NOTHING, with no error
+    require(only.forall(Set("auto", "pinned")),
+      s"GRAFT_DUEL_ONLY=${only.get}: accepted values are 'auto' or " +
+      "'pinned' (unset runs both in P A A P order)")
     val reps = sys.env.get("GRAFT_DUEL_REPS").map(_.toInt).getOrElse(2)
     val runPinned = only.forall(_ == "pinned")
     val runAuto = only.forall(_ == "auto")
