@@ -99,6 +99,35 @@ class AnnPqSpec extends AnyFunSuite {
     graft.CacheScope.drain()
   }
 
+  test("margin-band calibration refuses on a near-uniform corpus, naming the LSH handoff") {
+    // the x100 death reproduced small (VERDICT r14 "What's wrong" 1):
+    // this synthetic corpus IS near-uniform — the calibration measures
+    // ~8.5–8.8% of all pairs inside the θ−margin SDC band at every SF
+    // (PqBandProbe, r15), so band pairs grow as ~0.085·n²/2 and cross
+    // the default 50M budget at n≈34k — exactly the regime where the
+    // r14 x100 run spilled ~300 GB. At sf0.01 (n=500, ~11k band
+    // pairs) a small injected budget triggers the same deterministic
+    // refusal the default budget gives at scale.
+    val d = "/root/testdata/sf0.01"
+    val emb = graft.Tables.embeddings(spark, d).select($"vec_id", $"embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.AnnPq.neardupPairs(spark, emb, 0.35,
+        tables = 40, bits = 5, m = m, ksub = ksub, margin = 0.2,
+        iters = 1, bandBudget = 1000L).count()
+    }
+    graft.CacheScope.drain()
+    assert(e.getMessage.contains("q_llm_embed_neardup_ann"),
+      s"refusal must name the LSH handoff: ${e.getMessage}")
+    assert(e.getMessage.contains("survivor band"),
+      s"refusal must carry the measured band: ${e.getMessage}")
+    // and the measured fraction is the near-uniform one, not noise:
+    // the message embeds 'admits ~X.X% of all pairs' with X ≥ 5
+    val frac = "admits ~(\\d+\\.\\d+)%".r.findFirstMatchIn(e.getMessage)
+      .map(_.group(1).toDouble)
+    assert(frac.exists(_ >= 5.0),
+      s"expected a near-uniform band fraction in: ${e.getMessage}")
+  }
+
   test("neardup pairs: pq ⊆ exact (precision 1.0) and recall ≥ 0.95 at sf0.01") {
     val d = "/root/testdata/sf0.01"
     val exact = SparkEntry.queries("q_llm_embed_neardup")(spark, d)
