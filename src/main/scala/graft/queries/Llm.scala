@@ -147,16 +147,18 @@ object Llm {
     * exact scan's envelope budget (E²/2 pair evals) is E·√k —
     * ~2.83M rows at k=8. Same refusal discipline as
     * [[requireExactPairBudget]], naming the dispatching schedules. */
-  def requirePinnedSemdedupBudget(n: Long, who: String = "q_llm_semdedup"): Unit = {
+  def requirePinnedSemdedupBudget(n: Long, who: String = "q_llm_semdedup",
+      // per-caller handoff clause (ADVICE r14): the dedup schedules are
+      // not medoid replacements, so each caller names ITS scale path
+      alternative: String = "use q_llm_semdedup_auto (schedule " +
+        "dispatch) or q_llm_semdedup_balanced (k=⌈√(n/2)⌉, ~n^1.5 total " +
+        "work) for dedup"): Unit = {
     val cap = (ExactPairEnvelope * math.sqrt(KmeansK.toDouble)).toLong
     require(n <= cap,
       s"$who: $n rows at the pinned k=$KmeansK quantizer is " +
       f"~${n.toDouble * n / (2 * KmeansK)}%.2g within-cell pair evaluations " +
       s"(n²/2k), past the $cap-row pinned-config budget; the pinned form " +
-      "is the fixed oracle anchor — use q_llm_semdedup_auto (schedule " +
-      "dispatch) or q_llm_semdedup_balanced (k=⌈√(n/2)⌉, ~n^1.5 total " +
-      "work) for dedup, or re-derive this curation query's cells from " +
-      "the grow-k fit")
+      s"is the fixed oracle anchor — $alternative")
   }
 
   def requireExactPairBudget(n: Long, envelope: Long = ExactPairEnvelope): Unit =
@@ -460,10 +462,15 @@ object Llm {
   /** BALANCED k-growth rule (r14): k = ⌈√(n/2)⌉ minimizes total work
     * n·k (assignment) + n²/2k (within-cell pairs) — both terms land
     * at n·√(n/2), i.e. ~n^1.5 overall, vs the n/256 rule's n²/256.
-    * 3× cheaper at 1M vectors, 9× at 10M, ~90× at 1B — and cells of
-    * √(2n) rows mean MORE candidate pairs than n/256's 256-row cells
-    * at scale, so past the crossover the balanced schedule is
-    * strictly higher-recall as well as cheaper. */
+    * 3× cheaper at 1M vectors, 9× at 10M, ~90× at 1B. Recall: the r14
+    * geometric argument (coarser √(2n)-row cells ⇒ more contained
+    * pairs) was MEASURED in r15 and does not materialize — planted
+    * ε=0.5 dup recall at n=202k is 0.2675 (balanced, k=318) vs 0.2690
+    * (n/256, k=790): PARITY within binomial noise, because containment
+    * of a near-copy is dominated by argmax stability under
+    * perturbation, not cell size, on a near-uniform corpus. The
+    * schedule's honest claim is "2.4–4.6× cheaper at no measured
+    * recall cost" (SemdedupBalancedSpec pins the parity). */
   def autoKBalanced(n: Long): Int =
     math.max(1L, math.ceil(math.sqrt(n / 2.0)).toLong).toInt
 
@@ -1608,7 +1615,11 @@ object Llm {
       // same pinned-config pair budget as q_llm_semdedup (r14): the
       // within-cell sum-of-cosines self-join is the identical n²/2k
       // candidate volume at the fixed oracle k
-      requirePinnedSemdedupBudget(embCount(s, d), "q_llm_cluster_medoids")
+      requirePinnedSemdedupBudget(embCount(s, d), "q_llm_cluster_medoids",
+        alternative = "re-derive the medoids from a grow-k fit " +
+          "(KMeans.fitAllSampled at autoK/autoKBalanced cells keeps the " +
+          "within-cell sum-of-cosines pass sub-quadratic; the medoid " +
+          "definition is per-cell, so it transfers to any k unchanged)")
       val e = kmeansPrepared(s, d)
       // eager: consumed by the pair self-join (both sides), the
       // cell-size agg, and the final join — all concurrent scan stages

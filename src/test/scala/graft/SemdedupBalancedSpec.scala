@@ -66,6 +66,91 @@ class SemdedupBalancedSpec extends AnyFunSuite {
     CacheScope.drain()
   }
 
+  test("planted-dup recall at x100: balanced schedule holds parity with n/256 (the scale-path gate)") {
+    // VERDICT r14 item 6: AssignDuel records kept counts but not
+    // recall vs planted truth. This is the gate analog every other
+    // scale path has, at the scale where the schedules genuinely
+    // diverge: n = 202k ⇒ k₂₅₆ = 790 (256-row cells) vs
+    // k_bal = ⌈√(n/2)⌉ = 318 (~√(2n) ≈ 630-row cells). A planted
+    // (original, ε-copy) pair is CAUGHT iff both endpoints quantize
+    // to one cell (cos ≈ 0.89 ≥ 0.35 makes the pair edge certain once
+    // co-located).
+    // MEASURED OUTCOME (r15) — and a REFUTATION: the r14 geometric
+    // claim "coarser cells ⇒ strictly higher recall at scale" does
+    // NOT show up. 2000 planted ε=0.5 pairs: balanced 0.2675 vs
+    // n/256 0.2690 — parity within binomial noise (±0.010 at 1σ).
+    // Containment of an ε-copy is dominated by argmax STABILITY
+    // under perturbation, and on a near-uniform corpus the Voronoi
+    // boundary measure is huge at either k — halving k barely moves
+    // it. The gate therefore pins PARITY (within 2σ) plus an absolute
+    // regression floor: the balanced schedule's claim is "2.4–4.6×
+    // cheaper at NO measured recall cost", not "higher recall".
+    // Corpus: the AssignDuel x100 clone construction (rotation +
+    // sign-flip per clone — cross-clone cosines pseudo-random) + 2000
+    // planted ε=0.5 copies of clone-0 vectors (PlantedNeardupSpec's
+    // perturbation). Deterministic end to end.
+    import graft.functions.VecOps
+    val src = "/root/testdata/sf0.1"
+    val dims = 64
+    val KEY = 10000000L
+    val PlantShift = 900000000L
+    val Planted = 2000
+    val dir = java.nio.file.Files.createTempDirectory("graft_semrecall").toString
+    val base = Tables.embeddings(spark, src)
+    val clones = spark.range(100).select($"id".cast("int").as("c"))
+    val corpus = base.crossJoin(clones).select(
+      ($"vec_id" + $"c".cast("long") * KEY).as("vec_id"),
+      when($"c" === 0, $"embedding").otherwise(
+        transform(sequence(lit(0), lit(dims - 1)), i =>
+          (element_at($"embedding", pmod(i + lit(7) * $"c", lit(dims)) + 1) *
+            when(pmod(xxhash64($"c", i), lit(2)) === 0, 1.0).otherwise(-1.0))
+            .cast("float"))).as("embedding"),
+      $"label")
+    val eps = lit(0.5) * VecOps.norm(spark, $"embedding") / math.sqrt(dims)
+    val copies = base.filter($"vec_id" < Planted).select(
+      ($"vec_id" + PlantShift).as("vec_id"),
+      transform(sequence(lit(0), lit(dims - 1)), i =>
+        (element_at($"embedding", i + 1) +
+          eps * when(pmod(xxhash64($"vec_id", i), lit(2)) === 0, 1.0)
+            .otherwise(-1.0)).cast("float")).as("embedding"),
+      $"label")
+    corpus.unionByName(copies).repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val n = graft.sources.ParquetMeta.rowCount(spark, s"$dir/embeddings.parquet")
+    assert(n === 202000L)
+    val k256 = graft.queries.Llm.autoK(n)
+    val kBal = graft.queries.Llm.autoKBalanced(n)
+    assert(kBal < k256, s"gate only meaningful past n=2k² (kBal=$kBal k256=$k256)")
+
+    def plantedRecall(df: org.apache.spark.sql.DataFrame): Double = {
+      val reps = df.filter($"vec_id" < Planted || $"vec_id" >= PlantShift)
+        .select($"vec_id", $"rep").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val caught = (0L until Planted).count(i =>
+        reps(i) == reps(i + PlantShift))
+      caught.toDouble / Planted
+    }
+    val recBal = plantedRecall(graft.queries.Llm.semdedupBalanced(spark, dir))
+    CacheScope.drain(blocking = true)
+    val rec256 = plantedRecall(
+      graft.queries.Llm.semdedupAuto(spark, dir, envelope = Long.MaxValue))
+    CacheScope.drain(blocking = true)
+    info(f"planted recall at n=$n: balanced(k=$kBal)=$recBal%.3f n/256(k=$k256)=$rec256%.3f")
+    // parity within 2σ of 2000 Bernoulli(≈0.27) trials (±0.020)
+    assert(recBal >= rec256 - 0.02,
+      f"balanced schedule recall $recBal%.3f fell more than 2σ below the " +
+      f"n/256 schedule's $rec256%.3f on the same planted corpus — the " +
+      "measured parity (0.2675 vs 0.2690, r15) regressed")
+    assert(recBal >= 0.15,
+      f"balanced planted recall $recBal%.3f collapsed below the absolute " +
+      "regression floor (measured 0.2675 at r15)")
+    locally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+        .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("balanced query is sane at sf0.1: every vector labeled, k=32 cell domain, dedup nonempty") {
     val d = "/root/testdata/sf0.1"
     val r = CacheScope.localEager(graft.queries.Llm.semdedupBalanced(spark, d))
