@@ -186,14 +186,27 @@ object AnnIvf {
     * of exactly nprobe cell directories (partition pruning; nothing
     * rereads or rescans the corpus). AnnIvfIndexSpec pins both the
     * result equality with the in-memory search and the pruning (the
-    * probed scan's input files are a strict nprobe-cell subset). */
+    * probed scan's input files are a strict nprobe-cell subset).
+    * MEASURED from disk (IndexServeDuel r15, bytes = the scan's own
+    * post-pruning filesSize): at n = 20k/200k/1M a fixed-nprobe=8
+    * query reads 0.3/0.9/2.0 MiB at near-flat wall while the exact
+    * scan reads 5/50/250 MiB; even the nprobe=cells/2 auto config
+    * (overlap 0.95+) beats the exact scan's wall at every size. */
   def writeIndex(spark: SparkSession, emb: DataFrame, dir: String,
       cells: Int, iters: Int = 2): Unit = {
     // CacheScope.local (r14 audit): same MEMORY_AND_DISK level as the
     // previous raw persist; the eager unpersist below stays the
     // primary release, the registry just makes the site auditable
     val assigned = graft.CacheScope.local(assignCells(spark, emb, cells, iters))
-    assigned.write.mode("overwrite").partitionBy("cell")
+    // ONE file per cell (r15): without the cell repartition every
+    // write task emits a fragment into every cell directory —
+    // tasks×cells tiny files whose per-file parquet overhead swamps
+    // the data at probe time (IndexServeDuel x10 measured the pruned
+    // half-of-cells read at ~98% of the raw corpus bytes this way).
+    // One writer per cell makes pruned bytes track pruned ROWS, which
+    // is the entire point of the layout.
+    assigned.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/lists")
     centroidsOf(assigned).write.mode("overwrite")
       .parquet(s"$dir/centroids")
@@ -441,6 +454,7 @@ object AnnIvf {
       val staged = s"$dir/lists_compacting"
       lists.filter(col("cell").isin(affected: _*))
         .join(tombs, Seq("vec_id"), "left_anti")
+        .repartition(col("cell")) // one file per rewritten cell (writeIndex note)
         .write.mode("overwrite").partitionBy("cell").parquet(staged)
       affected.foreach { c =>
         val oldCell = new org.apache.hadoop.fs.Path(s"$dir/lists/cell=$c")
