@@ -46,6 +46,40 @@ object TextKernelOps {
     new GenericArrayData(out)
   }
 
+  /** Σ over 8-bit lanes of min(a_lane, b_lane) — the packed
+    * bucket-count bound kernel (see PackedMinSum). Missing trailing
+    * words count as zero on both sides. */
+  def packedMinSum(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var w = 0; var s = 0L
+    while (w < n) {
+      val x = a.getLong(w); val y = b.getLong(w)
+      var lane = 0
+      while (lane < 8) {
+        val xa = (x >>> (lane * 8)) & 255L
+        val yb = (y >>> (lane * 8)) & 255L
+        s += math.min(xa, yb)
+        lane += 1
+      }
+      w += 1
+    }
+    s
+  }
+
+  /** Merge-scan |a ∩ b| over two sorted distinct UTF8String arrays
+    * (see the SortedIntersectCount expression doc for the contract). */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** 32-bit SimHash of a string set: bit b is set when the ±1 vote sum
     * over elements of bit b of h32(x) is positive, where h32(x) = the
     * unsigned 32-bit big-endian first word of md5(x + "#0") — exactly
@@ -129,6 +163,70 @@ object TextKernelOps {
   * slice = slot%4 — spelled identically in the DuckDB twin via
   * `('0x' || substr(md5(sh || '#j'), 1+8k, 8))::BIGINT`.
   */
+/** |a ∩ b| of two SORTED distinct string arrays via one merge scan —
+  * the allocation-free form of size(array_intersect(a, b)) for the
+  * trigram pair pipeline's hot-credit stage (r15, VERDICT r14 item 7):
+  * array_intersect builds a hash set AND materializes the intersection
+  * array per call, only for size() to throw both away; at x100 that
+  * runs 64M times over ~14-element arrays. Caller contract: both
+  * inputs sorted ascending in UTF8String binary order (sort_array /
+  * DuckDB list_sort — the hotPerDoc construction) and element-distinct
+  * (they come from per-doc DISTINCT shingle sets); under that contract
+  * the merge count equals size(array_intersect) exactly, which
+  * KernelSpec pins against the HOF spelling. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernelOps.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextKernelOps.sortedIntersectCount($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Σ_lane min(a, b) over two packed 8-bit-lane count vectors (8 lanes
+  * per long) — the hot-bucket UPPER BOUND on |hot_a ∩ hot_b| the
+  * trigram pair pipeline prunes with (r15): every common hot shingle
+  * lands in the same md5 bucket on both sides, so per bucket the
+  * common count ≤ min of the two counts, and Σ min bounds the whole
+  * intersection from above — one-sided by construction, so the prune
+  * can never drop a pair that any downstream threshold would keep.
+  * With 64 buckets over ~15-element sets the slack is ~2 (collision
+  * term ≈ |A|·|B|/B), vs min(|A|,|B|) ≈ 15 for the scalar-count
+  * bound — tight enough that only near-threshold pairs survive to the
+  * expensive string-array joins. */
+case class PackedMinSum(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "packed_min_sum"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernelOps.packedMinSum(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextKernelOps.packedMinSum($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PackedMinSum =
+    copy(left = newLeft, right = newRight)
+}
+
 case class TriShingles(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
 
@@ -194,6 +292,20 @@ object TextKernels {
       exprs => MinHashSig(exprs.head))
     KernelRegistry.ensure(spark, "simhash32")(
       exprs => SimHash32(exprs.head))
+    KernelRegistry.ensure(spark, "sorted_intersect_count")(
+      exprs => SortedIntersectCount(exprs(0), exprs(1)))
+    KernelRegistry.ensure(spark, "packed_min_sum")(
+      exprs => PackedMinSum(exprs(0), exprs(1)))
+  }
+
+  def packedMinSum(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("packed_min_sum", a, b)
+  }
+
+  def sortedIntersectCount(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("sorted_intersect_count", a, b)
   }
 
   def simHash32(spark: SparkSession, set: Column): Column = {

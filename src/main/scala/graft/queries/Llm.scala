@@ -139,7 +139,20 @@ object Llm {
     * probe-limited form is the only shape that bounds per-query work,
     * and its real win is the persisted index's PARTITION PRUNING
     * (AnnIvf.topKFromIndex reads only nprobe cell directories), not
-    * the in-memory dot cut. BASELINE.md §r14 records the duel table. */
+    * the in-memory dot cut. BASELINE.md §r14 records the duel table.
+    *
+    * r15 — the IO side MEASURED (IndexServeDuel, from DISK, bytes
+    * from the scan's own post-pruning filesSize metric): per query at
+    * n = 20k / 200k / 1M the exact scan reads 5.0 / 49.9 / 250.1 MiB
+    * (linear in n, as it must), the fixed-nprobe=8 index reads 0.3 /
+    * 0.9 / 2.0 MiB (√n — nprobe·n/cells at cells=⌈√n⌉) with
+    * near-flat wall 0.11 / 0.15 / 0.17 s, and even the recall-honest
+    * auto config (nprobe=cells/2, overlap 0.95–0.97) reads half the
+    * corpus and BEATS the exact scan's wall at every measured size
+    * (1M: 0.55 vs 0.71 s/query). The in-memory exact edge the r14
+    * duel measured is a cache artifact; in the IO-bound regime the
+    * persisted index wins at every n, which is why the envelope is an
+    * operational bound on the CACHED scan, not a crossover claim. */
   val TopKScanEnvelope = 10000000L
 
   /** Pair budget for the PINNED-k semdedup oracle anchor (r14): its
@@ -820,7 +833,15 @@ object Llm {
     * shared shingles are ALL hot is not a candidate — the documented
     * recall cost of skew-proofing (in this corpus max df = 9, so the
     * hot set is empty and output provably unchanged). */
-  private def pairIntersections(s: SparkSession, d: String): DataFrame = {
+  /** Minimum score any pairIntersections consumer thresholds at: every
+    * downstream query filters ≥ 0.2 on jaccard or containment, and
+    * greatest-containment ≥ jaccard always, so a pair that cannot
+    * reach 0.2 greatest-containment even with its FULL hot-set
+    * intersection credited can be dropped before the expensive
+    * hot-array joins without changing any declared output. */
+  val PairScoreFloor = 0.2
+
+  private[graft] def pairIntersections(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sh = graft.CacheScope.shared(shingled(s, d))
     // n_sh rides through the explode so the pair aggregate can emit
@@ -831,19 +852,67 @@ object Llm {
     val dfc = graft.CacheScope.shared(
       ex.groupBy($"sh").agg(count(lit(1)).as("df")))
     val exCapped = ex.join(dfc.filter($"df" <= MaxShingleDf).select($"sh"), "sh")
-    val hotPerDoc = ex.join(dfc.filter($"df" > MaxShingleDf).select($"sh"), "sh")
+    val hotEx = ex.join(dfc.filter($"df" > MaxShingleDf).select($"sh"), "sh")
+    val hotPerDoc = hotEx
       .groupBy($"doc_id").agg(sort_array(collect_list($"sh")).as("hot_sh"))
+    // Reachability prune (r15, VERDICT r14 item 7). Of the pairs the
+    // aggregate emits (643k at sf0.1, 64M at x100) only ~10³ per
+    // sf0.1-unit can reach any consumer's 0.2 floor, yet the old plan
+    // attached the per-doc HOT STRING ARRAYS (~360 B payload) to every
+    // pair through two shuffled joins before scoring — 73 of the
+    // 103 s x100 pipeline wall (NgramStageProbe). The prune joins a
+    // 64-bucket packed COUNT VECTOR instead (md5-bucketed hot counts,
+    // 8-bit lanes in 8 longs = 64 B): every common hot shingle lands
+    // in the same bucket on both sides, so
+    //   n_int ≤ n_sub + Σ_b min(cnt_a[b], cnt_b[b])  (PackedMinSum)
+    // bounds the score from ABOVE (one-sided by construction — a pair
+    // any downstream threshold keeps always survives; only provably
+    // sub-floor pairs drop, see [[PairScoreFloor]]). With 64 buckets
+    // over ~15-element hot sets the bound's slack is ~2, so the
+    // expensive string-array joins see only near-threshold survivors.
+    // A lane saturating 255 nulls the vector → that doc's pairs skip
+    // the prune (never unsound, the fallback is the scalar-count
+    // bound min(hc_a, hc_b)).
+    val HotBuckets = 64
+    val hotMeta = hotEx
+      .withColumn("bkt", pmod(xxhash64($"sh"), lit(HotBuckets)).cast("int"))
+      .groupBy($"doc_id", $"bkt").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"cnt").as("hc"),
+        max(when($"cnt" > 255, 1).otherwise(0)).as("sat"),
+        array((0 until HotBuckets / 8).map(w =>
+          sum(when(expr(s"bkt div 8") === w,
+            expr("shiftleft(least(cnt, 255), (bkt % 8) * 8)"))
+            .otherwise(0L))): _*).as("hbvRaw"))
+      .select($"doc_id", $"hc",
+        when($"sat" === 0, $"hbvRaw").as("hbv"))
     val emptyArr = array().cast("array<string>")
+    val hotUb =
+      when($"hc_a".isNull || $"hc_b".isNull, lit(0L))
+        .otherwise(when($"hbv_a".isNull || $"hbv_b".isNull,
+            least($"hc_a", $"hc_b"))
+          .otherwise(least(least($"hc_a", $"hc_b"),
+            TextKernels.packedMinSum(s, $"hbv_a", $"hbv_b"))))
     exCapped.as("a").join(exCapped.as("b"),
         $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .agg(count(lit(1)).as("n_sub"),
         max($"a.n_sh").as("na"), max($"b.n_sh").as("nb"))
+      .join(hotMeta.select($"doc_id".as("doc_a"), $"hc".as("hc_a"), $"hbv".as("hbv_a")),
+        Seq("doc_a"), "left")
+      .join(hotMeta.select($"doc_id".as("doc_b"), $"hc".as("hc_b"), $"hbv".as("hbv_b")),
+        Seq("doc_b"), "left")
+      .filter(($"n_sub" + hotUb).cast(DoubleType) / least($"na", $"nb") >= PairScoreFloor)
+      .drop("hc_a", "hc_b", "hbv_a", "hbv_b")
       .join(hotPerDoc.select($"doc_id".as("doc_a"), $"hot_sh".as("hot_a")), Seq("doc_a"), "left")
       .join(hotPerDoc.select($"doc_id".as("doc_b"), $"hot_sh".as("hot_b")), Seq("doc_b"), "left")
+      // fused merge-scan count over the SORTED hot arrays (r15):
+      // size(array_intersect(..)) built a hash set + the intersection
+      // array per pair only to size it
       .withColumn("n_int",
-        ($"n_sub" + size(array_intersect(
-          coalesce($"hot_a", emptyArr), coalesce($"hot_b", emptyArr)))).cast(DoubleType))
+        ($"n_sub" + TextKernels.sortedIntersectCount(s,
+          coalesce($"hot_a", emptyArr), coalesce($"hot_b", emptyArr))).cast(DoubleType))
   }
 
   /** The trigram-Jaccard near-dup pairs with exact scores (threshold

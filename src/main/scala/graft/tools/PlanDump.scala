@@ -199,8 +199,8 @@ object PlanDump {
     spark.catalog.clearCache()
     graft.CacheScope.drain(blocking = true)
     sb.append("\n# Generated plan facts — every declared query (PlanGate pass)\n\n")
-    sb.append("| id | cartesian | bnlj | inmem | shuffles | scans (pushed-data-filter / partition-filter counts) |\n")
-    sb.append("|---|---|---|---|---|---|\n")
+    sb.append("| id | cartesian | bnlj | inmem | shuffles | unpartwin | scans (pushed-data-filter / partition-filter counts) |\n")
+    sb.append("|---|---|---|---|---|---|---|\n")
     val ids = graft.SparkEntry.queries.keys.toSeq.sorted
     var bad = 0
     ids.foreach { id =>
@@ -211,7 +211,7 @@ object PlanDump {
         s"${s.relation}(${s.dataFilters.size}/${s.partitionFilters.size})")
         .mkString(", ")
       sb.append(s"| $id | ${f.cartesian} | ${f.bnlj} | ${f.inMemoryScans} " +
-        s"| ${f.shuffles} | $scans |\n")
+        s"| ${f.shuffles} | ${f.unpartWindows} | $scans |\n")
       bad += graft.plans.PlanGate.invariantViolations(id, f).size
     }
     sb.append(s"\nIds audited: ${ids.size}; invariant violations: $bad. " +

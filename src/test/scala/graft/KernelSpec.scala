@@ -53,6 +53,29 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("SortedIntersectCount == size(array_intersect) on sorted distinct arrays") {
+    // the pair-pipeline shape: per-doc sorted distinct shingle arrays,
+    // all unordered pairs of a 60-doc cut — covers empty/disjoint/
+    // identical/subset shapes present in real data, plus synthetic edges
+    val docs = Tables.documents(spark, sf).limit(60)
+      .select($"doc_id", sort_array(TextKernels.triShingles(spark, $"text")).as("sh"))
+    val pairs = docs.as("a").join(docs.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.sh".as("x"), $"b.sh".as("y"))
+    val bad = pairs.filter(
+      TextKernels.sortedIntersectCount(spark, $"x", $"y") =!=
+        size(array_intersect($"x", $"y")).cast("long")).count()
+    assert(bad === 0L, s"$bad pairs diverge from size(array_intersect)")
+    // synthetic edges: empty × nonempty, identical, strict subset
+    val edge = Seq(
+      (Seq.empty[String], Seq("a", "b")),
+      (Seq("a", "b", "c"), Seq("a", "b", "c")),
+      (Seq("b"), Seq("a", "b", "c")),
+      (Seq("a", "c"), Seq("b", "d"))).toDF("x", "y")
+    val got = edge.select(
+      TextKernels.sortedIntersectCount(spark, $"x", $"y")).collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(0L, 3L, 1L, 0L))
+  }
+
   test("TriShingles edge cases: under 3 tokens → empty; dups collapse") {
     val out = Seq("a b", "x y z x y z", "").toDF("text")
       .select(TextKernels.triShingles(spark, $"text").as("sh"))
