@@ -292,26 +292,21 @@ object AnnPq {
     * moved ~4.2·10⁷ verified pairs in 729.8 s, the refused regime
     * starts ~50× above that. On REAL near-dup corpora the band is
     * dup-mass-sized, the sampled fraction reads ~0, and the PQ path
-    * proceeds — its declared regime is unchanged. */
+    * proceeds — its declared regime is unchanged. The sample scan is
+    * SKIPPED when n(n−1)/2 ≤ budget (even a 100% band fits — the
+    * decision is a constant, so measuring buys nothing), which keeps
+    * the guard free at bench scale while every trippable scale still
+    * measures. */
   val BandSampleVecs = 512
   val SurvivorBandBudget = 50000000L
 
-  def neardupPairs(spark: SparkSession, emb: DataFrame, threshold: Double,
-      tables: Int, bits: Int, m: Int = 32, ksub: Int = 16,
-      margin: Double = 0.2, iters: Int = 2,
-      bandBudget: Long = SurvivorBandBudget): DataFrame = {
-    requireCodeLayout(m, ksub)
-    val prepared = emb.select(col("vec_id"), col("embedding"),
-      VecOps.norm(spark, col("embedding")).as("nrm"))
-    // trained once, folded twice (books + encode) — eager per the
-    // concurrent-consumer cache discipline
-    val assigned = graft.CacheScope.localEager(
-      trainAssign(spark, prepared, m, ksub, iters))
-    val books = booksOf(assigned)
-    val enc = graft.CacheScope.localEager(encodeWith(assigned, prepared))
-    // --- margin-band calibration (doc above): bounded sample pair
-    // scan over the CACHED code relation with the real codebooks ---
-    val n = enc.count()
+  /** The bounded sample measurement behind the band refusal (doc
+    * above); throws IllegalArgumentException when the extrapolated
+    * band exceeds `bandBudget`. `enc` must be the cached packed-code
+    * relation, `books` its codebooks. */
+  private def calibrateBand(spark: SparkSession, enc: DataFrame,
+      books: DataFrame, threshold: Double, margin: Double, m: Int,
+      ksub: Int, n: Long, bandBudget: Long): Unit = {
     val sample = enc
       .orderBy(md5(concat(lit("pqband#"), col("vec_id").cast("string"))),
         col("vec_id"))
@@ -337,6 +332,31 @@ object AnnPq {
       "PQ pre-filter; hand off to AnnLsh.neardupPairs " +
       "(q_llm_embed_neardup_ann — recall ≥ 0.95 pinned, measured to " +
       "complete at this regime where the PQ band spills)")
+  }
+
+  def neardupPairs(spark: SparkSession, emb: DataFrame, threshold: Double,
+      tables: Int, bits: Int, m: Int = 32, ksub: Int = 16,
+      margin: Double = 0.2, iters: Int = 2,
+      bandBudget: Long = SurvivorBandBudget): DataFrame = {
+    requireCodeLayout(m, ksub)
+    val prepared = emb.select(col("vec_id"), col("embedding"),
+      VecOps.norm(spark, col("embedding")).as("nrm"))
+    // trained once, folded twice (books + encode) — eager per the
+    // concurrent-consumer cache discipline
+    val assigned = graft.CacheScope.localEager(
+      trainAssign(spark, prepared, m, ksub, iters))
+    val books = booksOf(assigned)
+    val enc = graft.CacheScope.localEager(encodeWith(assigned, prepared))
+    // --- margin-band calibration (doc above): bounded sample pair
+    // scan over the CACHED code relation with the real codebooks.
+    // Skipped when even a 100% band fits the budget (n(n−1)/2 ≤
+    // budget): the refusal decision is then a constant regardless of
+    // the measured fraction, so the sample scan would buy nothing —
+    // this keeps the guard free at bench scale (n=2000 ⇒ 2M ≤ 5·10⁷)
+    // while every scale that could trip it still measures. ---
+    val n = enc.count()
+    if (n * (n - 1) / 2 > bandBudget) calibrateBand(spark, enc, books,
+      threshold, margin, m, ksub, n, bandBudget)
     val bk = prepared
       .select(col("vec_id"),
         posexplode(LshSignatures.of(spark, col("embedding"), tables, bits))
