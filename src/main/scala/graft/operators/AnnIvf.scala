@@ -439,6 +439,32 @@ object AnnIvf {
     val hconf = spark.sessionState.newHadoopConf()
     val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     val fs = tombPath.getFileSystem(hconf)
+    val staged = s"$dir/lists_compacting"
+    val stagedPath = new org.apache.hadoop.fs.Path(staged)
+    // Crash recovery (r15 review): the swap below deletes a cell's old
+    // directory and then renames its staged replacement in. A crash
+    // between the two leaves that cell's LIVE rows only under
+    // lists_compacting — and a naive rerun would recompute "affected"
+    // from lists (the cell is gone, so it isn't affected) and then
+    // mode("overwrite") the staging dir, destroying the only copy.
+    // So: on entry, any staged cell directory whose lists/ twin is
+    // MISSING is a half-finished swap — finish it (the staged copy is
+    // authoritative: old dirs are deleted only after the full staging
+    // write committed); one whose twin still exists never started its
+    // swap and is safely discarded (tombstones are deleted last, so a
+    // rerun re-stages it identically).
+    if (fs.exists(stagedPath)) {
+      fs.listStatus(stagedPath).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("cell=")) {
+          val target = new org.apache.hadoop.fs.Path(s"$dir/lists/$name")
+          if (!fs.exists(target))
+            require(fs.rename(st.getPath, target),
+              s"compactIndex recovery: rename ${st.getPath} -> $target failed")
+        }
+      }
+      fs.delete(stagedPath, true)
+    }
     if (!fs.exists(tombPath)) return // nothing to compact
     val tombs = spark.read.parquet(tombPath.toString).select(col("vec_id"))
     val lists = spark.read.parquet(s"$dir/lists")
@@ -451,7 +477,6 @@ object AnnIvf {
       // prunes the scan to exactly those directories (the
       // topKFromIndex pruning path), so compaction reads only what it
       // rewrites
-      val staged = s"$dir/lists_compacting"
       lists.filter(col("cell").isin(affected: _*))
         .join(tombs, Seq("vec_id"), "left_anti")
         .repartition(col("cell")) // one file per rewritten cell (writeIndex note)
@@ -459,11 +484,18 @@ object AnnIvf {
       affected.foreach { c =>
         val oldCell = new org.apache.hadoop.fs.Path(s"$dir/lists/cell=$c")
         val newCell = new org.apache.hadoop.fs.Path(s"$staged/cell=$c")
+        // fail LOUDLY on a rename the filesystem refuses (e.g. a
+        // cross-filesystem staging dir): the old dir is gone by then
+        // and only the recovery path above can finish the swap — an
+        // ignored false return would lose the cell silently
         fs.delete(oldCell, true)
         // a fully-dead cell stages no directory: deletion IS its rewrite
-        if (fs.exists(newCell)) fs.rename(newCell, oldCell)
+        if (fs.exists(newCell))
+          require(fs.rename(newCell, oldCell),
+            s"compactIndex: rename $newCell -> $oldCell failed; rerun " +
+            "compactIndex to recover from the staging directory")
       }
-      fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+      fs.delete(stagedPath, true)
     }
     fs.delete(tombPath, true)
   }

@@ -302,34 +302,51 @@ object AnnPq {
 
   /** The bounded sample measurement behind the band refusal (doc
     * above); throws IllegalArgumentException when the extrapolated
-    * band exceeds `bandBudget`. `enc` must be the cached packed-code
-    * relation, `books` its codebooks. */
-  private def calibrateBand(spark: SparkSession, enc: DataFrame,
-      books: DataFrame, threshold: Double, margin: Double, m: Int,
-      ksub: Int, n: Long, bandBudget: Long): Unit = {
+    * SURVIVOR estimate exceeds `bandBudget`. The estimate is gated on
+    * BOTH stages the real pipeline applies (r15 review: a band-only
+    * extrapolation over-refuses selective-LSH configs whose candidate
+    * join already thins the band): a sample pair is a projected
+    * survivor iff it collides in ≥ 1 of the SAME `tables`×`bits`
+    * sign-LSH tables the call will use AND its SDC cosine clears
+    * θ − margin — the exact definition of a row the rerank joins must
+    * carry. `prepared` must carry (vec_id, embedding, nrm); `enc` the
+    * cached packed codes. */
+  private def calibrateBand(spark: SparkSession, prepared: DataFrame,
+      enc: DataFrame, books: DataFrame, threshold: Double, margin: Double,
+      m: Int, ksub: Int, tables: Int, bits: Int, n: Long,
+      bandBudget: Long): Unit = {
     val sample = enc
+      .join(prepared.select(col("vec_id"), col("embedding")), "vec_id")
       .orderBy(md5(concat(lit("pqband#"), col("vec_id").cast("string"))),
         col("vec_id"))
       .limit(BandSampleVecs)
-      .select(col("vec_id"), col("codes"), col("nrm"))
-    val sBand = sample.as("a").join(sample.as("b"),
+      .select(col("vec_id"), col("codes"), col("nrm"),
+        LshSignatures.of(spark, col("embedding"), tables, bits).as("sigs"))
+    val stats = sample.as("a").join(sample.as("b"),
         col("a.vec_id") < col("b.vec_id"))
       .crossJoin(broadcast(sdcFlat(spark, books, m, ksub)))
-      .filter(sdcDot(spark, col("tflat"), col("a.codes"), col("b.codes"), ksub) /
-        (col("a.nrm") * col("b.nrm")) >= threshold - margin)
-      .count()
+      .select(
+        (sdcDot(spark, col("tflat"), col("a.codes"), col("b.codes"), ksub) /
+          (col("a.nrm") * col("b.nrm")) >= threshold - margin).as("band"),
+        exists(zip_with(col("a.sigs"), col("b.sigs"), (x, y) => x === y),
+          bcol => bcol).as("cand"))
+      .agg(sum(when(col("band"), 1L).otherwise(0L)).as("nband"),
+        sum(when(col("band") && col("cand"), 1L).otherwise(0L)).as("nsurv"))
+      .head()
+    val (sBand, sSurv) = (stats.getLong(0), stats.getLong(1))
     val sVecs = math.min(n, BandSampleVecs.toLong)
     val sPairs = math.max(1L, sVecs * (sVecs - 1) / 2)
-    val bandFrac = sBand.toDouble / sPairs
-    val estBand = bandFrac * n * (n - 1) / 2
-    require(estBand <= bandBudget,
+    val survFrac = sSurv.toDouble / sPairs
+    val estSurv = survFrac * n * (n - 1) / 2
+    require(estSurv <= bandBudget,
       f"AnnPq.neardupPairs: the SDC survivor band at θ−margin = " +
-      f"${threshold - margin}%.2f admits ~${bandFrac * 100}%.1f%% of all " +
-      f"pairs (measured on the $sVecs-vector md5 sample: $sBand of " +
-      f"$sPairs) ⇒ ~$estBand%.3g survivor pairs at n=$n — past the " +
-      f"$bandBudget-pair band budget the exact-rerank joins can carry. " +
-      "The corpus's cosine distribution is too uniform for a fixed-margin " +
-      "PQ pre-filter; hand off to AnnLsh.neardupPairs " +
+      f"${threshold - margin}%.2f admits ~${sBand * 100.0 / sPairs}%.1f%% of " +
+      f"all pairs, and ~${survFrac * 100}%.1f%% also collide in the " +
+      f"$tables×$bits candidate tables (measured on the $sVecs-vector md5 " +
+      f"sample: $sSurv of $sPairs) ⇒ ~$estSurv%.3g survivor pairs at n=$n — " +
+      f"past the $bandBudget-pair band budget the exact-rerank joins can " +
+      "carry. The corpus's cosine distribution is too uniform for a " +
+      "fixed-margin PQ pre-filter; hand off to AnnLsh.neardupPairs " +
       "(q_llm_embed_neardup_ann — recall ≥ 0.95 pinned, measured to " +
       "complete at this regime where the PQ band spills)")
   }
@@ -355,8 +372,8 @@ object AnnPq {
     // this keeps the guard free at bench scale (n=2000 ⇒ 2M ≤ 5·10⁷)
     // while every scale that could trip it still measures. ---
     val n = enc.count()
-    if (n * (n - 1) / 2 > bandBudget) calibrateBand(spark, enc, books,
-      threshold, margin, m, ksub, n, bandBudget)
+    if (n * (n - 1) / 2 > bandBudget) calibrateBand(spark, prepared, enc,
+      books, threshold, margin, m, ksub, tables, bits, n, bandBudget)
     val bk = prepared
       .select(col("vec_id"),
         posexplode(LshSignatures.of(spark, col("embedding"), tables, bits))

@@ -478,7 +478,7 @@ object Llm {
     * 3× cheaper at 1M vectors, 9× at 10M, ~90× at 1B. Recall: the r14
     * geometric argument (coarser √(2n)-row cells ⇒ more contained
     * pairs) was MEASURED in r15 and does not materialize — planted
-    * ε=0.5 dup recall at n=202k is 0.2675 (balanced, k=318) vs 0.2690
+    * ε=0.5 dup recall at n=202k is 0.425 (balanced, k=318) vs 0.426
     * (n/256, k=790): PARITY within binomial noise, because containment
     * of a near-copy is dominated by argmax stability under
     * perturbation, not cell size, on a near-uniform corpus. The

@@ -44,22 +44,8 @@ object AssignDuel {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val KEY = 10000000L
-    val dims = graft.Tables.embeddings(spark, src)
-      .select(size(col("embedding"))).head().getInt(0)
-    val dir = Files.createTempDirectory(s"graft_assign_x$mult").toString
-    (0 until mult).map { c =>
-      val base = graft.Tables.embeddings(spark, src)
-      if (c == 0) base
-      else base.select(
-        (col("vec_id") + lit(c * KEY)).as("vec_id"),
-        transform(sequence(lit(0), lit(dims - 1)), i =>
-          (element_at(col("embedding"), pmod(i + lit(7 * c), lit(dims)) + 1) *
-            when(pmod(xxhash64(lit(c), i), lit(2)) === 0, 1.0).otherwise(-1.0))
-            .cast("float")).as("embedding"),
-        col("label"))
-    }.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val dir = CloneCorpus.writeEmbeddings(spark, src, mult,
+      Files.createTempDirectory(s"graft_assign_x$mult").toString)
 
     val n = graft.sources.ParquetMeta.rowCount(spark, s"$dir/embeddings.parquet")
     val k256 = graft.queries.Llm.autoK(n)

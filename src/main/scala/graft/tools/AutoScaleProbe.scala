@@ -62,22 +62,8 @@ object AutoScaleProbe {
 
     def build(n: Int): String = {
       if (n == 1) return src
-      val dir = Files.createTempDirectory(s"graft_auto_x$n").toString
-      val dims = graft.Tables.embeddings(spark, src)
-        .select(size(col("embedding"))).head().getInt(0)
-      (0 until n).map { c =>
-        val base = graft.Tables.embeddings(spark, src)
-        if (c == 0) base
-        else base.select(
-          (col("vec_id") + lit(c * KEY)).as("vec_id"),
-          transform(sequence(lit(0), lit(dims - 1)), i =>
-            (element_at(col("embedding"), pmod(i + lit(7 * c), lit(dims)) + 1) *
-              when(pmod(xxhash64(lit(c), i), lit(2)) === 0, 1.0).otherwise(-1.0))
-              .cast("float")).as("embedding"),
-          col("label"))
-      }.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-      dir
+      CloneCorpus.writeEmbeddings(spark, src, n,
+        Files.createTempDirectory(s"graft_auto_x$n").toString)
     }
 
     def timed(tag: String)(f: => DataFrame): (Long, Double) = {

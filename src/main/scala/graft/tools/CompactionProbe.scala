@@ -30,21 +30,8 @@ object CompactionProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-    val KEY = 10000000L
-    val dims = graft.Tables.embeddings(spark, src)
-      .select(size(col("embedding"))).head().getInt(0)
-    val dir = Files.createTempDirectory(s"graft_compact_x$mult").toString
-    val clones = spark.range(mult).select($"id".cast("int").as("c"))
-    graft.Tables.embeddings(spark, src).crossJoin(clones).select(
-        ($"vec_id" + $"c".cast("long") * KEY).as("vec_id"),
-        when($"c" === 0, $"embedding").otherwise(
-          transform(sequence(lit(0), lit(dims - 1)), i =>
-            (element_at($"embedding", pmod(i + lit(7) * $"c", lit(dims)) + 1) *
-              when(pmod(xxhash64($"c", i), lit(2)) === 0, 1.0).otherwise(-1.0))
-              .cast("float"))).as("embedding"),
-        $"label")
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val dir = CloneCorpus.writeEmbeddings(spark, src, mult,
+      Files.createTempDirectory(s"graft_compact_x$mult").toString)
     val n = graft.sources.ParquetMeta.rowCount(spark, s"$dir/embeddings.parquet")
     val (cells, nprobe) = graft.operators.AnnIvf.autoTopKConfig(n)
     println(s"COMPACT x$mult n=$n cells=$cells nprobe=$nprobe")

@@ -30,7 +30,10 @@ object HotSetProbe {
       val dfc = ex.groupBy($"sh").agg(count(lit(1)).as("df"))
       val hotPerDoc = ex.join(dfc.filter($"df" > cap).select($"sh"), "sh")
         .groupBy($"doc_id").agg(sort_array(collect_list($"sh")).as("hot_sh"))
-        .withColumn("set_id", md5(concat_ws("", $"hot_sh")))
+        // \u0001 separator (spelled as an escape, not a raw control
+        // char): shingles are space-joined token trigrams and cannot
+        // contain it, so distinct sets cannot collide by concatenation
+        .withColumn("set_id", md5(concat_ws("\u0001", $"hot_sh")))
       val nDocs = sh.count()
       val nHotDocs = hotPerDoc.count()
       val nSets = hotPerDoc.select($"set_id").distinct().count()

@@ -54,25 +54,8 @@ object IndexServeDuel {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-    val KEY = 10000000L
-    val dims = graft.Tables.embeddings(spark, src)
-      .select(size(col("embedding"))).head().getInt(0)
-
-    def build(mult: Int): String = {
-      val dir = Files.createTempDirectory(s"graft_idxserve_x$mult").toString
-      val clones = spark.range(mult).select($"id".cast("int").as("c"))
-      graft.Tables.embeddings(spark, src).crossJoin(clones).select(
-          ($"vec_id" + $"c".cast("long") * KEY).as("vec_id"),
-          when($"c" === 0, $"embedding").otherwise(
-            transform(sequence(lit(0), lit(dims - 1)), i =>
-              (element_at($"embedding", pmod(i + lit(7) * $"c", lit(dims)) + 1) *
-                when(pmod(xxhash64($"c", i), lit(2)) === 0, 1.0).otherwise(-1.0))
-                .cast("float"))).as("embedding"),
-          $"label")
-        .repartition(32)
-        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-      dir
-    }
+    def build(mult: Int): String = CloneCorpus.writeEmbeddings(spark, src,
+      mult, Files.createTempDirectory(s"graft_idxserve_x$mult").toString)
 
     /** Sum of the post-pruning `filesSize` metric over every file scan
       * of an EXECUTED plan whose path matches `pathPart`. */
@@ -103,7 +86,13 @@ object IndexServeDuel {
       val queries = qRows.map(r =>
         (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
 
+      // timers start BEFORE DataFrame construction on BOTH sides (r15
+      // review): topKFromIndex runs probeRank's centroid scan+collect
+      // eagerly at construction — a real per-query job the old timer
+      // excluded from the index side while the exact side paid its
+      // (lazy) construction inside the timer
       def exactOne(q: Array[Float]): (Set[Long], Double, Long) = {
+        val t = System.nanoTime()
         val qnrm = math.sqrt(q.map(v => v.toDouble * v).sum)
         val qcol = array(q.map(v => lit(v)): _*).cast("array<float>")
         val df = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -111,13 +100,12 @@ object IndexServeDuel {
             (VecOps.dot(spark, $"embedding", qcol) /
               (VecOps.norm(spark, $"embedding") * lit(qnrm))).as("cs"))
           .orderBy($"cs".desc, $"vec_id".asc).limit(10)
-        val t = System.nanoTime()
         val ids = df.collect().map(_.getLong(0)).toSet
         ((ids), (System.nanoTime() - t) / 1e9, scanBytes(df, "embeddings.parquet"))
       }
       def idxOne(q: Array[Float], nprobe: Int): (Set[Long], Double, Long) = {
-        val df = AnnIvf.topKFromIndex(spark, idxDir, q, 10, nprobe)
         val t = System.nanoTime()
+        val df = AnnIvf.topKFromIndex(spark, idxDir, q, 10, nprobe)
         val ids = df.collect().map(_.getLong(0)).toSet
         ((ids), (System.nanoTime() - t) / 1e9, scanBytes(df, "/lists"))
       }

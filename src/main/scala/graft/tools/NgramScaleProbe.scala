@@ -29,8 +29,6 @@ object NgramScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
-    val KEY = 10000000L
     val qs = Seq("q_llm_ngram_containment", "q_llm_ngram_jaccard",
       "q_llm_contamination")
 
@@ -49,14 +47,7 @@ object NgramScaleProbe {
 
     for (m <- mults) {
       val dir = Files.createTempDirectory(s"graft_ngram_x$m").toString
-      val clones = spark.range(m).select($"id".cast("int").as("c"))
-      graft.Tables.documents(spark, src).crossJoin(clones).select(
-          ($"doc_id" + $"c".cast("long") * KEY).as("doc_id"),
-          when($"c" === 0, $"text").otherwise(concat_ws(" ",
-            transform(split($"text", " "),
-              t => concat(t, lit("_"), $"c".cast("string"))))).as("text"),
-          $"lang", $"source", $"n_chars")
-        .repartition(32)
+      CloneCorpus.documentsDf(spark, src, m).repartition(32)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       runSet(dir, s"x$m")
       locally {

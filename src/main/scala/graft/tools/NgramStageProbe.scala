@@ -27,16 +27,8 @@ object NgramStageProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-    val KEY = 10000000L
     val dir = Files.createTempDirectory(s"graft_ngstage_x$mult").toString
-    val clones = spark.range(mult).select($"id".cast("int").as("c"))
-    graft.Tables.documents(spark, src).crossJoin(clones).select(
-        ($"doc_id" + $"c".cast("long") * KEY).as("doc_id"),
-        when($"c" === 0, $"text").otherwise(concat_ws(" ",
-          transform(split($"text", " "),
-            t => concat(t, lit("_"), $"c".cast("string"))))).as("text"),
-        $"lang", $"source", $"n_chars")
-      .repartition(32)
+    CloneCorpus.documentsDf(spark, src, mult).repartition(32)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
     val cap = graft.queries.Llm.MaxShingleDf

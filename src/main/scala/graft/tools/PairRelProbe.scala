@@ -29,7 +29,12 @@ object PairRelProbe {
           (org.apache.spark.sql.functions.col("na") +
            org.apache.spark.sql.functions.col("nb") -
            org.apache.spark.sql.functions.col("n_int")) >= 0.2).count()
-      println(f"PAIRREL $d pre_threshold_pairs=$n post_j02_pairs=$post02 first_pass=$t1%.2f s")
+      // NOTE (r15): pairIntersections now applies the PairScoreFloor
+      // reachability prune, so this counts the PRUNED pair relation —
+      // the floor-reachable candidates the hot-array stage processes.
+      // The pre-prune sizing recorded in BASELINE (712k at sf0.1) was
+      // measured before the prune landed.
+      println(f"PAIRREL $d floor_reachable_pairs=$n post_j02_pairs=$post02 first_pass=$t1%.2f s")
       graft.CacheScope.drain(blocking = true)
       graft.CacheScope.drainShared(blocking = true)
     }

@@ -219,6 +219,54 @@ class AnnIvfIndexSpec extends AnyFunSuite {
       === servedBefore)
   }
 
+  test("compactIndex recovery: a crash between delete and rename loses nothing on rerun") {
+    // simulate the exact mid-swap crash state the r15 review flagged:
+    // staging committed, one affected cell's OLD dir already deleted,
+    // its staged replacement not yet renamed in — then a fresh
+    // compactIndex must first finish that swap from the staging dir
+    // (the only copy of the cell's live rows) before proceeding.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfcrash").toString
+    val emb = Tables.embeddings(spark, d).select($"vec_id", $"embedding")
+    AnnIvf.writeIndex(spark, emb, dir, Cells)
+    val n = emb.count()
+    val before = AnnIvf.topKFromIndex(spark, dir, query, 12, Nprobe).collect().toSeq
+    val dead = Seq(before(1).getLong(0), before(4).getLong(0))
+    AnnIvf.deleteFromIndex(spark, dead.toDF("vec_id"), dir)
+    // manual staging — the same plan compactIndex writes
+    val tombs = spark.read.parquet(s"$dir/tombstones").select($"vec_id")
+    val lists = spark.read.parquet(s"$dir/lists")
+    val affected = lists.join(tombs, Seq("vec_id"), "left_semi")
+      .select($"cell").distinct().collect().map(_.getInt(0)).toSeq.sorted
+    assert(affected.nonEmpty)
+    lists.filter($"cell".isin(affected: _*))
+      .join(tombs, Seq("vec_id"), "left_anti")
+      .repartition($"cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/lists_compacting")
+    // "crash": the first affected cell's old dir is deleted, rename never ran
+    val half = affected.head
+    def rmTree(p: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val path = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(path))
+        java.nio.file.Files.walk(path).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    rmTree(s"$dir/lists/cell=$half")
+    // rerun from scratch: recovery + the normal pass
+    AnnIvf.compactIndex(spark, dir)
+    val after = AnnIvf.topKFromIndex(spark, dir, query, 10, Nprobe).collect().toSeq
+    assert(after.map(r => (r.getLong(0), r.getDouble(2))) ===
+      before.filterNot(r => dead.contains(r.getLong(0))).take(10)
+        .map(r => (r.getLong(0), r.getDouble(2))),
+      "post-recovery serving diverged from the tombstone-filtered truth")
+    val listsAfter = spark.read.parquet(s"$dir/lists")
+    assert(listsAfter.count() === n - dead.size,
+      "a live row was lost across the simulated crash")
+    assert(listsAfter.filter($"vec_id".isin(dead: _*)).count() === 0L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/lists_compacting")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/tombstones")))
+  }
+
   test("appendToIndex: frozen quantizer — old results byte-identical, new vectors retrievable") {
     // own index dir: this test mutates the lists
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfappend").toString

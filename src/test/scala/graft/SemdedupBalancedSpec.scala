@@ -77,8 +77,8 @@ class SemdedupBalancedSpec extends AnyFunSuite {
     // co-located).
     // MEASURED OUTCOME (r15) — and a REFUTATION: the r14 geometric
     // claim "coarser cells ⇒ strictly higher recall at scale" does
-    // NOT show up. 2000 planted ε=0.5 pairs: balanced 0.2675 vs
-    // n/256 0.2690 — parity within binomial noise (±0.010 at 1σ).
+    // NOT show up. 2000 planted ε=0.5 pairs: balanced 0.425 vs
+    // n/256 0.426 — parity within binomial noise (±0.011 at 1σ).
     // Containment of an ε-copy is dominated by argmax STABILITY
     // under perturbation, and on a near-uniform corpus the Voronoi
     // boundary measure is huge at either k — halving k barely moves
@@ -92,20 +92,15 @@ class SemdedupBalancedSpec extends AnyFunSuite {
     import graft.functions.VecOps
     val src = "/root/testdata/sf0.1"
     val dims = 64
-    val KEY = 10000000L
-    val PlantShift = 900000000L
+    // ABOVE every clone id (CloneCorpus.PlantFloor encodes the
+    // contract): the first r15 value (9e8 = 90*IdKey) collided exactly
+    // with clone 90's range and corrupted the measurement (caught in
+    // review; re-measured).
+    val PlantShift = graft.tools.CloneCorpus.PlantFloor
     val Planted = 2000
     val dir = java.nio.file.Files.createTempDirectory("graft_semrecall").toString
     val base = Tables.embeddings(spark, src)
-    val clones = spark.range(100).select($"id".cast("int").as("c"))
-    val corpus = base.crossJoin(clones).select(
-      ($"vec_id" + $"c".cast("long") * KEY).as("vec_id"),
-      when($"c" === 0, $"embedding").otherwise(
-        transform(sequence(lit(0), lit(dims - 1)), i =>
-          (element_at($"embedding", pmod(i + lit(7) * $"c", lit(dims)) + 1) *
-            when(pmod(xxhash64($"c", i), lit(2)) === 0, 1.0).otherwise(-1.0))
-            .cast("float"))).as("embedding"),
-      $"label")
+    val corpus = graft.tools.CloneCorpus.embeddingsDf(spark, src, 100)
     val eps = lit(0.5) * VecOps.norm(spark, $"embedding") / math.sqrt(dims)
     val copies = base.filter($"vec_id" < Planted).select(
       ($"vec_id" + PlantShift).as("vec_id"),
@@ -136,14 +131,14 @@ class SemdedupBalancedSpec extends AnyFunSuite {
       graft.queries.Llm.semdedupAuto(spark, dir, envelope = Long.MaxValue))
     CacheScope.drain(blocking = true)
     info(f"planted recall at n=$n: balanced(k=$kBal)=$recBal%.3f n/256(k=$k256)=$rec256%.3f")
-    // parity within 2σ of 2000 Bernoulli(≈0.27) trials (±0.020)
+    // parity within 2σ of 2000 Bernoulli(≈0.43) trials (±0.022)
     assert(recBal >= rec256 - 0.02,
       f"balanced schedule recall $recBal%.3f fell more than 2σ below the " +
       f"n/256 schedule's $rec256%.3f on the same planted corpus — the " +
-      "measured parity (0.2675 vs 0.2690, r15) regressed")
+      "measured parity (0.425 vs 0.426, r15) regressed")
     assert(recBal >= 0.15,
       f"balanced planted recall $recBal%.3f collapsed below the absolute " +
-      "regression floor (measured 0.2675 at r15)")
+      "regression floor (measured 0.425 at r15)")
     locally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
