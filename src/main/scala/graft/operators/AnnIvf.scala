@@ -187,11 +187,13 @@ object AnnIvf {
     * rereads or rescans the corpus). AnnIvfIndexSpec pins both the
     * result equality with the in-memory search and the pruning (the
     * probed scan's input files are a strict nprobe-cell subset).
-    * MEASURED from disk (IndexServeDuel r15, bytes = the scan's own
-    * post-pruning filesSize): at n = 20k/200k/1M a fixed-nprobe=8
-    * query reads 0.3/0.9/2.0 MiB at near-flat wall while the exact
-    * scan reads 5/50/250 MiB; even the nprobe=cells/2 auto config
-    * (overlap 0.95+) beats the exact scan's wall at every size. */
+    * MEASURED from disk (IndexServeDuel r15, corrected symmetric
+    * timers): at n = 20k/200k/1M a fixed-nprobe=8 query reads
+    * 0.3/0.9/2.0 MiB vs the exact scan's 5/50/250 MiB; in the WARM
+    * serving shape (this relation built once and reused — the
+    * deployment form) per-query wall is 0.100→0.113 s near-flat,
+    * while re-constructing the DataFrame per query pays an O(cells)
+    * listing that dominates locally. BASELINE §r15 has the table. */
   def writeIndex(spark: SparkSession, emb: DataFrame, dir: String,
       cells: Int, iters: Int = 2): Unit = {
     // CacheScope.local (r14 audit): same MEMORY_AND_DISK level as the

@@ -141,18 +141,22 @@ object Llm {
     * (AnnIvf.topKFromIndex reads only nprobe cell directories), not
     * the in-memory dot cut. BASELINE.md §r14 records the duel table.
     *
-    * r15 — the IO side MEASURED (IndexServeDuel, from DISK, bytes
-    * from the scan's own post-pruning filesSize metric): per query at
+    * r15 — the IO side MEASURED (IndexServeDuel; bytes from the
+    * scan's own post-pruning filesSize metric, walls from the
+    * review-corrected symmetric-timer protocol): per query at
     * n = 20k / 200k / 1M the exact scan reads 5.0 / 49.9 / 250.1 MiB
-    * (linear in n, as it must), the fixed-nprobe=8 index reads 0.3 /
-    * 0.9 / 2.0 MiB (√n — nprobe·n/cells at cells=⌈√n⌉) with
-    * near-flat wall 0.11 / 0.15 / 0.17 s, and even the recall-honest
-    * auto config (nprobe=cells/2, overlap 0.95–0.97) reads half the
-    * corpus and BEATS the exact scan's wall at every measured size
-    * (1M: 0.55 vs 0.71 s/query). The in-memory exact edge the r14
-    * duel measured is a cache artifact; in the IO-bound regime the
-    * persisted index wins at every n, which is why the envelope is an
-    * operational bound on the CACHED scan, not a crossover claim. */
+    * (linear in n, as it must) while the fixed-nprobe=8 index reads
+    * 0.3 / 0.9 / 2.0 MiB (√n — nprobe·n/cells at cells=⌈√n⌉). In the
+    * WARM serving shape (lists relation + centroid table reused
+    * across queries — what a deployment and probeCandidatesFromIndex
+    * amortize) the wall follows the bytes: 0.100 → 0.113 s/query
+    * near-flat from 20k to 200k, ~6× under the exact scan's 0.64 s
+    * and widening linearly with n. Constructing a fresh DataFrame PER
+    * QUERY instead pays an O(cells) listing + a centroid job that
+    * dominates locally (1.12 s at 200k) — the serving win requires
+    * the amortized shape, and the envelope remains an operational
+    * bound on the CACHED in-memory scan, not a crossover claim
+    * (BASELINE §r15 carries the full corrected table). */
   val TopKScanEnvelope = 10000000L
 
   /** Pair budget for the PINNED-k semdedup oracle anchor (r14): its
