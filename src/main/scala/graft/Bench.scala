@@ -59,19 +59,52 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     CacheScope.drain(blocking = true)
+    // NOISE SENTINEL (r16, VERDICT r15 item 1): BENCH_r15.json carried
+    // a phantom 1.24× regression — untouched sub-second SQL/stream ids
+    // 2–7× slower in the driver run while the same tree reproduced r14
+    // numbers in a controlled run. The artifact could not say so
+    // itself; three rounds of after-the-fact attribution sweeps later,
+    // the record still reads "regression". So the run now measures its
+    // OWN host: one pinned, cache-free, plan-stable calibration query
+    // (q_scan_parquet — a bare pruned scan, no shared state, ~100 ms
+    // steady) is timed at fixed points through the pass. On an idle
+    // host every sample is the same number; load shows up as drift.
+    // The samples, drift = max/min − 1, and a contaminated flag
+    // (drift > [[SentinelDriftBar]]) ride in both artifacts, so a
+    // noise-skewed run is self-diagnosing instead of poisoning the
+    // cross-round record. Sentinel runs sit BETWEEN timed queries and
+    // are excluded from every total.
+    val SentinelDriftBar = 0.5
+    val SentinelEvery = 40
+    val sentinelName = "q_scan_parquet"
+    val sentinelFn = SparkEntry.queries.get(sentinelName)
+    def sentinelPass(): Double = {
+      val t0 = System.nanoTime()
+      try sentinelFn.foreach(_(spark, sfDir).count())
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // two untimed passes: the sentinel's own JIT/codegen warmth is
+    // paid here, not charged to the first sample
+    sentinelPass(); sentinelPass()
+    val sentinelSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    sentinelSamples += sentinelPass()
     // name-sorted: Map iteration order shifts whenever the query set
     // changes, which reshuffles which query pays shared-cache warmup —
     // stable ordering keeps per-query numbers comparable across rounds.
     val ordered = SparkEntry.queries.keys.toSeq.sorted
-    val results = ordered.map(n => n -> SparkEntry.queries(n)).map { case (name, fn) =>
+    val results = ordered.zipWithIndex.map { case (name, i) =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // query-local caches; outside the timed region — BLOCKING so the
       // async block removal can't compete with the next timed query
       CacheScope.drain(blocking = true)
+      if ((i + 1) % SentinelEvery == 0) sentinelSamples += sentinelPass()
       name -> dt
     }
+    sentinelSamples += sentinelPass()
     // explicit ROOT locale: the f-interpolator honors the JVM default
     // locale, and a comma-decimal default (e.g. de_DE) would emit
     // "49,900" and corrupt both the stdout line and BENCH_FULL.json
@@ -125,6 +158,18 @@ object Bench {
         (name, ps(1), ps)
       }
     }
+    // one sample after the rewarm phase too: the rewarm medians feed
+    // steady_total, so contamination there must also be visible
+    sentinelSamples += sentinelPass()
+    val sentinelDrift =
+      if (sentinelSamples.min <= 0) 0.0
+      else sentinelSamples.max / sentinelSamples.min - 1.0
+    val contaminated = sentinelDrift > SentinelDriftBar
+    val sentinelJson = "{\"q\":\"" + sentinelName + "\",\"samples\":[" +
+      sentinelSamples.map(sec).mkString(",") +
+      "],\"drift\":" + sec(sentinelDrift) +
+      ",\"bar\":" + sec(SentinelDriftBar) +
+      ",\"contaminated\":" + contaminated + "}"
     val rewarmJson = rewarm.map { case (k, v, _) => "\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val spreadJson = rewarm.filter(_._3.nonEmpty)
@@ -147,6 +192,7 @@ object Bench {
       ",\"unit\":\"sec\",\"sf\":\"" + sfDir + "\"" +
       ",\"steady_total\":" + sec(steadyTotal) +
       ",\"fill_s\":" + sec(fillS) +
+      ",\"sentinel\":" + sentinelJson +
       ",\"rewarm\":" + rewarmJson +
       ",\"rewarm_spread\":" + spreadJson +
       ",\"warmup\":" + warmupJson +
@@ -188,6 +234,7 @@ object Bench {
       s""""queries":$qs,""" +
       s""""rest_n":${results.size - topSteady.size},"rest_sec":${sec(restSec)},""" +
       s""""fill_s":${sec(fillS)},"rewarm_n":${rewarm.size},""" +
+      s""""sentinel_drift":${sec(sentinelDrift)},"contaminated":$contaminated,""" +
       s""""full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }

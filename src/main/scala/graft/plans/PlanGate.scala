@@ -323,10 +323,18 @@ object PlanGate {
     * `unpartWindows` fact is gated per id against the baseline and
     * [[UnpartWindowAllowlist]] — so at runtime the line is pure noise:
     * the r14 bench tail was ~entirely this warning, burying anything
-    * real (VERDICT r14 item 4). Scoped to the window-exec package
-    * logger, not the root level. */
+    * real (VERDICT r14 item 4). Scoped to the CONCRETE exec classes
+    * that emit the line, not the whole window package (ADVICE r15:
+    * the package-level ERROR also swallowed spill/memory WARNs from
+    * every other logger under window.*, which are exactly the
+    * warnings a bench run should surface). The call site lives in
+    * WindowExecBase (verified against the spark-sql jar), but Spark's
+    * Logging trait names loggers by the RUNTIME class, so the levels
+    * go on its concrete subclasses. */
   def silenceBoundedWindowWarn(): Unit =
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window",
-      org.apache.logging.log4j.Level.ERROR)
+    Seq("WindowExec", "WindowInPandasExec").foreach { cls =>
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        s"org.apache.spark.sql.execution.window.$cls",
+        org.apache.logging.log4j.Level.ERROR)
+    }
 }

@@ -59,11 +59,18 @@ object SortSetOps {
       hi.intersect(sp).orderBy($"nationkey")
     }),
 
+    // Orders with no line items (r16, VERDICT r15 item 7): the previous
+    // shape (nation keys EXCEPT supplier nations) was a VACUOUS pass —
+    // every nation has a supplier, so both sides hashed to the empty
+    // set and a WHERE-false would have certified identically. This
+    // pair is non-empty at every driver SF (27/257/2764 rows at
+    // sf0.001/0.01/0.1, DuckDB-checked), so the hash now certifies
+    // EXCEPT semantics on real survivors.
     "q_setop_except" -> ((s, d) => {
       import s.implicits._
-      val all = Tables.nation(s, d).select($"n_nationkey".as("nationkey"))
-      val sp = Tables.supplier(s, d).select($"s_nationkey".as("nationkey"))
-      all.except(sp).orderBy($"nationkey")
+      val all = Tables.orders(s, d).select($"o_orderkey".as("orderkey"))
+      val li = Tables.lineitem(s, d).select($"l_orderkey".as("orderkey"))
+      all.except(li).orderBy($"orderkey")
     }),
 
     // Bag-semantics set ops (r7): EXCEPT ALL / INTERSECT ALL preserve
@@ -105,8 +112,8 @@ object SortSetOps {
       ("SELECT nationkey FROM (SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 8000.0 " +
        "INTERSECT SELECT s_nationkey AS nationkey FROM supplier) ORDER BY nationkey"),
     "q_setop_except" ->
-      ("SELECT nationkey FROM (SELECT n_nationkey AS nationkey FROM nation " +
-       "EXCEPT SELECT s_nationkey AS nationkey FROM supplier) ORDER BY nationkey"),
+      ("SELECT orderkey FROM (SELECT o_orderkey AS orderkey FROM orders " +
+       "EXCEPT SELECT l_orderkey AS orderkey FROM lineitem) ORDER BY orderkey"),
     "q_setop_except_all" ->
       ("SELECT nationkey FROM (SELECT c_nationkey AS nationkey FROM customer " +
        "EXCEPT ALL SELECT s_nationkey AS nationkey FROM supplier) ORDER BY nationkey"),

@@ -18,18 +18,25 @@ import org.apache.spark.sql.functions._
   *
   * ID-SPACE CONTRACT: base ids are < [[IdKey]] and mult ≤ 100, so
   * every clone id is < 100·IdKey = 10⁹. Anything a caller PLANTS on
-  * top (ε-copies, probes) must use ids ≥ [[PlantFloor]]. */
+  * top (ε-copies, probes) must use ids ≥ [[PlantFloor]]. A caller
+  * that plants NOTHING may raise the cap explicitly via `maxMult`
+  * (ADVICE r15: IndexServeDuel's n=1M point needs mult=500; with no
+  * planted ids the only hard bound is Long overflow, and even
+  * mult=200 stays under PlantFloor). The default cap stays 100 so a
+  * planting caller must consciously opt out of the collision guard. */
 object CloneCorpus {
   val IdKey = 10000000L
   val PlantFloor = 2000000000L
 
   /** The clone-scaled embedding relation (not yet written): mult
     * copies of `src`'s embeddings under the contract above. */
-  def embeddingsDf(spark: SparkSession, src: String, mult: Int): DataFrame = {
+  def embeddingsDf(spark: SparkSession, src: String, mult: Int,
+      maxMult: Int = 100): DataFrame = {
     import spark.implicits._
-    require(mult >= 1 && mult <= 100,
-      s"CloneCorpus: mult=$mult outside 1..100 — clone ids would cross " +
-      s"PlantFloor=$PlantFloor and collide with planted ids")
+    require(mult >= 1 && mult <= maxMult,
+      s"CloneCorpus: mult=$mult outside 1..$maxMult — past the default " +
+      s"cap clone ids cross PlantFloor=$PlantFloor and collide with " +
+      "planted ids; raise maxMult ONLY if this corpus plants no ids")
     val dims = graft.Tables.embeddings(spark, src)
       .select(size(col("embedding"))).head().getInt(0)
     val clones = spark.range(mult).select($"id".cast("int").as("c"))
@@ -46,8 +53,8 @@ object CloneCorpus {
   /** Write [[embeddingsDf]] to `dir`/embeddings.parquet (32 files)
     * and return `dir`. */
   def writeEmbeddings(spark: SparkSession, src: String, mult: Int,
-      dir: String): String = {
-    embeddingsDf(spark, src, mult).repartition(32)
+      dir: String, maxMult: Int = 100): String = {
+    embeddingsDf(spark, src, mult, maxMult).repartition(32)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     dir
   }

@@ -45,6 +45,12 @@ import graft.operators.AnnIvf
 object IndexServeDuel {
   def main(args: Array[String]): Unit = {
     val mults = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(100, 500)
+    // this corpus plants no ids, so the PlantFloor collision guard
+    // does not apply and the 1M point (mult=500) is safe — the
+    // explicit maxMult is the conscious opt-out CloneCorpus requires
+    // (ADVICE r15: the default cap made the recorded n=1M numbers
+    // unreproducible at HEAD)
+    val MaxMult = 500
     val src = "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -55,7 +61,8 @@ object IndexServeDuel {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     def build(mult: Int): String = CloneCorpus.writeEmbeddings(spark, src,
-      mult, Files.createTempDirectory(s"graft_idxserve_x$mult").toString)
+      mult, Files.createTempDirectory(s"graft_idxserve_x$mult").toString,
+      maxMult = MaxMult)
 
     /** Sum of the post-pruning `filesSize` metric over every file scan
       * of an EXECUTED plan whose path matches `pathPart`. */
@@ -146,12 +153,22 @@ object IndexServeDuel {
       case class Acc(var wall: Double = 0, var bytes: Long = 0, var hits: Long = 0)
       val (aEx, aAuto, aFix, aWarm) = (Acc(), Acc(), Acc(), Acc())
       queries.zipWithIndex.foreach { case ((_, q), i) =>
-        def all() = (exactOne(q), idxOne(q, nprobeAuto), idxOne(q, FixedProbe),
-          idxWarm(q, FixedProbe))
-        // alternating order: exact first on even queries, index first on odd
+        // alternating order, ACTUALLY reversed on odd indices (ADVICE
+        // r15: both branches previously called the same fixed
+        // exact→auto→fixed→warm sequence, so page-cache warmth
+        // systematically favored the index sides; now the odd queries
+        // run warm→fixed→auto→exact so each side is first-touch on
+        // half the queries)
         val (e, a, f, w) =
-          if (i % 2 == 0) all()
-          else { val r = all(); r } // order within all() fixed; flip outer
+          if (i % 2 == 0) {
+            val e0 = exactOne(q); val a0 = idxOne(q, nprobeAuto)
+            val f0 = idxOne(q, FixedProbe); val w0 = idxWarm(q, FixedProbe)
+            (e0, a0, f0, w0)
+          } else {
+            val w0 = idxWarm(q, FixedProbe); val f0 = idxOne(q, FixedProbe)
+            val a0 = idxOne(q, nprobeAuto); val e0 = exactOne(q)
+            (e0, a0, f0, w0)
+          }
         val (ex, tEx, bEx) = e; val (au, tAu, bAu) = a
         val (fx, tFx, bFx) = f; val (wm, tWm, bWm) = w
         aEx.wall += tEx; aEx.bytes += bEx
