@@ -176,24 +176,189 @@ object AnnIvf {
       .limit(k)
   }
 
+  // ======================= persisted index ==========================
+  //
+  // Layout (r16 — MANIFEST-VERSIONED, VERDICT r15 items 2–4):
+  //   dir/centroids/               immutable after writeIndex
+  //   dir/lists/cell=N/*.parquet   data files — IMMUTABLE once committed
+  //   dir/tombstones/*.parquet     delete batches — immutable once committed
+  //   dir/manifests/m-%08d         committed snapshots (atomic rename)
+  //
+  // A manifest is the source of truth for which files are live: every
+  // reader resolves the newest manifest once at construction and keeps
+  // reading exactly those files. Maintenance ops never mutate or
+  // remove a committed file — they ADD files and commit manifest N+1
+  // by atomic rename — so a reader pinned to manifest N is undisturbed
+  // by any append/delete/compaction that lands mid-query (snapshot
+  // isolation; the r15 delete-then-rename swap had a window where a
+  // concurrent reader saw a missing cell directory — that window no
+  // longer exists). Crash recovery is equally structural: a crash
+  // before the manifest rename leaves orphan files the manifest never
+  // references (readers cannot see them; [[pruneIndex]] deletes them),
+  // and there is no state in which live rows exist only in a staging
+  // directory. Old files are garbage-collected by [[pruneIndex]], the
+  // explicit GC boundary — it invalidates readers older than the
+  // newest manifest, so run it when none is live (the same
+  // expire-snapshots contract every manifest-log store has).
+  //
+  // Concurrency contract: ONE maintenance writer at a time
+  // (append/delete/compact/prune are externally serialized — a
+  // manifest log without a lock service cannot arbitrate two
+  // writers); any number of concurrent readers.
+
+  /** One committed index snapshot: the exact list + tombstone files
+    * (dir-relative paths) a reader of this version may touch. */
+  case class IndexManifest(version: Long, listFiles: Seq[String],
+      tombstoneFiles: Seq[String])
+
+  private def hadoopFs(spark: SparkSession, dir: String)
+      : org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private val ManifestName = "m-(\\d{8})".r
+  private val CellOfPath = ".*cell=(\\d+)/.*".r
+  private def cellOf(relPath: String): Int = relPath match {
+    case CellOfPath(c) => c.toInt
+    case _ => throw new IllegalStateException(
+      s"index manifest entry without a cell= segment: $relPath")
+  }
+
+  /** Newest committed manifest, or None for a legacy (pre-manifest)
+    * index directory. Read-only. */
+  def latestManifest(spark: SparkSession, dir: String): Option[IndexManifest] = {
+    val fs = hadoopFs(spark, dir)
+    val mp = new org.apache.hadoop.fs.Path(s"$dir/manifests")
+    if (!fs.exists(mp)) return None
+    val versions = fs.listStatus(mp).toSeq.flatMap(_.getPath.getName match {
+      case ManifestName(v) => Some(v.toLong)
+      case _ => None
+    })
+    if (versions.isEmpty) None
+    else {
+      val v = versions.max
+      val p = new org.apache.hadoop.fs.Path(mp, f"m-$v%08d")
+      val in = fs.open(p)
+      val body = try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      val lines = body.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+      Some(IndexManifest(v,
+        lines.collect { case l if l.startsWith("L ") => l.drop(2) },
+        lines.collect { case l if l.startsWith("T ") => l.drop(2) }))
+    }
+  }
+
+  /** Commit a manifest: write `m-%08d.tmp`, then publish by rename —
+    * the ONE atomic step every maintenance op ends with. */
+  private def commitManifest(spark: SparkSession, dir: String, version: Long,
+      listFiles: Seq[String], tombstoneFiles: Seq[String]): IndexManifest = {
+    val fs = hadoopFs(spark, dir)
+    val mp = new org.apache.hadoop.fs.Path(s"$dir/manifests")
+    fs.mkdirs(mp)
+    val body = (listFiles.sorted.map("L " + _) ++
+      tombstoneFiles.sorted.map("T " + _)).mkString("", "\n", "\n")
+    val tmp = new org.apache.hadoop.fs.Path(mp, f"m-$version%08d.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fin = new org.apache.hadoop.fs.Path(mp, f"m-$version%08d")
+    require(fs.rename(tmp, fin),
+      s"commitManifest: rename $tmp -> $fin failed (version collision? " +
+      "maintenance ops must be externally serialized)")
+    IndexManifest(version, listFiles.sorted, tombstoneFiles.sorted)
+  }
+
+  /** Dir-relative data files under `dir/sub` (recursive; skips hidden
+    * and writer-sidecar files). Bounded by the index's file count —
+    * a maintenance-time listing, never a serving-path one. */
+  private def dataFilesUnder(spark: SparkSession, dir: String,
+      sub: String): Seq[String] = {
+    val fs = hadoopFs(spark, dir)
+    val root = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+    if (!fs.exists(root)) return Seq.empty
+    val base = fs.makeQualified(new org.apache.hadoop.fs.Path(dir)).toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (name.endsWith(".parquet") && !name.startsWith(".") &&
+          !name.startsWith("_"))
+        buf += fs.makeQualified(f.getPath).toString.stripPrefix(base + "/")
+    }
+    buf.toSeq.sorted
+  }
+
+  /** The snapshot a READ-ONLY caller resolves: the newest manifest,
+    * or (legacy pre-manifest index) an unversioned in-memory listing
+    * — never commits anything. */
+  private def snapshotOf(spark: SparkSession, dir: String): IndexManifest =
+    latestManifest(spark, dir).getOrElse(IndexManifest(0L,
+      dataFilesUnder(spark, dir, "lists"),
+      dataFilesUnder(spark, dir, "tombstones")))
+
+  /** Writer-side resolution: same as [[snapshotOf]] but a legacy index
+    * is MIGRATED — its listing is committed as manifest 1, so every
+    * subsequent op has a real predecessor to version against. */
+  private def ensureManifest(spark: SparkSession, dir: String): IndexManifest =
+    latestManifest(spark, dir).getOrElse(commitManifest(spark, dir, 1L,
+      dataFilesUnder(spark, dir, "lists"),
+      dataFilesUnder(spark, dir, "tombstones")))
+
+  private val ListsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("embedding",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)),
+    org.apache.spark.sql.types.StructField("nrm",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("cell",
+      org.apache.spark.sql.types.IntegerType)))
+
+  /** The snapshot's list relation: EXACTLY the manifest's files, with
+    * `cell` recovered from the directory layout (basePath) so static
+    * partition pruning works file-list or not. An all-cells-dead
+    * snapshot is a valid empty relation, not an error. */
+  private def manifestLists(spark: SparkSession, dir: String,
+      m: IndexManifest): DataFrame =
+    if (m.listFiles.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ListsSchema)
+    else spark.read.option("basePath", s"$dir/lists")
+      .parquet(m.listFiles.map(f => s"$dir/$f"): _*)
+
+  private def manifestTombstones(spark: SparkSession, dir: String,
+      m: IndexManifest): DataFrame =
+    if (m.tombstoneFiles.isEmpty)
+      spark.range(0).select(col("id").as("vec_id"))
+    else spark.read.parquet(m.tombstoneFiles.map(f => s"$dir/$f"): _*)
+      .select(col("vec_id"))
+
   /** Persist a trained index: the inverted lists as CELL-PARTITIONED
     * parquet (one directory per cell — the literal on-disk form of
     * "at 100 TB the lists are hash-partitioned by cell") plus the
-    * tiny centroid table. This is what turns the retrieval
-    * amortization argument into a layout artifact: the train cost is
-    * paid ONCE at write time, and every subsequent query is
-    * [[topKFromIndex]] — a centroid ranking over k rows plus a scan
-    * of exactly nprobe cell directories (partition pruning; nothing
-    * rereads or rescans the corpus). AnnIvfIndexSpec pins both the
-    * result equality with the in-memory search and the pruning (the
-    * probed scan's input files are a strict nprobe-cell subset).
-    * MEASURED from disk (IndexServeDuel r15, corrected symmetric
-    * timers): at n = 20k/200k/1M a fixed-nprobe=8 query reads
-    * 0.3/0.9/2.0 MiB vs the exact scan's 5/50/250 MiB; in the WARM
-    * serving shape (this relation built once and reused — the
-    * deployment form) per-query wall is 0.100→0.113 s near-flat,
-    * while re-constructing the DataFrame per query pays an O(cells)
-    * listing that dominates locally. BASELINE §r15 has the table. */
+    * tiny centroid table, sealed by manifest 1. This is what turns
+    * the retrieval amortization argument into a layout artifact: the
+    * train cost is paid ONCE at write time, and every subsequent
+    * query is [[topKFromIndex]] — a centroid ranking over k rows plus
+    * a scan of exactly nprobe cell directories (partition pruning;
+    * nothing rereads or rescans the corpus). AnnIvfIndexSpec pins
+    * both the result equality with the in-memory search and the
+    * pruning (the probed scan's input files are a strict nprobe-cell
+    * subset). MEASURED from disk (IndexServeDuel r15, corrected
+    * symmetric timers): at n = 20k/200k/1M a fixed-nprobe=8 query
+    * reads 0.3/0.9/2.0 MiB vs the exact scan's 5/50/250 MiB; in the
+    * WARM serving shape ([[openIndex]] — relation and centroids built
+    * once, reused per query) per-query wall is 0.100→0.113 s
+    * near-flat, while re-constructing the DataFrame per query pays an
+    * O(cells) listing that dominates locally. BASELINE §r15 has the
+    * table. */
   def writeIndex(spark: SparkSession, emb: DataFrame, dir: String,
       cells: Int, iters: Int = 2): Unit = {
     // CacheScope.local (r14 audit): same MEMORY_AND_DISK level as the
@@ -206,13 +371,21 @@ object AnnIvf {
     // the data at probe time (IndexServeDuel x10 measured the pruned
     // half-of-cells read at ~98% of the raw corpus bytes this way).
     // One writer per cell makes pruned bytes track pruned ROWS, which
-    // is the entire point of the layout.
+    // is the entire point of the layout. Appends fragment this over
+    // time — [[occupancyAudit]]'s n_files column is the trigger and
+    // [[compactIndex]]'s maxFilesPerCell bound the repair.
     assigned.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/lists")
     centroidsOf(assigned).write.mode("overwrite")
       .parquet(s"$dir/centroids")
     assigned.unpersist()
+    // seal: overwrite of a pre-existing index keeps numbering past any
+    // old manifests so pinned readers of the OLD index fail loudly on
+    // pruned files rather than silently reading a mixed snapshot
+    val prev = latestManifest(spark, dir).map(_.version).getOrElse(0L)
+    commitManifest(spark, dir, prev + 1,
+      dataFilesUnder(spark, dir, "lists"), Seq.empty)
   }
 
   /** Top-k cosine neighbors of an EXTERNAL query vector against a
@@ -382,11 +555,19 @@ object AnnIvf {
     * directories the batch lands in. */
   def appendToIndex(spark: SparkSession, newEmb: DataFrame,
       dir: String): Unit = {
+    val prev = ensureManifest(spark, dir)
+    val before = dataFilesUnder(spark, dir, "lists").toSet
     val cents = spark.read.parquet(s"$dir/centroids")
     val e = newEmb.select(col("vec_id"), col("embedding"),
       VecOps.norm(spark, col("embedding")).as("nrm"))
     assign(spark, e, cents)
       .write.mode("append").partitionBy("cell").parquet(s"$dir/lists")
+    // the batch's files = the listing diff against the PRE-WRITE
+    // listing (not against the manifest: orphans from a crashed prior
+    // op are in the before-set too, so they stay uncommitted)
+    val added = dataFilesUnder(spark, dir, "lists").filterNot(before)
+    commitManifest(spark, dir, prev.version + 1,
+      prev.listFiles ++ added, prev.tombstoneFiles)
   }
 
   /** Index deletion (r14, VERDICT r13 item 3): TOMBSTONES, not list
@@ -404,76 +585,79 @@ object AnnIvf {
     * [[occupancyAudit]]'s dead-fraction column says to run
     * [[compactIndex]] (rewrites the affected cells, clears the
     * tombstones). */
-  def deleteFromIndex(spark: SparkSession, ids: DataFrame, dir: String): Unit =
+  def deleteFromIndex(spark: SparkSession, ids: DataFrame, dir: String): Unit = {
+    val prev = ensureManifest(spark, dir)
+    val before = dataFilesUnder(spark, dir, "tombstones").toSet
     ids.select(col("vec_id")).write.mode("append")
       .parquet(s"$dir/tombstones")
+    val added = dataFilesUnder(spark, dir, "tombstones").filterNot(before)
+    commitManifest(spark, dir, prev.version + 1,
+      prev.listFiles, prev.tombstoneFiles ++ added)
+  }
 
-  /** Index COMPACTION (r15, VERDICT r14 item 1): execute the rewrite
-    * [[occupancyAudit]]'s dead-fraction column prescribes. Rewrites
-    * EXACTLY the cells the tombstone relation touches — live rows of
-    * each affected cell are staged to a sibling directory with the
-    * same cell partitioning, then swapped in with filesystem renames —
-    * and clears `tombstones/`, so the serving anti-join goes back to
-    * joining an empty relation instead of a forever-growing one.
+  /** Default fragmentation bound for [[compactIndex]]: a cell whose
+    * committed file count exceeds this is rewritten even with zero
+    * tombstones. Every append adds ≥1 file per touched cell, and past
+    * a handful of fragments the per-file parquet footer/page overhead
+    * starts to erode the one-file-per-cell IO result (IndexServeDuel
+    * r15: pruned bytes track pruned rows ONLY when cells are compact).
+    * 8 fragments ≈ one compaction per 8 ingest batches per cell —
+    * proportional maintenance, not a treadmill. */
+  val DefaultMaxFilesPerCell = 8
+
+  /** Index COMPACTION (r15; manifest-committed r16, VERDICT r15
+    * item 2): execute the rewrite [[occupancyAudit]] prescribes —
+    * cells holding tombstoned rows (dead-fraction trigger) and cells
+    * whose file count exceeds `maxFilesPerCell` (fragmentation
+    * trigger, VERDICT r15 item 3). Live rows of each affected cell
+    * are staged with the same cell partitioning, the staged files
+    * MOVE into the live cell directories under their (job-unique)
+    * names, and manifest N+1 — affected cells' old files swapped for
+    * the new ones, tombstone list EMPTY — commits by atomic rename.
+    * Old files stay on disk untouched until [[pruneIndex]].
     *
-    * Guarantees (AnnIvfIndexSpec pins all four):
+    * Guarantees (AnnIvfIndexSpec pins them):
     *   - serving is IDENTICAL before and after: every serving path
     *     already anti-joins the tombstones, and compaction removes
     *     precisely the rows that anti-join was hiding — same top-k,
     *     same order, same cosines;
-    *   - untouched cells' files are byte-identical: the stage-and-
-    *     rename only ever touches `cell=X` directories that actually
-    *     hold a tombstoned row (never a full-index rewrite — the
-    *     whole point of cell-partitioned lists is that maintenance IO
-    *     is proportional to the affected cells);
-    *   - a cell whose rows were ALL deleted loses its directory
-    *     (zero live rows stage nothing); [[occupancyAudit]] still
-    *     reports it — the audit left-joins from the centroid table —
-    *     as 0 live / 0 dead;
-    *   - post-compact [[occupancyAudit]] shows n_dead = 0 everywhere.
+    *   - CONCURRENT-READER-SAFE: a reader pinned to manifest N reads
+    *     immutable files compaction never touches; it sees the full
+    *     pre-compaction snapshot until it re-opens (post-commit
+    *     opens resolve N+1). Crash before the commit leaves manifest
+    *     N live and only unreferenced orphans on disk;
+    *   - untouched cells' files are byte-identical (never a
+    *     full-index rewrite — maintenance IO is proportional to the
+    *     affected cells, measured at x100 in BASELINE §r15);
+    *   - a cell whose rows were ALL deleted stages nothing and drops
+    *     from the manifest; [[occupancyAudit]] still reports it (the
+    *     audit left-joins from the centroid table) as 0 live / 0 dead;
+    *   - post-compact [[occupancyAudit]] shows n_dead = 0 and
+    *     n_files ≤ 1 for every rewritten cell.
     *
     * The affected-cell list is a bounded driver-side collect — at
     * most `cells` rows, the same k-row discipline as the centroid
-    * ships (Pipeline/SemanticDedup model broadcasts). The quantizer is
-    * untouched: compaction moves rows it already placed, so no cell
-    * geometry, centroid, or assignment changes. */
-  def compactIndex(spark: SparkSession, dir: String): Unit = {
-    val hconf = spark.sessionState.newHadoopConf()
-    val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    val fs = tombPath.getFileSystem(hconf)
-    val staged = s"$dir/lists_compacting"
-    val stagedPath = new org.apache.hadoop.fs.Path(staged)
-    // Crash recovery (r15 review): the swap below deletes a cell's old
-    // directory and then renames its staged replacement in. A crash
-    // between the two leaves that cell's LIVE rows only under
-    // lists_compacting — and a naive rerun would recompute "affected"
-    // from lists (the cell is gone, so it isn't affected) and then
-    // mode("overwrite") the staging dir, destroying the only copy.
-    // So: on entry, any staged cell directory whose lists/ twin is
-    // MISSING is a half-finished swap — finish it (the staged copy is
-    // authoritative: old dirs are deleted only after the full staging
-    // write committed); one whose twin still exists never started its
-    // swap and is safely discarded (tombstones are deleted last, so a
-    // rerun re-stages it identically).
-    if (fs.exists(stagedPath)) {
-      fs.listStatus(stagedPath).foreach { st =>
-        val name = st.getPath.getName
-        if (name.startsWith("cell=")) {
-          val target = new org.apache.hadoop.fs.Path(s"$dir/lists/$name")
-          if (!fs.exists(target))
-            require(fs.rename(st.getPath, target),
-              s"compactIndex recovery: rename ${st.getPath} -> $target failed")
-        }
-      }
-      fs.delete(stagedPath, true)
-    }
-    if (!fs.exists(tombPath)) return // nothing to compact
-    val tombs = spark.read.parquet(tombPath.toString).select(col("vec_id"))
-    val lists = spark.read.parquet(s"$dir/lists")
+    * ships. The quantizer is untouched: compaction moves rows it
+    * already placed, so no cell geometry, centroid, or assignment
+    * changes. */
+  def compactIndex(spark: SparkSession, dir: String,
+      maxFilesPerCell: Int = DefaultMaxFilesPerCell): Unit = {
+    val fs = hadoopFs(spark, dir)
+    val prev = ensureManifest(spark, dir)
+    val tombs = manifestTombstones(spark, dir, prev)
+    val lists = manifestLists(spark, dir, prev)
+    val fragCells = prev.listFiles.groupBy(cellOf)
+      .collect { case (c, fls) if fls.size > maxFilesPerCell => c }.toSet
     // bounded collect: ≤ cells rows (distinct partition values)
-    val affected = lists.join(tombs, Seq("vec_id"), "left_semi")
-      .select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
+    val tombCells =
+      if (prev.tombstoneFiles.isEmpty) Set.empty[Int]
+      else lists.join(tombs, Seq("vec_id"), "left_semi")
+        .select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSet
+    val affected = (fragCells ++ tombCells).toSeq.sorted
+    if (affected.isEmpty && prev.tombstoneFiles.isEmpty) return // no-op
+    val staged = s"$dir/lists_compacting"
+    val moved = scala.collection.mutable.ArrayBuffer.empty[String]
     if (affected.nonEmpty) {
       // stage the affected cells' LIVE rows; the cell isin predicate
       // prunes the scan to exactly those directories (the
@@ -483,69 +667,218 @@ object AnnIvf {
         .join(tombs, Seq("vec_id"), "left_anti")
         .repartition(col("cell")) // one file per rewritten cell (writeIndex note)
         .write.mode("overwrite").partitionBy("cell").parquet(staged)
-      affected.foreach { c =>
-        val oldCell = new org.apache.hadoop.fs.Path(s"$dir/lists/cell=$c")
-        val newCell = new org.apache.hadoop.fs.Path(s"$staged/cell=$c")
-        // fail LOUDLY on a rename the filesystem refuses (e.g. a
-        // cross-filesystem staging dir): the old dir is gone by then
-        // and only the recovery path above can finish the swap — an
-        // ignored false return would lose the cell silently
-        fs.delete(oldCell, true)
-        // a fully-dead cell stages no directory: deletion IS its rewrite
-        if (fs.exists(newCell))
-          require(fs.rename(newCell, oldCell),
-            s"compactIndex: rename $newCell -> $oldCell failed; rerun " +
-            "compactIndex to recover from the staging directory")
+      // move the staged files IN (adds, never replacements: Spark's
+      // job-UUID part names cannot collide with committed files) —
+      // invisible to every reader until the manifest commit below
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(staged), true)
+      while (it.hasNext) {
+        val f = it.next().getPath
+        val cellDir = f.getParent.getName // cell=X
+        if (f.getName.endsWith(".parquet") && !f.getName.startsWith(".") &&
+            !f.getName.startsWith("_") && cellDir.startsWith("cell=")) {
+          val target = new org.apache.hadoop.fs.Path(
+            s"$dir/lists/$cellDir/${f.getName}")
+          fs.mkdirs(target.getParent)
+          require(fs.rename(f, target),
+            s"compactIndex: rename $f -> $target failed (cross-filesystem " +
+            "staging dir?); manifest not committed — the live index is intact")
+          moved += s"lists/$cellDir/${f.getName}"
+        }
       }
-      fs.delete(stagedPath, true)
+      fs.delete(new org.apache.hadoop.fs.Path(staged), true)
     }
-    fs.delete(tombPath, true)
+    val affectedSet = affected.toSet
+    val keep = prev.listFiles.filterNot(f => affectedSet(cellOf(f)))
+    commitManifest(spark, dir, prev.version + 1, keep ++ moved.toSeq, Seq.empty)
   }
 
-  /** The tombstone relation, or an empty (vec_id) relation when no
-    * delete has happened yet. */
-  private def tombstonesOf(spark: SparkSession, dir: String): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(path)) spark.read.parquet(path.toString).select(col("vec_id"))
-    else spark.range(0).select(col("id").as("vec_id"))
+  /** Garbage-collect everything the NEWEST manifest doesn't reference:
+    * pre-compaction cell files, cleared tombstones, crashed-op
+    * orphans, empty cell directories, superseded manifests, stray
+    * staging dirs. This is the explicit snapshot-expiry boundary — a
+    * reader still pinned to an older manifest loses its files, so run
+    * it when no such reader is live (documented contract; the
+    * manifest pin makes the requirement checkable: reader.version <
+    * latest means don't prune yet). Returns the number of files
+    * removed. */
+  def pruneIndex(spark: SparkSession, dir: String): Long = {
+    val fs = hadoopFs(spark, dir)
+    val m = ensureManifest(spark, dir)
+    val referenced = (m.listFiles ++ m.tombstoneFiles).toSet
+    var removed = 0L
+    Seq("lists", "tombstones").foreach { sub =>
+      dataFilesUnder(spark, dir, sub).foreach { f =>
+        if (!referenced(f)) {
+          if (fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$f"), false))
+            removed += 1
+        }
+      }
+    }
+    // drop now-empty cell directories / the tombstones dir
+    val listsPath = new org.apache.hadoop.fs.Path(s"$dir/lists")
+    if (fs.exists(listsPath))
+      fs.listStatus(listsPath).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith("cell=") &&
+            fs.listStatus(st.getPath).forall(c =>
+              c.getPath.getName.startsWith(".") ||
+              c.getPath.getName.startsWith("_")))
+          fs.delete(st.getPath, true)
+      }
+    val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    if (fs.exists(tombPath) && fs.listStatus(tombPath).forall(c =>
+        c.getPath.getName.startsWith(".") || c.getPath.getName.startsWith("_")))
+      fs.delete(tombPath, true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/lists_compacting"), true)
+    // superseded manifests
+    val mp = new org.apache.hadoop.fs.Path(s"$dir/manifests")
+    if (fs.exists(mp))
+      fs.listStatus(mp).foreach { st =>
+        st.getPath.getName match {
+          case ManifestName(v) if v.toLong < m.version =>
+            fs.delete(st.getPath, false)
+          case n if n.endsWith(".tmp") => fs.delete(st.getPath, false)
+          case _ => ()
+        }
+      }
+    removed
   }
 
-  /** Live rows of the persisted lists: the scan (partition pruning
-    * intact — the anti join sits ABOVE it) minus tombstoned ids. */
-  private def liveLists(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/lists")
-      .join(tombstonesOf(spark, dir), Seq("vec_id"), "left_anti")
+  /** The tombstone relation of the newest snapshot, or an empty
+    * (vec_id) relation when no delete has happened yet. */
+  private def tombstonesOf(spark: SparkSession, dir: String): DataFrame =
+    manifestTombstones(spark, dir, snapshotOf(spark, dir))
+
+  /** Live rows of the persisted lists — the newest snapshot's files
+    * (partition pruning intact — the anti join sits ABOVE the scan)
+    * minus tombstoned ids. One-shot form; a serving process holds an
+    * [[openIndex]] reader instead (pinned snapshot, no per-query
+    * manifest resolution or file listing). */
+  private def liveLists(spark: SparkSession, dir: String): DataFrame = {
+    val m = snapshotOf(spark, dir)
+    manifestLists(spark, dir, m)
+      .join(manifestTombstones(spark, dir, m), Seq("vec_id"), "left_anti")
+  }
 
   /** Cell-occupancy skew audit of a persisted index — the retrain /
-    * compaction trigger (r14). One partial-agg pass over the lists
-    * (narrow columns only) left-joined onto the centroid table so
-    * EMPTY cells report too: per cell the live count, tombstoned
-    * count, live share of the corpus, and load_ratio = live / mean
-    * live occupancy. max(load_ratio) drifting up means the frozen
-    * quantizer no longer fits the data distribution (retrain);
-    * dead fraction drifting up means run [[compactIndex]]. Bounded
-    * output — k rows at any corpus size. */
+    * compaction trigger (r14; fragmentation column r16, VERDICT r15
+    * item 3). One partial-agg pass over the lists (narrow columns
+    * only) left-joined onto the centroid table so EMPTY cells report
+    * too: per cell the live count, tombstoned count, live share of
+    * the corpus, load_ratio = live / mean live occupancy, and
+    * n_files — the cell's committed file count from the manifest
+    * (driver-side path parse, no extra scan). max(load_ratio)
+    * drifting up means the frozen quantizer no longer fits the data
+    * distribution (retrain); dead fraction OR n_files drifting up
+    * means run [[compactIndex]] — appends fragment cells even with
+    * zero deletes, and fragmented cells quietly erode the
+    * one-file-per-cell probe-IO result. Bounded output — k rows at
+    * any corpus size. The whole audit reads ONE snapshot (lists,
+    * tombstones, and file counts all from the same manifest). */
   def occupancyAudit(spark: SparkSession, dir: String): DataFrame = {
-    val status = spark.read.parquet(s"$dir/lists")
+    val snap = snapshotOf(spark, dir)
+    val status = manifestLists(spark, dir, snap)
       .select(col("cell"), col("vec_id"))
-      .join(tombstonesOf(spark, dir).withColumn("dead", lit(1)),
+      .join(manifestTombstones(spark, dir, snap).withColumn("dead", lit(1)),
         Seq("vec_id"), "left")
+    val fileCounts = snap.listFiles.groupBy(cellOf)
+      .map { case (c, fls) => (c, fls.size.toLong) }.toSeq
+    val fcDf = {
+      import spark.implicits._
+      fileCounts.toDF("cell", "n_files")
+    }
     val occ = spark.read.parquet(s"$dir/centroids").select(col("cell"))
       .join(status.groupBy(col("cell")).agg(
           sum(when(col("dead").isNull, 1L).otherwise(0L)).as("n_live"),
           sum(when(col("dead").isNotNull, 1L).otherwise(0L)).as("n_dead")),
         Seq("cell"), "left")
+      .join(broadcast(fcDf), Seq("cell"), "left")
       .select(col("cell"),
         coalesce(col("n_live"), lit(0L)).as("n_live"),
-        coalesce(col("n_dead"), lit(0L)).as("n_dead"))
+        coalesce(col("n_dead"), lit(0L)).as("n_dead"),
+        coalesce(col("n_files"), lit(0L)).as("n_files"))
     val tot = occ.agg(sum(col("n_live")).as("total"),
       count(lit(1)).as("n_cells"))
     occ.crossJoin(broadcast(tot))
       .select(col("cell"), col("n_live"), col("n_dead"),
         round(col("n_live") / col("total"), 6).as("occ_share"),
-        round(col("n_live") * col("n_cells") / col("total"), 6).as("load_ratio"))
+        round(col("n_live") * col("n_cells") / col("total"), 6).as("load_ratio"),
+        col("n_files"))
       .orderBy(col("cell"))
+  }
+
+  /** A pinned-snapshot SERVING HANDLE (r16, VERDICT r15 item 4): the
+    * deployment form the r15 IndexServeDuel measured as duel-local
+    * caching, now public API. Opening resolves the newest manifest
+    * ONCE, collects the k-row centroid table ONCE (bounded — the
+    * model-ship discipline), and builds the lists relation (and its
+    * file index) ONCE; each query is then pure driver-side probe
+    * arithmetic plus one pruned scan — no per-query manifest read,
+    * centroid job, or O(cells) directory listing. Measured warm shape:
+    * 0.100→0.113 s/query near-flat 20k→200k (BASELINE §r15).
+    *
+    * Snapshot semantics: the reader serves ITS manifest version until
+    * closed — maintenance ops committing N+1 don't disturb it
+    * (AnnIvfIndexSpec pins a pinned reader serving identical results
+    * across a concurrent compaction commit), and [[pruneIndex]] is
+    * the one operation that can invalidate it (`version <
+    * latestManifest(...).version` is the don't-prune-yet check). */
+  final class IvfIndexReader private[AnnIvf] (
+      spark: SparkSession, dir: String, val manifest: IndexManifest,
+      cents: Array[(Int, Array[Float], Double)],
+      lists: DataFrame, tombs: DataFrame) {
+
+    def version: Long = manifest.version
+
+    /** Driver-side probe ranking over the cached centroid table —
+      * bit-identical to [[AnnIvf.probeRank]]: the same sequential
+      * double left-fold in element order as the FloatVecDot kernel,
+      * the same (−cosine, cell) total order. */
+    def probeRank(query: Array[Float], nprobe: Int): Seq[Int] = {
+      val qnrm = math.sqrt(query.map(v => v.toDouble * v).sum)
+      cents.map { case (cell, cent, cnrm) =>
+        val n = math.min(cent.length, query.length)
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += cent(i).toDouble * query(i).toDouble; i += 1 }
+        (-(acc / (cnrm * qnrm)), cell)
+      }.sorted.take(nprobe).map(_._2).toSeq
+    }
+
+    /** [[AnnIvf.topKFromIndex]] against the pinned snapshot — spec-
+      * pinned result-identical, without the per-query jobs. */
+    def topK(query: Array[Float], k: Int, nprobe: Int): DataFrame = {
+      val qnrm = math.sqrt(query.map(v => v.toDouble * v).sum)
+      val qcol = array(query.map(v => lit(v)): _*).cast("array<float>")
+      val probed = probeRank(query, nprobe)
+      lists.filter(col("cell").isin(probed: _*))
+        .join(tombs, Seq("vec_id"), "left_anti")
+        .withColumn("cs",
+          VecOps.dot(spark, col("embedding"), qcol) / (col("nrm") * lit(qnrm)))
+        .select(col("vec_id"), col("cell"), col("cs"))
+        .orderBy(col("cs").desc, col("vec_id").asc)
+        .limit(k)
+    }
+
+    /** [[AnnIvf.probeCandidatesFromIndex]] against the pinned
+      * snapshot (the streaming-serving shape reuses the one lists
+      * relation across triggers). */
+    def probeCandidates(queries: DataFrame, nprobe: Int, threshold: Double,
+        maxLiteralCells: Int = MaxLiteralCells): DataFrame =
+      AnnIvf.probeCandidates(queries,
+        lists.join(tombs, Seq("vec_id"), "left_anti"),
+        spark.read.parquet(s"$dir/centroids"), nprobe, threshold,
+        maxLiteralCells)
+  }
+
+  /** Open a serving handle on the newest committed snapshot. */
+  def openIndex(spark: SparkSession, dir: String): IvfIndexReader = {
+    val m = snapshotOf(spark, dir)
+    val centRows = withCnrm(spark, spark.read.parquet(s"$dir/centroids"))
+      .select(col("cell"), col("centroid"), col("cnrm")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    new IvfIndexReader(spark, dir, m, centRows,
+      manifestLists(spark, dir, m), manifestTombstones(spark, dir, m))
   }
 
   /** ALL-PAIRS approximate near-duplicate retrieval — the IVF

@@ -79,10 +79,18 @@ object CompactionProbe {
       val t1 = System.nanoTime()
       graft.operators.AnnIvf.compactIndex(spark, idx)
       val wall = (System.nanoTime() - t1) / 1e9
+      // r16 manifest model: compaction ADDS files and commits; the
+      // superseded files leave at the explicit GC boundary — prune is
+      // timed separately so the commit wall stays the concurrent-safe
+      // maintenance cost and the byte delta is measured post-GC
+      val t2 = System.nanoTime()
+      val prunedFiles = graft.operators.AnnIvf.pruneIndex(spark, idx)
+      val pruneWall = (System.nanoTime() - t2) / 1e9
       val mtAfter = cellMtimes()
       val rewritten = mtAfter.count { case (k, v) => mtBefore.get(k).exists(_ != v) } +
         (mtBefore.keySet -- mtAfter.keySet).size
       println(f"COMPACT x$mult $tag compact_wall=$wall%.1f s " +
+        f"prune_wall=$pruneWall%.1f s pruned_files=$prunedFiles " +
         s"rewritten_cells=$rewritten/${mtBefore.size} " +
         f"lists_bytes=${bytesBefore / 1048576.0}%.1f MiB -> " +
         f"${dirBytes(s"$idx/lists") / 1048576.0}%.1f MiB " +

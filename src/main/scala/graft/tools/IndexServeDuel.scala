@@ -116,31 +116,18 @@ object IndexServeDuel {
         val ids = df.collect().map(_.getLong(0)).toSet
         ((ids), (System.nanoTime() - t) / 1e9, scanBytes(df, "/lists"))
       }
-      // the WARM SERVING PROCESS shape: the lists relation (and its
-      // file index) built ONCE and reused, the k-row centroid table
-      // collected ONCE — per query only the driver-side probe ranking
-      // + the pruned scan run. This is what a deployment amortizes:
-      // the cold idxOne pays an O(cells) directory listing and a
-      // centroid-collect JOB per query, which dominates its wall at
-      // these corpus sizes (r15 review).
-      val warmLists = spark.read.parquet(s"$idxDir/lists")
-      val warmCents = spark.read.parquet(s"$idxDir/centroids")
-        .collect().map(r => (r.getInt(0),
-          r.getSeq[Float](1).toArray)).sortBy(_._1)
+      // the WARM SERVING PROCESS shape, THROUGH the public handle
+      // (r16, VERDICT r15 item 4 — the r15 duel proved this shape
+      // with duel-local caching; AnnIvf.openIndex is now that shape
+      // as API): manifest + lists relation + centroid table resolved
+      // ONCE at open, per query only the driver-side probe ranking +
+      // the pruned scan run. The cold idxOne pays an O(cells)
+      // directory listing and a centroid-collect JOB per query, which
+      // dominates its wall at these corpus sizes (r15 review).
+      val warmReader = AnnIvf.openIndex(spark, idxDir)
       def idxWarm(q: Array[Float], nprobe: Int): (Set[Long], Double, Long) = {
         val t = System.nanoTime()
-        val qnrm = math.sqrt(q.map(v => v.toDouble * v).sum)
-        val probed = warmCents.map { case (c, cent) =>
-          val dot = cent.indices.map(i => cent(i).toDouble * q(i)).sum
-          val cnrm = math.sqrt(cent.map(v => v.toDouble * v).sum)
-          (-dot / (cnrm * qnrm), c)
-        }.sorted.take(nprobe).map(_._2).toSeq
-        val qcol = array(q.map(v => lit(v)): _*).cast("array<float>")
-        val df = warmLists.filter($"cell".isin(probed: _*))
-          .select($"vec_id",
-            (VecOps.dot(spark, $"embedding", qcol) /
-              ($"nrm" * lit(qnrm))).as("cs"))
-          .orderBy($"cs".desc, $"vec_id".asc).limit(10)
+        val df = warmReader.topK(q, 10, nprobe)
         val ids = df.collect().map(_.getLong(0)).toSet
         ((ids), (System.nanoTime() - t) / 1e9, scanBytes(df, "/lists"))
       }

@@ -68,9 +68,11 @@ class AnnIvfIndexSpec extends AnyFunSuite {
     // the independently derived probe ranking, not merely be smaller
     // than the corpus
     val expected = AnnIvf.probeRank(spark, indexDir, query, Nprobe).toSet
+    // manifest-resolved scans list explicit FILES, so root paths are
+    // the files themselves — match on the lists/ segment
     val listScan = graft.plans.PlanGate.allNodes(df.queryExecution.executedPlan)
       .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
-      .find(_.relation.location.rootPaths.exists(_.toString.endsWith("/lists")))
+      .find(_.relation.location.rootPaths.exists(_.toString.contains("/lists")))
       .getOrElse(fail("no lists scan in the plan"))
     val readDirs = listScan.relation.location
       .listFiles(listScan.partitionFilters, listScan.dataFilters)
@@ -192,13 +194,24 @@ class AnnIvfIndexSpec extends AnyFunSuite {
     val before = fileDigests(untouched)
     AnnIvf.compactIndex(spark, dir)
     // (c) untouched cells' files byte-identical — no full-index rewrite
+    // (compaction only ADDS files for affected cells; prune below only
+    // removes superseded ones, so untouched digests survive both)
     assert(fileDigests(untouched) === before,
       "compaction rewrote a cell with no tombstoned rows")
     // (a) serving identical: same ids, same order, same cells/cosines
     val servedAfter = AnnIvf.topKFromIndex(spark, dir, query, 10, Nprobe)
       .collect().toSeq.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
     assert(servedAfter === servedBefore)
-    // (b) tombstones cleared; the rows are physically gone
+    // (b) tombstones cleared in the SNAPSHOT at commit (the physical
+    // files go at prune time): the audit's dead column reads 0 already
+    val auditPrePrune = AnnIvf.occupancyAudit(spark, dir).collect()
+    assert(auditPrePrune.map(_.getLong(2)).sum === 0L,
+      "n_dead nonzero after compaction commit")
+    // GC boundary: prune removes the superseded files + empty dirs
+    val pruned = AnnIvf.pruneIndex(spark, dir)
+    assert(pruned > 0L, "prune found nothing to remove after a compaction")
+    assert(fileDigests(untouched) === before,
+      "prune touched an untouched cell's files")
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/tombstones")))
     val listsAfter = spark.read.parquet(s"$dir/lists")
     assert(listsAfter.count() === n - dead.size)
@@ -213,18 +226,23 @@ class AnnIvfIndexSpec extends AnyFunSuite {
     assert(audit.map(_.getLong(1)).sum === n - dead.size)
     assert(audit.find(_.getInt(0) === deadCell).get.getLong(1) === 0L)
     // compaction is idempotent: a second run with no tombstones is a no-op
+    val v = AnnIvf.latestManifest(spark, dir).get.version
     AnnIvf.compactIndex(spark, dir)
+    assert(AnnIvf.latestManifest(spark, dir).get.version === v,
+      "a no-op compaction committed a new manifest")
     assert(AnnIvf.topKFromIndex(spark, dir, query, 10, Nprobe)
       .collect().toSeq.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
       === servedBefore)
   }
 
-  test("compactIndex recovery: a crash between delete and rename loses nothing on rerun") {
-    // simulate the exact mid-swap crash state the r15 review flagged:
-    // staging committed, one affected cell's OLD dir already deleted,
-    // its staged replacement not yet renamed in — then a fresh
-    // compactIndex must first finish that swap from the staging dir
-    // (the only copy of the cell's live rows) before proceeding.
+  test("crash safety: files a crashed op never committed are invisible; rerun completes; prune removes them") {
+    // the manifest model's crash story: every maintenance op ADDS
+    // files and commits last, so a crash at ANY point leaves either
+    // (a) the old manifest + unreferenced orphans, or (b) the new
+    // manifest — never a state where live rows exist only in staging.
+    // Simulate the worst pre-commit state: orphan data files sitting
+    // INSIDE live cell directories (a compaction that crashed between
+    // its move step and its manifest commit).
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfcrash").toString
     val emb = Tables.embeddings(spark, d).select($"vec_id", $"embedding")
     AnnIvf.writeIndex(spark, emb, dir, Cells)
@@ -232,39 +250,138 @@ class AnnIvfIndexSpec extends AnyFunSuite {
     val before = AnnIvf.topKFromIndex(spark, dir, query, 12, Nprobe).collect().toSeq
     val dead = Seq(before(1).getLong(0), before(4).getLong(0))
     AnnIvf.deleteFromIndex(spark, dead.toDF("vec_id"), dir)
-    // manual staging — the same plan compactIndex writes
-    val tombs = spark.read.parquet(s"$dir/tombstones").select($"vec_id")
-    val lists = spark.read.parquet(s"$dir/lists")
-    val affected = lists.join(tombs, Seq("vec_id"), "left_semi")
-      .select($"cell").distinct().collect().map(_.getInt(0)).toSeq.sorted
-    assert(affected.nonEmpty)
-    lists.filter($"cell".isin(affected: _*))
-      .join(tombs, Seq("vec_id"), "left_anti")
-      .repartition($"cell")
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/lists_compacting")
-    // "crash": the first affected cell's old dir is deleted, rename never ran
-    val half = affected.head
-    def rmTree(p: String): Unit = {
-      import scala.jdk.CollectionConverters._
-      val path = java.nio.file.Paths.get(p)
-      if (java.nio.file.Files.exists(path))
-        java.nio.file.Files.walk(path).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
-    rmTree(s"$dir/lists/cell=$half")
-    // rerun from scratch: recovery + the normal pass
+    // plant the orphans: copy an existing committed cell file to a
+    // sibling name in the same cell dir — a directory listing would
+    // now double-serve every row of that cell; the manifest must not
+    import scala.jdk.CollectionConverters._
+    val cellDir = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/lists"))
+      .iterator().asScala.find(_.getFileName.toString.startsWith("cell=")).get
+    val committed = java.nio.file.Files.list(cellDir).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val orphan = cellDir.resolve("part-orphan-from-crashed-op.parquet")
+    java.nio.file.Files.copy(committed, orphan)
+    // serving is undisturbed — the orphan is not in any manifest
+    val served = AnnIvf.topKFromIndex(spark, dir, query, 10, Nprobe).collect().toSeq
+    assert(served.map(r => (r.getLong(0), r.getDouble(2))) ===
+      before.filterNot(r => dead.contains(r.getLong(0))).take(10)
+        .map(r => (r.getLong(0), r.getDouble(2))),
+      "an uncommitted orphan file leaked into serving")
+    assert(AnnIvf.occupancyAudit(spark, dir)
+      .agg(sum($"n_live") + sum($"n_dead")).head().getLong(0) === n,
+      "the audit counted rows from an uncommitted file")
+    // the crashed op simply reruns: compaction completes normally…
     AnnIvf.compactIndex(spark, dir)
     val after = AnnIvf.topKFromIndex(spark, dir, query, 10, Nprobe).collect().toSeq
     assert(after.map(r => (r.getLong(0), r.getDouble(2))) ===
       before.filterNot(r => dead.contains(r.getLong(0))).take(10)
-        .map(r => (r.getLong(0), r.getDouble(2))),
-      "post-recovery serving diverged from the tombstone-filtered truth")
+        .map(r => (r.getLong(0), r.getDouble(2))))
+    // …and prune clears the orphan with the other superseded files
+    AnnIvf.pruneIndex(spark, dir)
+    assert(!java.nio.file.Files.exists(orphan), "prune left the orphan behind")
     val listsAfter = spark.read.parquet(s"$dir/lists")
     assert(listsAfter.count() === n - dead.size,
       "a live row was lost across the simulated crash")
     assert(listsAfter.filter($"vec_id".isin(dead: _*)).count() === 0L)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/lists_compacting")))
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/tombstones")))
+  }
+
+  test("snapshot isolation: a reader pinned pre-compaction serves identically while compaction commits; post-commit opens see the new version") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfsnap").toString
+    val emb = Tables.embeddings(spark, d).select($"vec_id", $"embedding")
+    AnnIvf.writeIndex(spark, emb, dir, Cells)
+    val top = AnnIvf.topKFromIndex(spark, dir, query, 12, Nprobe).collect().toSeq
+    val dead = Seq(top(1).getLong(0), top(4).getLong(0))
+    AnnIvf.deleteFromIndex(spark, dead.toDF("vec_id"), dir)
+    // pin a reader on the tombstoned snapshot
+    val pinned = AnnIvf.openIndex(spark, dir)
+    val pinnedBefore = pinned.topK(query, 10, Nprobe).collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // compaction commits a new manifest UNDER the pinned reader
+    AnnIvf.compactIndex(spark, dir)
+    val latest = AnnIvf.latestManifest(spark, dir).get
+    assert(latest.version === pinned.version + 1)
+    // the pinned reader still serves its snapshot, byte-identically —
+    // its files are immutable and compaction only added new ones
+    val pinnedAfter = pinned.topK(query, 10, Nprobe).collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(pinnedAfter === pinnedBefore,
+      "a pinned reader's results moved under a concurrent compaction")
+    // a post-commit open resolves the compacted snapshot and agrees
+    val fresh = AnnIvf.openIndex(spark, dir)
+    assert(fresh.version === latest.version)
+    assert(fresh.manifest.tombstoneFiles.isEmpty)
+    val freshServed = fresh.topK(query, 10, Nprobe).collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(freshServed === pinnedBefore,
+      "compaction changed serving results (it must only clear tombstones)")
+    // prune is the explicit invalidation boundary for the pinned reader
+    AnnIvf.pruneIndex(spark, dir)
+    assert(fresh.topK(query, 10, Nprobe).collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))) === pinnedBefore)
+  }
+
+  test("fragmentation: appends fragment cells, the audit's n_files flags it, compaction restores one file per cell") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivffrag").toString
+    val emb = Tables.embeddings(spark, d).select($"vec_id", $"embedding")
+    AnnIvf.writeIndex(spark, emb, dir, Cells)
+    // three append batches: clones of the whole corpus under fresh id
+    // ranges — every cell gains a file per batch (same assignment
+    // under the frozen quantizer)
+    (1 to 3).foreach { b =>
+      AnnIvf.appendToIndex(spark, emb.select(
+        ($"vec_id" + b * 1000000L).as("vec_id"), $"embedding"), dir)
+    }
+    val audit = AnnIvf.occupancyAudit(spark, dir).collect()
+    val maxFiles = audit.map(_.getLong(5)).max
+    assert(maxFiles >= 4L,
+      s"three whole-corpus appends should fragment every occupied cell to 4 files (max=$maxFiles)")
+    assert(audit.map(_.getLong(1)).sum === emb.count() * 4)
+    val servedBefore = AnnIvf.topKFromIndex(spark, dir, query, 10, Nprobe)
+      .collect().toSeq.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // zero tombstones — the FRAGMENTATION trigger alone must rewrite
+    AnnIvf.compactIndex(spark, dir, maxFilesPerCell = 1)
+    AnnIvf.pruneIndex(spark, dir)
+    val auditAfter = AnnIvf.occupancyAudit(spark, dir).collect()
+    assert(auditAfter.map(_.getLong(5)).max <= 1L,
+      "a compacted cell still holds more than one file")
+    assert(auditAfter.map(_.getLong(1)).sum === emb.count() * 4,
+      "compaction changed the live row count")
+    // physical file count agrees with the audit (the manifest is not
+    // just bookkeeping — one .parquet per occupied cell on disk)
+    import scala.jdk.CollectionConverters._
+    val diskFiles = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$dir/lists")).iterator().asScala
+      .count(p => p.getFileName.toString.endsWith(".parquet"))
+    assert(diskFiles.toLong === auditAfter.count(_.getLong(1) > 0),
+      "disk file count diverged from the audit's n_files")
+    val servedAfter = AnnIvf.topKFromIndex(spark, dir, query, 10, Nprobe)
+      .collect().toSeq.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(servedAfter === servedBefore,
+      "defragmentation changed serving results")
+  }
+
+  test("openIndex: the serving handle matches topKFromIndex and probeCandidatesFromIndex exactly") {
+    val reader = AnnIvf.openIndex(spark, indexDir)
+    assert(reader.version === 1L)
+    // driver-side probe ranking ≡ the Spark-side one, bit for bit
+    assert(reader.probeRank(query, Nprobe) ===
+      AnnIvf.probeRank(spark, indexDir, query, Nprobe))
+    // topK ≡ topKFromIndex (ids, cells, cosines, order)
+    val viaReader = reader.topK(query, 10, Nprobe).collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val viaOneShot = AnnIvf.topKFromIndex(spark, indexDir, query, 10, Nprobe)
+      .collect().toSeq.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(viaReader === viaOneShot)
+    // probeCandidates parity on a 3-query batch
+    val qs = Tables.embeddings(spark, d).filter($"vec_id" < 3)
+      .select(($"vec_id" + 500L).as("query_id"), $"embedding".as("qvec"))
+    val viaReaderPc = reader.probeCandidates(qs, Nprobe, 0.2).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val viaOneShotPc = AnnIvf.probeCandidatesFromIndex(qs, spark, indexDir,
+        Nprobe, 0.2).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(viaReaderPc === viaOneShotPc)
   }
 
   test("appendToIndex: frozen quantizer — old results byte-identical, new vectors retrievable") {
