@@ -301,8 +301,10 @@ object AnnPq {
   val SurvivorBandBudget = 50000000L
 
   /** The bounded sample measurement behind the band refusal (doc
-    * above); throws IllegalArgumentException when the extrapolated
-    * SURVIVOR estimate exceeds `bandBudget`. The estimate is gated on
+    * above); returns Some(refusal message) when the extrapolated
+    * SURVIVOR estimate exceeds `bandBudget` — [[neardupPairs]] throws
+    * it, [[neardupPqAuto]] dispatches on it (r16, VERDICT r15
+    * item 5). The estimate is gated on
     * BOTH stages the real pipeline applies (r15 review: a band-only
     * extrapolation over-refuses selective-LSH configs whose candidate
     * join already thins the band): a sample pair is a projected
@@ -314,7 +316,7 @@ object AnnPq {
   private def calibrateBand(spark: SparkSession, prepared: DataFrame,
       enc: DataFrame, books: DataFrame, threshold: Double, margin: Double,
       m: Int, ksub: Int, tables: Int, bits: Int, n: Long,
-      bandBudget: Long): Unit = {
+      bandBudget: Long): Option[String] = {
     val sample = enc
       .join(prepared.select(col("vec_id"), col("embedding")), "vec_id")
       .orderBy(md5(concat(lit("pqband#"), col("vec_id").cast("string"))),
@@ -338,7 +340,8 @@ object AnnPq {
     val sPairs = math.max(1L, sVecs * (sVecs - 1) / 2)
     val survFrac = sSurv.toDouble / sPairs
     val estSurv = survFrac * n * (n - 1) / 2
-    require(estSurv <= bandBudget,
+    if (estSurv <= bandBudget) None
+    else Some(
       f"AnnPq.neardupPairs: the SDC survivor band at θ−margin = " +
       f"${threshold - margin}%.2f admits ~${sBand * 100.0 / sPairs}%.1f%% of " +
       f"all pairs, and ~${survFrac * 100}%.1f%% also collide in the " +
@@ -351,10 +354,21 @@ object AnnPq {
       "complete at this regime where the PQ band spills)")
   }
 
-  def neardupPairs(spark: SparkSession, emb: DataFrame, threshold: Double,
-      tables: Int, bits: Int, m: Int = 32, ksub: Int = 16,
-      margin: Double = 0.2, iters: Int = 2,
-      bandBudget: Long = SurvivorBandBudget): DataFrame = {
+  /** Trained state shared by [[neardupPairs]] and [[neardupPqAuto]]:
+    * the prepared/encoded relations (cached), codebooks, corpus count,
+    * and the band verdict — None inside the declared regime, Some
+    * (refusal message) where the survivor band would spill. The
+    * calibration sample scan is SKIPPED when even a 100% band fits
+    * the budget (n(n−1)/2 ≤ budget): the decision is then a constant
+    * regardless of the measured fraction, so measuring buys nothing —
+    * free at bench scale (n=2000 ⇒ 2M ≤ 5·10⁷) while every scale
+    * that could trip it still measures. */
+  private case class TrainedBand(prepared: DataFrame, enc: DataFrame,
+      books: DataFrame, refusal: Option[String])
+
+  private def trainAndCalibrate(spark: SparkSession, emb: DataFrame,
+      threshold: Double, tables: Int, bits: Int, m: Int, ksub: Int,
+      margin: Double, iters: Int, bandBudget: Long): TrainedBand = {
     requireCodeLayout(m, ksub)
     val prepared = emb.select(col("vec_id"), col("embedding"),
       VecOps.norm(spark, col("embedding")).as("nrm"))
@@ -364,16 +378,54 @@ object AnnPq {
       trainAssign(spark, prepared, m, ksub, iters))
     val books = booksOf(assigned)
     val enc = graft.CacheScope.localEager(encodeWith(assigned, prepared))
-    // --- margin-band calibration (doc above): bounded sample pair
-    // scan over the CACHED code relation with the real codebooks.
-    // Skipped when even a 100% band fits the budget (n(n−1)/2 ≤
-    // budget): the refusal decision is then a constant regardless of
-    // the measured fraction, so the sample scan would buy nothing —
-    // this keeps the guard free at bench scale (n=2000 ⇒ 2M ≤ 5·10⁷)
-    // while every scale that could trip it still measures. ---
     val n = enc.count()
-    if (n * (n - 1) / 2 > bandBudget) calibrateBand(spark, prepared, enc,
-      books, threshold, margin, m, ksub, tables, bits, n, bandBudget)
+    val refusal =
+      if (n * (n - 1) / 2 > bandBudget)
+        calibrateBand(spark, prepared, enc, books, threshold, margin,
+          m, ksub, tables, bits, n, bandBudget)
+      else None
+    TrainedBand(prepared, enc, books, refusal)
+  }
+
+  def neardupPairs(spark: SparkSession, emb: DataFrame, threshold: Double,
+      tables: Int, bits: Int, m: Int = 32, ksub: Int = 16,
+      margin: Double = 0.2, iters: Int = 2,
+      bandBudget: Long = SurvivorBandBudget): DataFrame = {
+    val t = trainAndCalibrate(spark, emb, threshold, tables, bits, m, ksub,
+      margin, iters, bandBudget)
+    t.refusal.foreach(msg => throw new IllegalArgumentException(msg))
+    pairsFromEncoded(spark, t.prepared, t.enc, t.books, threshold, tables,
+      bits, m, ksub, margin)
+  }
+
+  /** PQ AUTO-HANDOFF (r16, VERDICT r15 item 5 — the dispatch-family
+    * precedent applied to the r15 band refusal): run the SAME bounded
+    * band calibration [[neardupPairs]] enforces and, where its
+    * refusal would fire, EXECUTE the named alternative —
+    * [[AnnLsh.neardupPairs]] at the same tables×bits config, measured
+    * to complete in the regime where the PQ band spills (x100 LSH
+    * sweep, BASELINE §r14) — instead of throwing. Same measurement,
+    * same budget, same θ; refusal text becomes dispatch.
+    * AnnPqSpec pins both branches: inside-band ≡ the PQ path row for
+    * row, refused-band ≡ the LSH pair relation, on the same
+    * near-uniform corpus that exercises the refusal. */
+  def neardupPqAuto(spark: SparkSession, emb: DataFrame, threshold: Double,
+      tables: Int, bits: Int, m: Int = 32, ksub: Int = 16,
+      margin: Double = 0.2, iters: Int = 2,
+      bandBudget: Long = SurvivorBandBudget): DataFrame = {
+    val t = trainAndCalibrate(spark, emb, threshold, tables, bits, m, ksub,
+      margin, iters, bandBudget)
+    if (t.refusal.isDefined)
+      AnnLsh.neardupPairs(spark, emb, threshold, tables, bits)
+    else pairsFromEncoded(spark, t.prepared, t.enc, t.books, threshold,
+      tables, bits, m, ksub, margin)
+  }
+
+  /** Stages 1–3 of the pair pipeline (class doc above), from the
+    * cached encoded relation on. */
+  private def pairsFromEncoded(spark: SparkSession, prepared: DataFrame,
+      enc: DataFrame, books: DataFrame, threshold: Double, tables: Int,
+      bits: Int, m: Int, ksub: Int, margin: Double): DataFrame = {
     val bk = prepared
       .select(col("vec_id"),
         posexplode(LshSignatures.of(spark, col("embedding"), tables, bits))

@@ -128,6 +128,37 @@ class AnnPqSpec extends AnyFunSuite {
       s"expected a near-uniform band fraction in: ${e.getMessage}")
   }
 
+  test("neardupPqAuto: inside-band == the PQ path, refused-band == the LSH handoff (executed, not thrown)") {
+    // the dispatch-family precedent applied to the band refusal
+    // (VERDICT r15 item 5): same corpus, same configs as the refusal
+    // test above, so BOTH branches are exercised where the guard's
+    // decision is known.
+    val d = "/root/testdata/sf0.01"
+    val emb = graft.Tables.embeddings(spark, d).select($"vec_id", $"embedding")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+      df.select($"vec_a", $"vec_b", round($"cs", 6).as("cs")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    // inside the band budget: auto ≡ the plain PQ path, row for row
+    val viaPq = rows(graft.operators.AnnPq.neardupPairs(spark, emb, 0.35,
+      tables = 40, bits = 5, m = m, ksub = ksub, margin = 0.2, iters = 1))
+    val viaAutoIn = rows(graft.operators.AnnPq.neardupPqAuto(spark, emb, 0.35,
+      tables = 40, bits = 5, m = m, ksub = ksub, margin = 0.2, iters = 1))
+    graft.CacheScope.drain()
+    assert(viaAutoIn === viaPq, "inside-band auto diverged from the PQ path")
+    // the refused regime (the injected budget that makes the refusal
+    // test throw): auto EXECUTES AnnLsh.neardupPairs at the same
+    // tables×bits instead of throwing
+    val viaAutoRefused = rows(graft.operators.AnnPq.neardupPqAuto(spark, emb,
+      0.35, tables = 40, bits = 5, m = m, ksub = ksub, margin = 0.2,
+      iters = 1, bandBudget = 1000L))
+    val viaLsh = rows(graft.operators.AnnLsh.neardupPairs(spark, emb, 0.35,
+      tables = 40, bits = 5))
+    graft.CacheScope.drain()
+    assert(viaAutoRefused === viaLsh,
+      "refused-band auto diverged from the named LSH handoff")
+    assert(viaAutoRefused.nonEmpty)
+  }
+
   test("neardup pairs: pq ⊆ exact (precision 1.0) and recall ≥ 0.95 at sf0.01") {
     val d = "/root/testdata/sf0.01"
     val exact = SparkEntry.queries("q_llm_embed_neardup")(spark, d)
