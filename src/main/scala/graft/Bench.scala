@@ -78,15 +78,21 @@ object Bench {
     val SentinelEvery = 40
     val sentinelName = "q_scan_parquet"
     val sentinelFn = SparkEntry.queries.get(sentinelName)
-    def sentinelPass(): Double = {
+    def sentinelOnce(): Double = {
       val t0 = System.nanoTime()
       try sentinelFn.foreach(_(spark, sfDir).count())
       catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
+    // each SAMPLE is the min of two back-to-back passes: the sentinel
+    // steady state is ~0.1 s, where a single pass can eat a stray
+    // scheduler hiccup and read as phantom drift — min-of-2 keeps the
+    // sample the host-capability number while sustained load (which
+    // inflates both passes) still registers
+    def sentinelPass(): Double = math.min(sentinelOnce(), sentinelOnce())
     // two untimed passes: the sentinel's own JIT/codegen warmth is
     // paid here, not charged to the first sample
-    sentinelPass(); sentinelPass()
+    sentinelOnce(); sentinelOnce()
     val sentinelSamples = scala.collection.mutable.ArrayBuffer[Double]()
     sentinelSamples += sentinelPass()
     // name-sorted: Map iteration order shifts whenever the query set
