@@ -216,7 +216,10 @@ object AnnIvf {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
-  private val ManifestName = "m-(\\d{8})".r
+  // {8,}: %08d PADS to 8 digits but grows past them — an exactly-8
+  // pattern would make version 10⁸'s manifest invisible to readers
+  // and brick the writer on the rename collision (r16 review)
+  private val ManifestName = "m-(\\d{8,})".r
   private val CellOfPath = ".*cell=(\\d+)/.*".r
   private def cellOf(relPath: String): Int = relPath match {
     case CellOfPath(c) => c.toInt
@@ -286,10 +289,16 @@ object AnnIvf {
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val f = it.next()
-      val name = f.getPath.getName
-      if (name.endsWith(".parquet") && !name.startsWith(".") &&
-          !name.startsWith("_"))
-        buf += fs.makeQualified(f.getPath).toString.stripPrefix(base + "/")
+      val rel = fs.makeQualified(f.getPath).toString.stripPrefix(base + "/")
+      // EVERY path segment must be non-hidden, not just the file name
+      // (r16 review): a crashed pre-manifest append leaves
+      // lists/_temporary/.../part-*.parquet whose NAME passes a
+      // name-only filter — committing those into the migration
+      // manifest would double-serve or partially-serve the batch
+      val segs = rel.split('/')
+      if (segs.last.endsWith(".parquet") &&
+          segs.forall(s => !s.startsWith(".") && !s.startsWith("_")))
+        buf += rel
     }
     buf.toSeq.sorted
   }
@@ -304,11 +313,37 @@ object AnnIvf {
 
   /** Writer-side resolution: same as [[snapshotOf]] but a legacy index
     * is MIGRATED — its listing is committed as manifest 1, so every
-    * subsequent op has a real predecessor to version against. */
+    * subsequent op has a real predecessor to version against. Before
+    * listing, any half-finished PRE-MANIFEST compaction swap is
+    * completed (r16 review: the r15 model could crash between a
+    * cell's delete and its rename, leaving that cell's live rows only
+    * under lists_compacting/ — the r15 recovery contract is honored
+    * here, at the migration boundary, so upgrading a crashed legacy
+    * index recovers the cell instead of silently discarding the
+    * staging dir). A staged cell whose lists/ twin still exists never
+    * started its swap and is safely dropped — the legacy tombstones
+    * are still present, so the migrated manifest re-prescribes an
+    * identical compaction. */
   private def ensureManifest(spark: SparkSession, dir: String): IndexManifest =
-    latestManifest(spark, dir).getOrElse(commitManifest(spark, dir, 1L,
-      dataFilesUnder(spark, dir, "lists"),
-      dataFilesUnder(spark, dir, "tombstones")))
+    latestManifest(spark, dir).getOrElse {
+      val fs = hadoopFs(spark, dir)
+      val stagedPath = new org.apache.hadoop.fs.Path(s"$dir/lists_compacting")
+      if (fs.exists(stagedPath)) {
+        fs.listStatus(stagedPath).foreach { st =>
+          val name = st.getPath.getName
+          if (st.isDirectory && name.startsWith("cell=")) {
+            val target = new org.apache.hadoop.fs.Path(s"$dir/lists/$name")
+            if (!fs.exists(target))
+              require(fs.rename(st.getPath, target),
+                s"index migration: recovery rename ${st.getPath} -> $target failed")
+          }
+        }
+        fs.delete(stagedPath, true)
+      }
+      commitManifest(spark, dir, 1L,
+        dataFilesUnder(spark, dir, "lists"),
+        dataFilesUnder(spark, dir, "tombstones"))
+    }
 
   private val ListsSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("vec_id",
@@ -743,11 +778,6 @@ object AnnIvf {
     removed
   }
 
-  /** The tombstone relation of the newest snapshot, or an empty
-    * (vec_id) relation when no delete has happened yet. */
-  private def tombstonesOf(spark: SparkSession, dir: String): DataFrame =
-    manifestTombstones(spark, dir, snapshotOf(spark, dir))
-
   /** Live rows of the persisted lists — the newest snapshot's files
     * (partition pruning intact — the anti join sits ABOVE the scan)
     * minus tombstoned ids. One-shot form; a serving process holds an
@@ -824,7 +854,7 @@ object AnnIvf {
     * latestManifest(...).version` is the don't-prune-yet check). */
   final class IvfIndexReader private[AnnIvf] (
       spark: SparkSession, dir: String, val manifest: IndexManifest,
-      cents: Array[(Int, Array[Float], Double)],
+      cents: Array[(Int, Array[Float], Double)], centsDf: DataFrame,
       lists: DataFrame, tombs: DataFrame) {
 
     def version: Long = manifest.version
@@ -861,13 +891,16 @@ object AnnIvf {
 
     /** [[AnnIvf.probeCandidatesFromIndex]] against the pinned
       * snapshot (the streaming-serving shape reuses the one lists
-      * relation across triggers). */
+      * relation across triggers). The centroid relation is the
+      * LOCAL one rebuilt from the rows collected at open (r16
+      * review) — no per-call disk read, and a concurrent
+      * writeIndex rebuild cannot make this reader rank probes with
+      * a quantizer its pinned lists were never assigned under. */
     def probeCandidates(queries: DataFrame, nprobe: Int, threshold: Double,
         maxLiteralCells: Int = MaxLiteralCells): DataFrame =
       AnnIvf.probeCandidates(queries,
         lists.join(tombs, Seq("vec_id"), "left_anti"),
-        spark.read.parquet(s"$dir/centroids"), nprobe, threshold,
-        maxLiteralCells)
+        centsDf, nprobe, threshold, maxLiteralCells)
   }
 
   /** Open a serving handle on the newest committed snapshot. */
@@ -877,7 +910,15 @@ object AnnIvf {
       .select(col("cell"), col("centroid"), col("cnrm")).collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
       .sortBy(_._1)
-    new IvfIndexReader(spark, dir, m, centRows,
+    // the pinned centroid RELATION, rebuilt from the collected rows —
+    // k rows, driver-local, never re-reads disk
+    val centsDf = {
+      import spark.implicits._
+      centRows.toSeq.map { case (c, cent, _) => (c, cent.toSeq) }
+        .toDF("cell", "centroid")
+        .select(col("cell"), col("centroid").cast("array<float>").as("centroid"))
+    }
+    new IvfIndexReader(spark, dir, m, centRows, centsDf,
       manifestLists(spark, dir, m), manifestTombstones(spark, dir, m))
   }
 

@@ -364,7 +364,7 @@ object AnnPq {
     * free at bench scale (n=2000 ⇒ 2M ≤ 5·10⁷) while every scale
     * that could trip it still measures. */
   private case class TrainedBand(prepared: DataFrame, enc: DataFrame,
-      books: DataFrame, refusal: Option[String])
+      books: DataFrame, refusal: Option[String], release: () => Unit)
 
   private def trainAndCalibrate(spark: SparkSession, emb: DataFrame,
       threshold: Double, tables: Int, bits: Int, m: Int, ksub: Int,
@@ -384,7 +384,13 @@ object AnnPq {
         calibrateBand(spark, prepared, enc, books, threshold, margin,
           m, ksub, tables, bits, n, bandBudget)
       else None
-    TrainedBand(prepared, enc, books, refusal)
+    TrainedBand(prepared, enc, books, refusal,
+      // for the caller that ABANDONS the PQ path (the auto dispatch):
+      // the two whole-corpus cached relations must not sit pinned in
+      // MEMORY_AND_DISK under the LSH pipeline that never reads them
+      // (r16 review) — by construction the refusal only fires at the
+      // scales where that memory matters most
+      () => { assigned.unpersist(); enc.unpersist() })
   }
 
   def neardupPairs(spark: SparkSession, emb: DataFrame, threshold: Double,
@@ -415,9 +421,10 @@ object AnnPq {
       bandBudget: Long = SurvivorBandBudget): DataFrame = {
     val t = trainAndCalibrate(spark, emb, threshold, tables, bits, m, ksub,
       margin, iters, bandBudget)
-    if (t.refusal.isDefined)
+    if (t.refusal.isDefined) {
+      t.release()
       AnnLsh.neardupPairs(spark, emb, threshold, tables, bits)
-    else pairsFromEncoded(spark, t.prepared, t.enc, t.books, threshold,
+    } else pairsFromEncoded(spark, t.prepared, t.enc, t.books, threshold,
       tables, bits, m, ksub, margin)
   }
 

@@ -286,6 +286,66 @@ class AnnIvfIndexSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/tombstones")))
   }
 
+  test("legacy migration: a pre-manifest half-swap is recovered and _temporary debris is never committed") {
+    // the r16 review's two upgrade hazards, pinned: (1) an r15-model
+    // compaction crash left a cell's live rows ONLY under
+    // lists_compacting/ — the first r16 WRITER op must finish that
+    // swap before committing manifest 1; (2) a crashed pre-manifest
+    // append leaves lists/_temporary/**.parquet whose file NAMES look
+    // committable — the migration listing must skip hidden SEGMENTS,
+    // not just hidden names.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivflegacy").toString
+    val emb = Tables.embeddings(spark, d).select($"vec_id", $"embedding")
+    AnnIvf.writeIndex(spark, emb, dir, Cells)
+    val n = emb.count()
+    val before = AnnIvf.topKFromIndex(spark, dir, query, 10, Nprobe).collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    import scala.jdk.CollectionConverters._
+    def rmTree(p: String): Unit = {
+      val path = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(path))
+        java.nio.file.Files.walk(path).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    // make it a LEGACY index: no manifests
+    rmTree(s"$dir/manifests")
+    // hazard 1 — the r15 mid-swap crash state: one cell's rows moved
+    // wholesale to the staging dir, its live dir gone
+    val cellDir = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/lists"))
+      .iterator().asScala.find(_.getFileName.toString.startsWith("cell=")).get
+    val cellName = cellDir.getFileName.toString
+    val stagedCell = java.nio.file.Paths.get(s"$dir/lists_compacting/$cellName")
+    java.nio.file.Files.createDirectories(stagedCell.getParent)
+    java.nio.file.Files.move(cellDir, stagedCell)
+    // hazard 2 — crashed-append debris under a hidden segment
+    val tmpDir = java.nio.file.Paths.get(
+      s"$dir/lists/_temporary/0/task_x/$cellName")
+    java.nio.file.Files.createDirectories(tmpDir)
+    val donor = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$dir/lists")).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("cell="))
+      .flatMap(c => java.nio.file.Files.list(c).iterator().asScala)
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.copy(donor, tmpDir.resolve("part-crashed.parquet"))
+    // first WRITER op migrates: recovery rename + hidden-segment skip
+    AnnIvf.compactIndex(spark, dir)
+    val m = AnnIvf.latestManifest(spark, dir).get
+    assert(m.listFiles.nonEmpty)
+    assert(!m.listFiles.exists(_.contains("_temporary")),
+      "migration committed crashed-append debris into the manifest")
+    assert(m.listFiles.exists(_.contains(s"$cellName/")),
+      "the half-swapped cell's rows were not recovered into the manifest")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/lists_compacting")))
+    // no row lost, serving identical to the pre-crash index
+    val after = AnnIvf.topKFromIndex(spark, dir, query, 10, Nprobe).collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(after === before, "migration recovery changed serving results")
+    assert(AnnIvf.occupancyAudit(spark, dir)
+      .agg(sum($"n_live")).head().getLong(0) === n,
+      "a live row was lost or double-counted across the migration")
+  }
+
   test("snapshot isolation: a reader pinned pre-compaction serves identically while compaction commits; post-commit opens see the new version") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfsnap").toString
     val emb = Tables.embeddings(spark, d).select($"vec_id", $"embedding")
