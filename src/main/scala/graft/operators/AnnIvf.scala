@@ -393,7 +393,10 @@ object AnnIvf {
     * once, reused per query) per-query wall is 0.100→0.113 s
     * near-flat, while re-constructing the DataFrame per query pays an
     * O(cells) listing that dominates locally. BASELINE §r15 has the
-    * table. */
+    * table; re-measured r16 THROUGH [[openIndex]] under the manifest
+    * layout with the actually-reversed order protocol: same bytes,
+    * warm 0.139→0.147 s/q at 200k→1M (ambient-load day, BASELINE
+    * §r16). */
   def writeIndex(spark: SparkSession, emb: DataFrame, dir: String,
       cells: Int, iters: Int = 2): Unit = {
     // CacheScope.local (r14 audit): same MEMORY_AND_DISK level as the
@@ -844,7 +847,9 @@ object AnnIvf {
     * file index) ONCE; each query is then pure driver-side probe
     * arithmetic plus one pruned scan — no per-query manifest read,
     * centroid job, or O(cells) directory listing. Measured warm shape:
-    * 0.100→0.113 s/query near-flat 20k→200k (BASELINE §r15).
+    * 0.100→0.113 s/query near-flat 20k→200k (BASELINE §r15);
+    * re-measured through THIS handle r16: 0.139→0.147 s/query at
+    * 200k→1M — 5× the rows for 1.06× the wall (BASELINE §r16).
     *
     * Snapshot semantics: the reader serves ITS manifest version until
     * closed — maintenance ops committing N+1 don't disturb it

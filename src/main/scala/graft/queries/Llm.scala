@@ -150,7 +150,9 @@ object Llm {
     * WARM serving shape (lists relation + centroid table reused
     * across queries — what a deployment and probeCandidatesFromIndex
     * amortize) the wall follows the bytes: 0.100 → 0.113 s/query
-    * near-flat from 20k to 200k, ~6× under the exact scan's 0.64 s
+    * near-flat from 20k to 200k (r16, through the public
+    * AnnIvf.openIndex handle: 0.139 → 0.147 s/query at 200k → 1M —
+    * the flat law holds to 1M rows), ~6× under the exact scan's 0.64 s
     * and widening linearly with n. Constructing a fresh DataFrame PER
     * QUERY instead pays an O(cells) listing + a centroid job that
     * dominates locally (1.12 s at 200k) — the serving win requires
