@@ -60,6 +60,17 @@ object CacheScope {
     val c = local(ds); c.count(); c
   }
 
+  /** [[shared]] + eager materialization — the cross-query form of
+    * [[localEager]], for shared family caches whose first consumer
+    * feeds concurrent scan stages (the PQ training relations: books +
+    * encode fold the assignment concurrently). When the plan is
+    * already cached the count is a cheap cached read, so a second
+    * caller (e.g. the _gate twin re-deriving the same training) pays
+    * a lookup, not a refit. */
+  def sharedEager[T](ds: Dataset[T]): Dataset[T] = {
+    val c = shared(ds); c.count(); c
+  }
+
   /** Unpersist every registered query-local cache. Non-blocking by
     * default (callers inside queries shouldn't wait on bookkeeping);
     * Bench passes blocking=true so async block removal completes in

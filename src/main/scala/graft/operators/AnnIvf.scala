@@ -69,6 +69,47 @@ object AnnIvf {
     assigned
   }
 
+  /** Train-on-sample / apply-corpus-wide [[assignCells]] — the
+    * KMeans.fitAllSampled discipline on the IVF quantizer (r17, for
+    * [[rebuildIndex]]): the Lloyd loop runs over the `trainCap`
+    * vectors with the smallest (xxhash64(vec_id), vec_id) rank — the
+    * SAME total order the seed selection already uses, so the sampled
+    * fit's seeds are exactly the full fit's seeds — and the whole
+    * corpus pays ONE broadcast-join assignment pass under the loop's
+    * final quantizer. Train cost is trainCap·k cosines per round
+    * regardless of corpus size — the shape that holds at 100 TB.
+    *
+    * Invariant (AnnIvfIndexSpec pins it): trainCap ≥ n ⇒ the sample
+    * IS the corpus and the result is row-identical to [[assignCells]]
+    * — the final apply re-derives the loop's own last assignment. */
+  def assignCellsSampled(spark: SparkSession, emb: DataFrame, k: Int,
+      iters: Int, trainCap: Int): DataFrame = {
+    require(trainCap >= k,
+      s"assignCellsSampled: trainCap=$trainCap must hold at least k=$k seeds")
+    val e = emb.select(col("vec_id"), col("embedding"),
+      VecOps.norm(spark, col("embedding")).as("nrm"))
+    // cached + eager: the loop scans the train relation from two
+    // concurrent stages per round (assignment + centroid update)
+    val train = graft.CacheScope.localEager(
+      e.withColumn("h", xxhash64(col("vec_id")))
+        .orderBy(col("h"), col("vec_id")).limit(trainCap)
+        .select(col("vec_id"), col("embedding"), col("nrm")))
+    var cents = train
+      .select(col("vec_id"), col("embedding"), xxhash64(col("vec_id")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .withColumn("cell",
+        row_number().over(Window.orderBy(col("h"), col("vec_id"))) - 1)
+      .select(col("cell"), col("embedding").as("centroid"))
+    var assigned = assign(spark, train, cents)
+    var it = 0
+    while (it < iters) {
+      cents = centroidsOf(assigned)
+      assigned = assign(spark, train, cents)
+      it += 1
+    }
+    assign(spark, e, cents)
+  }
+
   /** Centroid norms, computed once per (tiny, broadcast-side) centroid
     * row — never per comparison. */
   private def withCnrm(spark: SparkSession, cents: DataFrame): DataFrame =
@@ -178,8 +219,14 @@ object AnnIvf {
 
   // ======================= persisted index ==========================
   //
-  // Layout (r16 — MANIFEST-VERSIONED, VERDICT r15 items 2–4):
-  //   dir/centroids/               immutable after writeIndex
+  // Layout (r16 — MANIFEST-VERSIONED, VERDICT r15 items 2–4; r17 —
+  // centroid GENERATIONS, VERDICT r16 item 1 + ADVICE r16):
+  //   dir/centroids-vNNNNNNNN/     one immutable quantizer generation
+  //                                per (re)build — referenced by its
+  //                                manifest's C lines ("centroids/",
+  //                                unversioned, is the legacy pre-r17
+  //                                location, resolved when a manifest
+  //                                carries no C lines)
   //   dir/lists/cell=N/*.parquet   data files — IMMUTABLE once committed
   //   dir/tombstones/*.parquet     delete batches — immutable once committed
   //   dir/manifests/m-%08d         committed snapshots (atomic rename)
@@ -206,10 +253,12 @@ object AnnIvf {
   // manifest log without a lock service cannot arbitrate two
   // writers); any number of concurrent readers.
 
-  /** One committed index snapshot: the exact list + tombstone files
-    * (dir-relative paths) a reader of this version may touch. */
+  /** One committed index snapshot: the exact list + tombstone +
+    * centroid files (dir-relative paths) a reader of this version may
+    * touch. `centroidFiles` empty means a legacy (pre-r17) manifest —
+    * the quantizer then lives at the unversioned `dir/centroids`. */
   case class IndexManifest(version: Long, listFiles: Seq[String],
-      tombstoneFiles: Seq[String])
+      tombstoneFiles: Seq[String], centroidFiles: Seq[String] = Seq.empty)
 
   private def hadoopFs(spark: SparkSession, dir: String)
       : org.apache.hadoop.fs.FileSystem =
@@ -252,19 +301,22 @@ object AnnIvf {
       val lines = body.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
       Some(IndexManifest(v,
         lines.collect { case l if l.startsWith("L ") => l.drop(2) },
-        lines.collect { case l if l.startsWith("T ") => l.drop(2) }))
+        lines.collect { case l if l.startsWith("T ") => l.drop(2) },
+        lines.collect { case l if l.startsWith("C ") => l.drop(2) }))
     }
   }
 
   /** Commit a manifest: write `m-%08d.tmp`, then publish by rename —
     * the ONE atomic step every maintenance op ends with. */
   private def commitManifest(spark: SparkSession, dir: String, version: Long,
-      listFiles: Seq[String], tombstoneFiles: Seq[String]): IndexManifest = {
+      listFiles: Seq[String], tombstoneFiles: Seq[String],
+      centroidFiles: Seq[String]): IndexManifest = {
     val fs = hadoopFs(spark, dir)
     val mp = new org.apache.hadoop.fs.Path(s"$dir/manifests")
     fs.mkdirs(mp)
     val body = (listFiles.sorted.map("L " + _) ++
-      tombstoneFiles.sorted.map("T " + _)).mkString("", "\n", "\n")
+      tombstoneFiles.sorted.map("T " + _) ++
+      centroidFiles.sorted.map("C " + _)).mkString("", "\n", "\n")
     val tmp = new org.apache.hadoop.fs.Path(mp, f"m-$version%08d.tmp")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -273,7 +325,8 @@ object AnnIvf {
     require(fs.rename(tmp, fin),
       s"commitManifest: rename $tmp -> $fin failed (version collision? " +
       "maintenance ops must be externally serialized)")
-    IndexManifest(version, listFiles.sorted, tombstoneFiles.sorted)
+    IndexManifest(version, listFiles.sorted, tombstoneFiles.sorted,
+      centroidFiles.sorted)
   }
 
   /** Dir-relative data files under `dir/sub` (recursive; skips hidden
@@ -303,13 +356,35 @@ object AnnIvf {
     buf.toSeq.sorted
   }
 
+  /** Centroid files of a MANIFEST-LESS dir: the legacy unversioned
+    * `centroids/` when present, else the newest `centroids-v*`
+    * generation (a dir whose manifests were lost/wiped but whose
+    * generations survive — the newest is the one the lost manifest
+    * referenced, since generations and manifests commit together). */
+  private def legacyCentroidFiles(spark: SparkSession,
+      dir: String): Seq[String] = {
+    val plain = dataFilesUnder(spark, dir, "centroids")
+    if (plain.nonEmpty) plain
+    else {
+      val fs = hadoopFs(spark, dir)
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val gens =
+        if (!fs.exists(root)) Seq.empty
+        else fs.listStatus(root).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("centroids-v")).sorted
+      gens.lastOption.map(g => dataFilesUnder(spark, dir, g))
+        .getOrElse(Seq.empty)
+    }
+  }
+
   /** The snapshot a READ-ONLY caller resolves: the newest manifest,
     * or (legacy pre-manifest index) an unversioned in-memory listing
     * — never commits anything. */
   private def snapshotOf(spark: SparkSession, dir: String): IndexManifest =
     latestManifest(spark, dir).getOrElse(IndexManifest(0L,
       dataFilesUnder(spark, dir, "lists"),
-      dataFilesUnder(spark, dir, "tombstones")))
+      dataFilesUnder(spark, dir, "tombstones"),
+      legacyCentroidFiles(spark, dir)))
 
   /** Writer-side resolution: same as [[snapshotOf]] but a legacy index
     * is MIGRATED — its listing is committed as manifest 1, so every
@@ -342,7 +417,8 @@ object AnnIvf {
       }
       commitManifest(spark, dir, 1L,
         dataFilesUnder(spark, dir, "lists"),
-        dataFilesUnder(spark, dir, "tombstones"))
+        dataFilesUnder(spark, dir, "tombstones"),
+        legacyCentroidFiles(spark, dir))
     }
 
   private val ListsSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -375,10 +451,24 @@ object AnnIvf {
     else spark.read.parquet(m.tombstoneFiles.map(f => s"$dir/$f"): _*)
       .select(col("vec_id"))
 
+  /** The snapshot's quantizer — EXACTLY the manifest's centroid
+    * generation, so a rebuild committing a new generation never makes
+    * a reader rank probes with centroids its pinned lists were not
+    * assigned under. A manifest without C lines is a pre-r17 index:
+    * its quantizer lives at the unversioned legacy path. */
+  private def manifestCentroids(spark: SparkSession, dir: String,
+      m: IndexManifest): DataFrame =
+    if (m.centroidFiles.nonEmpty)
+      spark.read.parquet(m.centroidFiles.map(f => s"$dir/$f"): _*)
+    else spark.read.parquet(s"$dir/centroids")
+
   /** Persist a trained index: the inverted lists as CELL-PARTITIONED
     * parquet (one directory per cell — the literal on-disk form of
     * "at 100 TB the lists are hash-partitioned by cell") plus the
-    * tiny centroid table, sealed by manifest 1. This is what turns
+    * tiny centroid table, sealed by a manifest commit
+    * ([[commitGeneration]] — over an existing index this is a fully
+    * ADDITIVE generation swap, crash-safe like every other
+    * maintenance op; ADVICE r16). This is what turns
     * the retrieval amortization argument into a layout artifact: the
     * train cost is paid ONCE at write time, and every subsequent
     * query is [[topKFromIndex]] — a centroid ranking over k rows plus
@@ -403,27 +493,63 @@ object AnnIvf {
     // previous raw persist; the eager unpersist below stays the
     // primary release, the registry just makes the site auditable
     val assigned = graft.CacheScope.local(assignCells(spark, emb, cells, iters))
-    // ONE file per cell (r15): without the cell repartition every
-    // write task emits a fragment into every cell directory —
-    // tasks×cells tiny files whose per-file parquet overhead swamps
-    // the data at probe time (IndexServeDuel x10 measured the pruned
-    // half-of-cells read at ~98% of the raw corpus bytes this way).
-    // One writer per cell makes pruned bytes track pruned ROWS, which
-    // is the entire point of the layout. Appends fragment this over
-    // time — [[occupancyAudit]]'s n_files column is the trigger and
-    // [[compactIndex]]'s maxFilesPerCell bound the repair.
-    assigned.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$dir/lists")
-    centroidsOf(assigned).write.mode("overwrite")
-      .parquet(s"$dir/centroids")
+    commitGeneration(spark, dir, assigned)
     assigned.unpersist()
-    // seal: overwrite of a pre-existing index keeps numbering past any
-    // old manifests so pinned readers of the OLD index fail loudly on
-    // pruned files rather than silently reading a mixed snapshot
-    val prev = latestManifest(spark, dir).map(_.version).getOrElse(0L)
-    commitManifest(spark, dir, prev + 1,
-      dataFilesUnder(spark, dir, "lists"), Seq.empty)
+  }
+
+  /** Shared tail of [[writeIndex]] and [[rebuildIndex]]: persist a
+    * trained assignment as a NEW index generation, ADDITIVELY (r17,
+    * ADVICE r16 medium — the previous writeIndex physically deleted
+    * committed list files via mode("overwrite") before manifest N+1
+    * existed, so a crash in the rebuild window left manifest N
+    * pointing at deleted files with no recovery path; now the crash
+    * contract is uniform across EVERY maintenance op — committed
+    * files are never mutated or removed, a crash before the manifest
+    * rename leaves only unreferenced orphans, and [[pruneIndex]] is
+    * the one GC boundary):
+    *   - the new lists land in the existing cell directories under
+    *     job-unique part names (mode append — adds, never replaces),
+    *     ONE file per cell via the cell repartition (r15: without it
+    *     every write task emits a fragment into every cell directory —
+    *     tasks×cells tiny files whose per-file parquet overhead swamps
+    *     the data at probe time; one writer per cell makes pruned
+    *     bytes track pruned ROWS, which is the entire point of the
+    *     layout — appends fragment this over time, [[occupancyAudit]]'s
+    *     n_files column is the trigger and [[compactIndex]]'s
+    *     maxFilesPerCell bound the repair);
+    *   - the quantizer is written as a fresh immutable centroid
+    *     GENERATION directory named for the manifest that serves it
+    *     (a crashed attempt's directory is an unreferenced orphan a
+    *     retry simply overwrites — it was never visible);
+    *   - manifest N+1 references ONLY the new generation's files,
+    *     with an empty tombstone list; the previous generation's
+    *     files stay on disk untouched until [[pruneIndex]], so a
+    *     reader pinned to manifest N is undisturbed throughout. */
+  private def commitGeneration(spark: SparkSession, dir: String,
+      assigned: DataFrame): IndexManifest = {
+    // version against whatever exists: committed manifests, or a
+    // legacy/pre-manifest dir (migrated so the old files are
+    // referenced by manifest 1 and prunable later, and any crashed
+    // pre-manifest compaction staging is recovered first); a fresh
+    // empty dir starts at version 1
+    val fs = hadoopFs(spark, dir)
+    val prevVersion =
+      latestManifest(spark, dir).map(_.version).orElse {
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/lists")))
+          Some(ensureManifest(spark, dir).version)
+        else None
+      }.getOrElse(0L)
+    val version = prevVersion + 1
+    val before = dataFilesUnder(spark, dir, "lists").toSet
+    assigned.repartition(col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$dir/lists")
+    val centDir = f"centroids-v$version%08d"
+    centroidsOf(assigned).write.mode("overwrite")
+      .parquet(s"$dir/$centDir")
+    val added = dataFilesUnder(spark, dir, "lists").filterNot(before)
+    commitManifest(spark, dir, version, added, Seq.empty,
+      dataFilesUnder(spark, dir, centDir))
   }
 
   /** Top-k cosine neighbors of an EXTERNAL query vector against a
@@ -442,10 +568,19 @@ object AnnIvf {
     * input-file set (ADVICE r13: the pruning pin asserts the scan's
     * actual file list equals exactly these cells' directories). */
   def probeRank(spark: SparkSession, dir: String,
-      query: Array[Float], nprobe: Int): Seq[Int] = {
+      query: Array[Float], nprobe: Int): Seq[Int] =
+    probeRankOf(spark, dir, snapshotOf(spark, dir), query, nprobe)
+
+  /** Probe ranking against ONE resolved snapshot's quantizer — the
+    * form every one-shot serving path routes through (r17): lists and
+    * centroids must come from the SAME manifest, or a rebuild
+    * committing between the two reads would rank probes with a
+    * quantizer the scanned lists were never assigned under. */
+  private def probeRankOf(spark: SparkSession, dir: String,
+      m: IndexManifest, query: Array[Float], nprobe: Int): Seq[Int] = {
     val qnrm = math.sqrt(query.map(v => v.toDouble * v).sum)
     val qcol = array(query.map(v => lit(v)): _*).cast("array<float>")
-    withCnrm(spark, spark.read.parquet(s"$dir/centroids"))
+    withCnrm(spark, manifestCentroids(spark, dir, m))
       .withColumn("ccs",
         VecOps.dot(spark, col("centroid"), qcol) / (col("cnrm") * lit(qnrm)))
       .select(col("cell"), col("ccs"))
@@ -458,10 +593,13 @@ object AnnIvf {
       query: Array[Float], k: Int, nprobe: Int): DataFrame = {
     val qnrm = math.sqrt(query.map(v => v.toDouble * v).sum)
     val qcol = array(query.map(v => lit(v)): _*).cast("array<float>")
+    // ONE snapshot for both the probe ranking and the pruned scan
+    val m = snapshotOf(spark, dir)
     // k centroid rows: ranking them is driver-side arithmetic, not a job
-    val probed = probeRank(spark, dir, query, nprobe)
-    liveLists(spark, dir)
+    val probed = probeRankOf(spark, dir, m, query, nprobe)
+    manifestLists(spark, dir, m)
       .filter(col("cell").isin(probed: _*))
+      .join(manifestTombstones(spark, dir, m), Seq("vec_id"), "left_anti")
       .withColumn("cs",
         VecOps.dot(spark, col("embedding"), qcol) / (col("nrm") * lit(qnrm)))
       .select(col("vec_id"), col("cell"), col("cs"))
@@ -573,18 +711,26 @@ object AnnIvf {
     * query stream in, verified matches out. */
   def probeCandidatesFromIndex(queries: DataFrame, spark: SparkSession,
       dir: String, nprobe: Int, threshold: Double,
-      maxLiteralCells: Int = MaxLiteralCells): DataFrame =
-    probeCandidates(queries, liveLists(spark, dir),
-      spark.read.parquet(s"$dir/centroids"), nprobe, threshold,
+      maxLiteralCells: Int = MaxLiteralCells): DataFrame = {
+    // ONE snapshot for lists, tombstones AND quantizer (r17); a
+    // serving fleet holds an [[openIndex]] reader instead, which pins
+    // the snapshot for its lifetime rather than per call
+    val m = snapshotOf(spark, dir)
+    probeCandidates(queries,
+      manifestLists(spark, dir, m)
+        .join(manifestTombstones(spark, dir, m), Seq("vec_id"), "left_anti"),
+      manifestCentroids(spark, dir, m), nprobe, threshold,
       maxLiteralCells)
+  }
 
   /** Incremental index maintenance: append a batch of new vectors to
     * a persisted index WITHOUT retraining — assign each new vector to
     * its argmax-cosine cell under the FROZEN quantizer (one broadcast
     * join against the k-row centroid table; the standard IVF
     * practice — the coarse quantizer is retrained offline on its own
-    * cadence, not per ingest batch) and append the rows into the
-    * cell-partitioned lists. Centroids are deliberately NOT updated:
+    * cadence, not per ingest batch: that cadence is [[rebuildIndex]],
+    * triggered by [[occupancyAudit]]'s load_ratio drift) and append
+    * the rows into the cell-partitioned lists. Centroids are deliberately NOT updated:
     * [[topKFromIndex]]/[[probeCandidates]] results for pre-existing
     * vectors are byte-identical before and after an append
     * (AnnIvfIndexSpec pins this), and probe ranking for new queries
@@ -595,7 +741,7 @@ object AnnIvf {
       dir: String): Unit = {
     val prev = ensureManifest(spark, dir)
     val before = dataFilesUnder(spark, dir, "lists").toSet
-    val cents = spark.read.parquet(s"$dir/centroids")
+    val cents = manifestCentroids(spark, dir, prev)
     val e = newEmb.select(col("vec_id"), col("embedding"),
       VecOps.norm(spark, col("embedding")).as("nrm"))
     assign(spark, e, cents)
@@ -605,7 +751,59 @@ object AnnIvf {
     // op are in the before-set too, so they stay uncommitted)
     val added = dataFilesUnder(spark, dir, "lists").filterNot(before)
     commitManifest(spark, dir, prev.version + 1,
-      prev.listFiles ++ added, prev.tombstoneFiles)
+      prev.listFiles ++ added, prev.tombstoneFiles, prev.centroidFiles)
+  }
+
+  /** Default retrain sample bound for [[rebuildIndex]] — the
+    * KMeans.fitAllSampled discipline's cap: Lloyd cost is
+    * trainCap·cells cosines per round regardless of corpus size, and
+    * past ~64k sample vectors the centroid estimate stops moving long
+    * before the train cost stops growing. */
+  val DefaultRebuildTrainCap = 65536
+
+  /** RETRAIN WHILE SERVING (r17, VERDICT r16 item 1 — the one open
+    * lifecycle gap: [[occupancyAudit]] names load_ratio drift "the
+    * retrain trigger" and [[appendToIndex]] defers to a quantizer
+    * "retrained offline on its own cadence", but nothing executed it —
+    * a frozen quantizer under distribution drift degrades every IVF
+    * consumer). Executes the full offline retrain as one more
+    * manifest-committed maintenance op:
+    *
+    *   1. resolve the CURRENT snapshot and its live rows (manifest
+    *      lists anti-join tombstones — deletes are RESOLVED by the
+    *      rebuild, not carried: every live row is rewritten anyway,
+    *      so the new generation starts with an empty tombstone list);
+    *   2. train fresh centroids via [[assignCellsSampled]] (sampled
+    *      Lloyd fit, one corpus-wide assignment pass — the 100 TB
+    *      shape: train cost bounded by `trainCap`, corpus cost one
+    *      broadcast-join pass);
+    *   3. persist as a NEW GENERATION ([[commitGeneration]]): new
+    *      one-file-per-cell lists + a fresh immutable centroid
+    *      directory, committed as manifest N+1 by atomic rename.
+    *
+    * The OLD snapshot serves byte-identically throughout — a reader
+    * pinned to manifest N touches only files the rebuild never
+    * mutates — and crash at any point leaves manifest N live with
+    * only unreferenced orphans on disk ([[pruneIndex]] removes them,
+    * and is also the GC boundary for the superseded generation once
+    * no reader is pinned to it). `cells` may differ from the old
+    * generation's cell count — resizing the quantizer (e.g. to the
+    * [[autoTopKConfig]] ⌈√n⌉ rule after heavy ingest) is the same
+    * operation as retraining it. AnnIvfIndexSpec pins: pinned-reader
+    * isolation across the rebuild commit, load_ratio restored on a
+    * drift-manufactured corpus, tombstone resolution, and
+    * openIndex parity after the rebuild. */
+  def rebuildIndex(spark: SparkSession, dir: String, cells: Int,
+      iters: Int = 2,
+      trainCap: Int = DefaultRebuildTrainCap): Unit = {
+    val prev = ensureManifest(spark, dir)
+    val live = manifestLists(spark, dir, prev)
+      .join(manifestTombstones(spark, dir, prev), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("embedding"))
+    val assigned = graft.CacheScope.local(
+      assignCellsSampled(spark, live, cells, iters, trainCap))
+    commitGeneration(spark, dir, assigned)
+    assigned.unpersist()
   }
 
   /** Index deletion (r14, VERDICT r13 item 3): TOMBSTONES, not list
@@ -630,7 +828,7 @@ object AnnIvf {
       .parquet(s"$dir/tombstones")
     val added = dataFilesUnder(spark, dir, "tombstones").filterNot(before)
     commitManifest(spark, dir, prev.version + 1,
-      prev.listFiles, prev.tombstoneFiles ++ added)
+      prev.listFiles, prev.tombstoneFiles ++ added, prev.centroidFiles)
   }
 
   /** Default fragmentation bound for [[compactIndex]]: a cell whose
@@ -727,7 +925,8 @@ object AnnIvf {
     }
     val affectedSet = affected.toSet
     val keep = prev.listFiles.filterNot(f => affectedSet(cellOf(f)))
-    commitManifest(spark, dir, prev.version + 1, keep ++ moved.toSeq, Seq.empty)
+    commitManifest(spark, dir, prev.version + 1, keep ++ moved.toSeq,
+      Seq.empty, prev.centroidFiles)
   }
 
   /** Garbage-collect everything the NEWEST manifest doesn't reference:
@@ -742,15 +941,38 @@ object AnnIvf {
   def pruneIndex(spark: SparkSession, dir: String): Long = {
     val fs = hadoopFs(spark, dir)
     val m = ensureManifest(spark, dir)
-    val referenced = (m.listFiles ++ m.tombstoneFiles).toSet
+    val referenced =
+      (m.listFiles ++ m.tombstoneFiles ++ m.centroidFiles).toSet
     var removed = 0L
-    Seq("lists", "tombstones").foreach { sub =>
+    // centroid GENERATION dirs (r17): every centroids* top-level dir
+    // is swept like lists/tombstones — a superseded generation's files
+    // are unreferenced once a rebuild commits past it. A LEGACY
+    // manifest (no C lines) implicitly references everything under
+    // the unversioned `centroids/` dir, so that dir is exempt then.
+    val centroidSubs = {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("centroids") &&
+          !(m.centroidFiles.isEmpty && st.getPath.getName == "centroids"))
+        .map(_.getPath.getName)
+    }
+    (Seq("lists", "tombstones") ++ centroidSubs).foreach { sub =>
       dataFilesUnder(spark, dir, sub).foreach { f =>
         if (!referenced(f)) {
           if (fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$f"), false))
             removed += 1
         }
       }
+    }
+    // drop now-empty superseded generation dirs
+    centroidSubs.foreach { sub =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      if (fs.exists(p) && fs.listStatus(p).forall(c =>
+          c.getPath.getName.startsWith(".") ||
+          c.getPath.getName.startsWith("_")))
+        fs.delete(p, true)
     }
     // drop now-empty cell directories / the tombstones dir
     val listsPath = new org.apache.hadoop.fs.Path(s"$dir/lists")
@@ -781,17 +1003,6 @@ object AnnIvf {
     removed
   }
 
-  /** Live rows of the persisted lists — the newest snapshot's files
-    * (partition pruning intact — the anti join sits ABOVE the scan)
-    * minus tombstoned ids. One-shot form; a serving process holds an
-    * [[openIndex]] reader instead (pinned snapshot, no per-query
-    * manifest resolution or file listing). */
-  private def liveLists(spark: SparkSession, dir: String): DataFrame = {
-    val m = snapshotOf(spark, dir)
-    manifestLists(spark, dir, m)
-      .join(manifestTombstones(spark, dir, m), Seq("vec_id"), "left_anti")
-  }
-
   /** Cell-occupancy skew audit of a persisted index — the retrain /
     * compaction trigger (r14; fragmentation column r16, VERDICT r15
     * item 3). One partial-agg pass over the lists (narrow columns
@@ -801,7 +1012,7 @@ object AnnIvf {
     * n_files — the cell's committed file count from the manifest
     * (driver-side path parse, no extra scan). max(load_ratio)
     * drifting up means the frozen quantizer no longer fits the data
-    * distribution (retrain); dead fraction OR n_files drifting up
+    * distribution (run [[rebuildIndex]]); dead fraction OR n_files drifting up
     * means run [[compactIndex]] — appends fragment cells even with
     * zero deletes, and fragmented cells quietly erode the
     * one-file-per-cell probe-IO result. Bounded output — k rows at
@@ -819,7 +1030,7 @@ object AnnIvf {
       import spark.implicits._
       fileCounts.toDF("cell", "n_files")
     }
-    val occ = spark.read.parquet(s"$dir/centroids").select(col("cell"))
+    val occ = manifestCentroids(spark, dir, snap).select(col("cell"))
       .join(status.groupBy(col("cell")).agg(
           sum(when(col("dead").isNull, 1L).otherwise(0L)).as("n_live"),
           sum(when(col("dead").isNotNull, 1L).otherwise(0L)).as("n_dead")),
@@ -911,7 +1122,7 @@ object AnnIvf {
   /** Open a serving handle on the newest committed snapshot. */
   def openIndex(spark: SparkSession, dir: String): IvfIndexReader = {
     val m = snapshotOf(spark, dir)
-    val centRows = withCnrm(spark, spark.read.parquet(s"$dir/centroids"))
+    val centRows = withCnrm(spark, manifestCentroids(spark, dir, m))
       .select(col("cell"), col("centroid"), col("cnrm")).collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
       .sortBy(_._1)

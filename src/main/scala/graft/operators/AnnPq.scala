@@ -373,11 +373,21 @@ object AnnPq {
     val prepared = emb.select(col("vec_id"), col("embedding"),
       VecOps.norm(spark, col("embedding")).as("nrm"))
     // trained once, folded twice (books + encode) — eager per the
-    // concurrent-consumer cache discipline
-    val assigned = graft.CacheScope.localEager(
+    // concurrent-consumer cache discipline. SHARED, not query-local
+    // (r17, VERDICT r16 item 4): q_llm_embed_neardup_pq and its _gate
+    // both derive this exact training in one pass — the top-2 bench
+    // lines since r12 were two ids re-paying one deterministic fit.
+    // The CacheManager dedupes by logical plan, so the gate's
+    // re-derivation of the identical (emb, m, ksub, iters) training
+    // resolves to the filled cache instead of refitting; training is
+    // hash-seeded deterministic, so reuse cannot change results. The
+    // per-query drain leaves shared entries alone (the ngram
+    // shingle-pair precedent); memory is bounded by the corpus's
+    // (vec_id, sub, sv) expansion, MEMORY_AND_DISK.
+    val assigned = graft.CacheScope.sharedEager(
       trainAssign(spark, prepared, m, ksub, iters))
     val books = booksOf(assigned)
-    val enc = graft.CacheScope.localEager(encodeWith(assigned, prepared))
+    val enc = graft.CacheScope.sharedEager(encodeWith(assigned, prepared))
     val n = enc.count()
     val refusal =
       if (n * (n - 1) / 2 > bandBudget)

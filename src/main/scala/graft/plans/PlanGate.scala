@@ -329,12 +329,15 @@ object PlanGate {
     * every other logger under window.*, which are exactly the
     * warnings a bench run should surface). The call site lives in
     * WindowExecBase (verified against the spark-sql jar), but Spark's
-    * Logging trait names loggers by the RUNTIME class, so the levels
-    * go on its concrete subclasses. */
+    * Logging trait names loggers by the RUNTIME class, so the level
+    * goes on the concrete subclass. That is WindowExec alone: the
+    * bundled Spark 4.1.2 has no WindowInPandasExec under
+    * execution.window (the Arrow/pandas window exec lives under
+    * execution.python), and this engine's plans never contain a
+    * Python exec anyway — a dead entry here would overstate coverage
+    * (ADVICE r16). */
   def silenceBoundedWindowWarn(): Unit =
-    Seq("WindowExec", "WindowInPandasExec").foreach { cls =>
-      org.apache.logging.log4j.core.config.Configurator.setLevel(
-        s"org.apache.spark.sql.execution.window.$cls",
-        org.apache.logging.log4j.Level.ERROR)
-    }
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 }

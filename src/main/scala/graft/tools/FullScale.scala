@@ -47,6 +47,17 @@ import org.apache.spark.sql.functions._
   *   the DECLARED scale-safe swaps — embed_neardup → the ANN handoff,
   *   exact percentile → the sketch — in place, tagged in the output,
   *   instead of silently skipping the family)
+  *   GRAFT_FULLSCALE_OUT=path writes the sweep artifact JSON (default
+  *   /tmp/FULLSCALE_x{k}.json) — per-query rows/walls for both scales
+  *   plus the NOISE SENTINEL block (r17, VERDICT r16 item 2: the
+  *   semdedup pinned-anchor x100 wall drifted 661.6 → 975.9 s over
+  *   four rounds, each time re-litigated with an ad-hoc in-session
+  *   control; the sweep now measures its own host exactly like Bench —
+  *   the same dedicated cache-free lineitem scan, sampled between
+  *   sweep ids, with drift and a clean/marginal/contaminated tier in
+  *   the artifact). q_llm_bm25 — the measured scale-flat control id —
+  *   is FORCED into every sweep (even under ONLY/SKIP narrowing) so
+  *   every chunked artifact carries a load-cancelling in-run control.
   *   GRAFT_FULLSCALE_GEOSHIFT=1 decorrelates event POSITIONS per copy
   *   (value +5°·(c mod 36) latitude, event_id +50·(c mod 72) → +5°
   *   longitude): clone-scale stacks every copy's fixes on identical
@@ -144,11 +155,38 @@ object FullScale {
       }.toMap).getOrElse(Map.empty[String, String])
     swaps.values.foreach(b => require(graft.SparkEntry.queries.contains(b),
       s"GRAFT_FULLSCALE_SWAP target $b is not a query"))
-    val names = graft.SparkEntry.queries.keys.toSeq.sorted
-      .filter(q => only.forall(_.contains(q)) && !skip(q))
+    val names = {
+      val base = graft.SparkEntry.queries.keys.toSeq.sorted
+        .filter(q => only.forall(_.contains(q)) && !skip(q))
+      // the scale-flat CONTROL id rides in every sweep (r17): a
+      // chunked/narrowed sweep without it has no in-run load anchor
+      if (base.contains("q_llm_bm25") ||
+          !graft.SparkEntry.queries.contains("q_llm_bm25")) base
+      else ("q_llm_bm25" +: base).sorted
+    }
 
-    def sweep(tag: String, dir: String): Map[String, (Long, Double)] =
-      names.map { q =>
+    // NOISE SENTINEL (r17, VERDICT r16 item 2 — the Bench sentinel,
+    // verbatim discipline): a dedicated cache-free pruned lineitem
+    // scan against the FIXED source corpus (never the synthesized
+    // dirs — the sentinel measures the HOST, so its input must not
+    // scale with k), min-of-2 per sample, −1 on failure (ADVICE r16).
+    def sentinelOnce(): Double = {
+      val t0 = System.nanoTime()
+      try {
+        spark.read.parquet(s"$src/lineitem.parquet")
+          .select(col("l_orderkey")).filter(col("l_orderkey") % 97 === 0)
+          .count()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+    }
+    def sentinelPass(): Double = math.min(sentinelOnce(), sentinelOnce())
+    sentinelOnce(); sentinelOnce() // untimed JIT/codegen warmup
+    val sentinelSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    val SentinelEvery = 20
+
+    def sweep(tag: String, dir: String): Map[String, (Long, Double)] = {
+      sentinelSamples += sentinelPass()
+      val out = names.zipWithIndex.map { case (q, i) =>
         val (fn, label) = swaps.get(q) match {
           case Some(b) => (graft.SparkEntry.queries(b), s"$q(swapped->$b)")
           case None => (graft.SparkEntry.queries(q), q)
@@ -164,8 +202,12 @@ object FullScale {
             println(s"FULLSCALE $tag $label FAILED ${Option(e.getMessage).getOrElse(e.toString).take(300)}")
             (-1L, -1.0)
         } finally graft.CacheScope.drain()
+        if ((i + 1) % SentinelEvery == 0) sentinelSamples += sentinelPass()
         q -> r
       }.toMap
+      sentinelSamples += sentinelPass()
+      out
+    }
 
     val prebuilt = sys.env.get("GRAFT_FULLSCALE_DIRS").map(_.split(',').toSeq)
     val (d1, dk) = prebuilt match {
@@ -179,6 +221,37 @@ object FullScale {
       val wr = if (t1 > 0) f"$tk / $t1 = ${tk / t1}%.2f" else "-"
       println(s"FULLSCALE SUMMARY $q rows $n1 -> $nk (ratio $rr) wall $wr")
     }
+    // sentinel verdict + artifact (the Bench two-tier bars)
+    def sec(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val sOk = sentinelSamples.forall(_ > 0)
+    val drift =
+      if (!sOk) -1.0 else sentinelSamples.max / sentinelSamples.min - 1.0
+    val tier =
+      if (!sOk) "failed"
+      else if (drift > 0.5) "contaminated"
+      else if (drift > 0.2) "marginal"
+      else "clean"
+    val sentinelJson = "{\"q\":\"sentinel_lineitem_scan\",\"samples\":[" +
+      sentinelSamples.map(sec).mkString(",") +
+      "],\"drift\":" + sec(drift) + ",\"clean_bar\":0.2,\"bar\":0.5" +
+      ",\"tier\":\"" + tier + "\",\"sentinel_ok\":" + sOk +
+      ",\"contaminated\":" + (!sOk || drift > 0.5) + "}"
+    println(s"FULLSCALE SENTINEL $sentinelJson")
+    def sweepJson(m: Map[String, (Long, Double)]): String =
+      names.map { q =>
+        val (rows, t) = m(q)
+        "\"" + q + "\":{\"rows\":" + rows + ",\"sec\":" + sec(t) + "}"
+      }.mkString("{", ",", "}")
+    val artifact = "{\"k\":" + k + ",\"src\":\"" + src + "\"" +
+      ",\"control\":\"q_llm_bm25\"" +
+      ",\"sentinel\":" + sentinelJson +
+      ",\"x1\":" + sweepJson(r1) +
+      ",\"x" + k + "\":" + sweepJson(rk) + "}"
+    val outPath = java.nio.file.Paths.get(sys.env.getOrElse(
+      "GRAFT_FULLSCALE_OUT", s"/tmp/FULLSCALE_x$k.json")).toAbsolutePath
+    Files.writeString(outPath, artifact + "\n")
+    println(s"FULLSCALE ARTIFACT $outPath")
 
     if (!sys.env.contains("GRAFT_FULLSCALE_KEEP") && prebuilt.isEmpty)
       tmpDirs.foreach { d =>

@@ -89,6 +89,53 @@ class AnnStreamServeSpec extends AnyFunSuite {
       "the two probe-ranking branches must emit the identical match set")
   }
 
+  test("pinned-snapshot serving (r17, VERDICT r16 item 6): a stream through openIndex serves ONE manifest for its lifetime while a compaction commits mid-stream") {
+    // own dir: this test mutates the index mid-stream
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfservepin").toString
+    AnnIvf.writeIndex(spark,
+      Tables.embeddings(spark, d).select($"vec_id", $"embedding"), dir, Cells)
+    // tombstone two corpus rows so the mid-stream compaction has work
+    AnnIvf.deleteFromIndex(spark, Seq(7L, 8L).toDF("vec_id"), dir)
+    val reader = AnnIvf.openIndex(spark, dir)
+    val v0 = reader.version
+    val (b1, b2) = queryRows.splitAt(3)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = reader.probeCandidates(
+        in.toDF.toDF("query_id", "qvec"), Nprobe, Theta)
+      .writeStream.format("memory").queryName("ann_serve_pinned")
+      .outputMode("append").start()
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    // a compaction commits a NEW manifest between the micro-batches…
+    AnnIvf.compactIndex(spark, dir)
+    assert(AnnIvf.latestManifest(spark, dir).get.version === v0 + 1)
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.isEmpty)
+    val stream = spark.table("ann_serve_pinned").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    q.stop()
+    // …and the serving stream never re-resolved: its manifest version
+    // is the one it opened with (pinned by construction — the reader
+    // holds explicit file lists, no per-trigger manifest read), and
+    // the SAME reader evaluated in batch form agrees row for row even
+    // though the newest manifest has moved on
+    assert(reader.version === v0)
+    val batch = reader.probeCandidates(
+        queryRows.toDF("query_id", "qvec"), Nprobe, Theta)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    assert(stream == batch,
+      "pinned-reader stream diverged from its own batch evaluation")
+    // the pinned snapshot's tombstones hold across both micro-batches
+    assert(stream.nonEmpty && stream.forall(r => r._2 != 7L && r._2 != 8L))
+    // self-matches still land — the snapshot serves real candidates
+    for (qid <- queryRows.map(_._1))
+      assert(stream.contains((qid, qid - 1000L, 1.0)),
+        s"query $qid missing its self-match at cos 1.0")
+  }
+
   test("broadcast-fallback branch is batch-only: append streaming rejects it") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Array[Float])]
