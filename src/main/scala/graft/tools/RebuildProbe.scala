@@ -71,14 +71,27 @@ object RebuildProbe {
         occ.map(r => s"${r.getInt(0)}:${r.getLong(1)}").mkString(" "))
     } else {
       val mult = if (args.length > 1) args(1).toInt else 10
+      // sf0.1 base (2000 vectors) with the FullScale embedding clone
+      // rule (deterministic rotation + sign flips) so cross-copy
+      // cosines are pseudo-random and parquet cannot dictionary-fold
+      // the copies — honest bytes AND honest compute
+      val emb01 = graft.Tables.embeddings(spark, "/root/testdata/sf0.1")
+        .select($"vec_id", $"embedding")
+      val dims = emb01.select(size($"embedding")).head().getInt(0)
       val big = (0 until mult).map { c =>
-        emb.select(($"vec_id" + lit(c * 10000000L)).as("vec_id"),
-          $"embedding")
+        if (c == 0) emb01
+        else emb01.select(
+          ($"vec_id" + lit(c * 10000000L)).as("vec_id"),
+          transform(sequence(lit(0), lit(dims - 1)), i =>
+            (element_at($"embedding", pmod(i + lit(7 * c), lit(dims)) + 1) *
+              when(pmod(xxhash64(lit(c), i), lit(2)) === 0, 1.0).otherwise(-1.0))
+              .cast("float")).as("embedding"))
       }.reduce(_ unionByName _)
       val dir = java.nio.file.Files.createTempDirectory(
         s"graft_rebuildprobe_x$mult").toString
-      val (cells, _) = graft.operators.AnnIvf.autoTopKConfig(
-        emb.count() * mult)
+      val nRows = graft.Tables.embeddings(spark, "/root/testdata/sf0.1")
+        .count() * mult
+      val (cells, _) = graft.operators.AnnIvf.autoTopKConfig(nRows)
       var t0 = System.nanoTime()
       graft.operators.AnnIvf.writeIndex(spark, big, dir, cells)
       val tWrite = (System.nanoTime() - t0) / 1e9
@@ -98,7 +111,7 @@ object RebuildProbe {
       t0 = System.nanoTime()
       val pruned = graft.operators.AnnIvf.pruneIndex(spark, dir)
       val tPrune = (System.nanoTime() - t0) / 1e9
-      println(f"REBUILDPROBE x$mult rows=${emb.count() * mult} cells=$cells " +
+      println(f"REBUILDPROBE x$mult rows=$nRows cells=$cells " +
         f"write=$tWrite%.1fs rebuild=$tRebuild%.1fs prune=$tPrune%.1fs " +
         f"pruned_files=$pruned bytes_peak=${bytesAfter / 1048576.0}%.1fMiB " +
         f"bytes_final=${bytesUnder(dir) / 1048576.0}%.1fMiB " +
