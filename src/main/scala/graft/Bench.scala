@@ -69,60 +69,20 @@ object Bench {
     // (q_scan_parquet — a bare pruned scan, no shared state, ~100 ms
     // steady) is timed at fixed points through the pass. On an idle
     // host every sample is the same number; load shows up as drift.
-    // The samples, drift = max/min − 1, and a contaminated flag
-    // (drift > [[SentinelDriftBar]]) ride in both artifacts, so a
-    // noise-skewed run is self-diagnosing instead of poisoning the
-    // cross-round record. Sentinel runs sit BETWEEN timed queries and
-    // are excluded from every total.
-    //
-    // TWO-TIER verdict (r17, VERDICT r16 item 3): the single 0.5 bar
-    // let r16's run H read as "clean" at drift 0.488 — a marginal
-    // window squeaking under a binary flag. The artifact now carries
-    // `tier`: clean (< 0.2 — the bar the r15 verdict actually asked
-    // for), marginal (0.2–0.5), contaminated (> 0.5), or failed (a
-    // sentinel pass threw — see sentinelOnce). The `contaminated`
-    // boolean keeps its r16 meaning (drift > 0.5) for cross-round
-    // continuity. SEAL PROTOCOL (documented here because the artifact
-    // enforces it): a committed BENCH_LOCAL should carry tier ==
-    // "clean"; if the host never offers such a window, re-run until
-    // clean or N attempts and commit the best tier observed — the
-    // artifact, not prose, carries the verdict.
-    val SentinelCleanBar = 0.2
-    val SentinelDriftBar = 0.5
+    // The samples, drift, two-tier verdict and contaminated flag ride
+    // in both artifacts, so a noise-skewed run is self-diagnosing
+    // instead of poisoning the cross-round record. Sentinel runs sit
+    // BETWEEN timed queries and are excluded from every total. The
+    // implementation — the dedicated plan (deliberately NOT any
+    // SparkEntry query), min-of-2 sampling, fail-loud −1 samples,
+    // clean/marginal/contaminated/failed tiering, and the
+    // retry-until-clean seal protocol — is graft.NoiseSentinel,
+    // SHARED with the FullScale sweep (r17 review: one spelling, so
+    // the two artifacts can never diverge on bars or tier logic).
     val SentinelEvery = 40
-    // a DEDICATED inline plan, deliberately NOT any SparkEntry query
-    // (r16 review: q_scan_parquet doubled as sentinel and timed query,
-    // so the sentinel's extra passes deepened that one query's own
-    // warmth and shifted its single-pass column across rounds). Same
-    // family — a bare filtered lineitem scan, pruned to one column —
-    // but a distinct plan, so no timed slot inherits sentinel-only
-    // codegen/plan warmth; the lineitem page-cache warmth it shares
-    // was already paid by the untimed table warmup above.
-    val sentinelName = "sentinel_lineitem_scan"
-    // a failed pass returns −1, NOT a swallowed near-zero wall (ADVICE
-    // r16: a missing/corrupt lineitem path used to yield ~ms samples
-    // with drift ≈ 0 — the sentinel silently certifying a run it never
-    // measured); a negative sample forces tier "failed" below
-    def sentinelOnce(): Double = {
-      import org.apache.spark.sql.functions.col
-      val t0 = System.nanoTime()
-      try {
-        spark.read.parquet(s"$sfDir/lineitem.parquet")
-          .select(col("l_orderkey")).filter(col("l_orderkey") % 97 === 0)
-          .count()
-        (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => -1.0 }
-    }
-    // each SAMPLE is the min of two back-to-back passes: the sentinel
-    // steady state is ~0.1 s, where a single pass can eat a stray
-    // scheduler hiccup and read as phantom drift — min-of-2 keeps the
-    // sample the host-capability number while sustained load (which
-    // inflates both passes) still registers. Either pass failing fails
-    // the sample (min picks the −1 marker up automatically).
-    def sentinelPass(): Double = math.min(sentinelOnce(), sentinelOnce())
-    // two untimed passes: the sentinel's own JIT/codegen warmth is
-    // paid here, not charged to the first sample
-    sentinelOnce(); sentinelOnce()
+    val sentinelPath = s"$sfDir/lineitem.parquet"
+    def sentinelPass(): Double = NoiseSentinel.sample(spark, sentinelPath)
+    NoiseSentinel.warmup(spark, sentinelPath)
     val sentinelSamples = scala.collection.mutable.ArrayBuffer[Double]()
     sentinelSamples += sentinelPass()
     // name-sorted: Map iteration order shifts whenever the query set
@@ -197,26 +157,10 @@ object Bench {
     // one sample after the rewarm phase too: the rewarm medians feed
     // steady_total, so contamination there must also be visible
     sentinelSamples += sentinelPass()
-    val sentinelOk = sentinelSamples.forall(_ > 0)
-    val sentinelDrift =
-      if (!sentinelOk) -1.0
-      else sentinelSamples.max / sentinelSamples.min - 1.0
-    // a failed sentinel cannot certify anything — fail toward
-    // contaminated, never toward clean (ADVICE r16)
-    val contaminated = !sentinelOk || sentinelDrift > SentinelDriftBar
-    val sentinelTier =
-      if (!sentinelOk) "failed"
-      else if (sentinelDrift > SentinelDriftBar) "contaminated"
-      else if (sentinelDrift > SentinelCleanBar) "marginal"
-      else "clean"
-    val sentinelJson = "{\"q\":\"" + sentinelName + "\",\"samples\":[" +
-      sentinelSamples.map(sec).mkString(",") +
-      "],\"drift\":" + sec(sentinelDrift) +
-      ",\"bar\":" + sec(SentinelDriftBar) +
-      ",\"clean_bar\":" + sec(SentinelCleanBar) +
-      ",\"tier\":\"" + sentinelTier + "\"" +
-      ",\"sentinel_ok\":" + sentinelOk +
-      ",\"contaminated\":" + contaminated + "}"
+    val sentinelDrift = NoiseSentinel.drift(sentinelSamples.toSeq)
+    val contaminated = NoiseSentinel.contaminated(sentinelSamples.toSeq)
+    val sentinelTier = NoiseSentinel.tier(sentinelSamples.toSeq)
+    val sentinelJson = NoiseSentinel.json(sentinelSamples.toSeq, sec)
     val rewarmJson = rewarm.map { case (k, v, _) => "\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val spreadJson = rewarm.filter(_._3.nonEmpty)

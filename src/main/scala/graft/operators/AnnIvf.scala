@@ -107,7 +107,24 @@ object AnnIvf {
       assigned = assign(spark, train, cents)
       it += 1
     }
-    assign(spark, e, cents)
+    // ship the trained quantizer as a driver-local k-row relation (the
+    // openIndex centsDf discipline — bounded collect, identical float
+    // values) so the train cache releases HERE instead of leaking for
+    // the session (r17 review: rebuildIndex runs on a serving
+    // process's retrain cadence where no query-path drain() ever
+    // fires — without this, every rebuild pinned a trainCap-row
+    // MEMORY_AND_DISK relation forever). The corpus-wide apply below
+    // then depends on nothing but the shipped k rows.
+    val centRows = cents.collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    train.unpersist()
+    val centsLocal = {
+      import spark.implicits._
+      centRows.toSeq.toDF("cell", "centroid")
+        .select(col("cell"),
+          col("centroid").cast("array<float>").as("centroid"))
+    }
+    assign(spark, e, centsLocal)
   }
 
   /** Centroid norms, computed once per (tiny, broadcast-side) centroid
@@ -357,22 +374,35 @@ object AnnIvf {
   }
 
   /** Centroid files of a MANIFEST-LESS dir: the legacy unversioned
-    * `centroids/` when present, else the newest `centroids-v*`
-    * generation (a dir whose manifests were lost/wiped but whose
-    * generations survive — the newest is the one the lost manifest
-    * referenced, since generations and manifests commit together). */
+    * `centroids/` when present, else the SINGLE `centroids-v*`
+    * generation (a dir whose manifests were lost/wiped but whose one
+    * generation survives — unambiguous, since every list file then
+    * belongs to that generation). MULTIPLE surviving generations with
+    * no manifest are REFUSED loudly (r17 review): the lists/ dirs
+    * cohabit every generation's files under job-unique names with
+    * nothing but the lost manifest to attribute them, so any listing
+    * would double-serve rows and mix quantizers — there is no honest
+    * recovery, only an explicit error naming the state. */
   private def legacyCentroidFiles(spark: SparkSession,
       dir: String): Seq[String] = {
     val plain = dataFilesUnder(spark, dir, "centroids")
-    if (plain.nonEmpty) plain
+    val fs = hadoopFs(spark, dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val gens =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("centroids-v")).sorted
+    if (plain.nonEmpty && gens.isEmpty) plain
     else {
-      val fs = hadoopFs(spark, dir)
-      val root = new org.apache.hadoop.fs.Path(dir)
-      val gens =
-        if (!fs.exists(root)) Seq.empty
-        else fs.listStatus(root).toSeq.map(_.getPath.getName)
-          .filter(_.startsWith("centroids-v")).sorted
-      gens.lastOption.map(g => dataFilesUnder(spark, dir, g))
+      require(plain.isEmpty && gens.size <= 1,
+        s"index at $dir has multiple quantizer locations (legacy " +
+        s"centroids/: ${plain.nonEmpty}; generations: " +
+        s"${gens.mkString(", ")}) but no manifest log: the list files " +
+        "cannot be attributed to a generation without the manifests — " +
+        "a directory-listing fallback would double-serve every rebuilt " +
+        "row. Restore dir/manifests from backup or rebuild the index " +
+        "from the source corpus.")
+      gens.headOption.map(g => dataFilesUnder(spark, dir, g))
         .getOrElse(Seq.empty)
     }
   }

@@ -383,7 +383,9 @@ object AnnPq {
     // hash-seeded deterministic, so reuse cannot change results. The
     // per-query drain leaves shared entries alone (the ngram
     // shingle-pair precedent); memory is bounded by the corpus's
-    // (vec_id, sub, sv) expansion, MEMORY_AND_DISK.
+    // (vec_id, sub, sv) expansion, MEMORY_AND_DISK — PER CORPUS, so
+    // multi-corpus harnesses (FullScale's x1 then xK sweeps) call
+    // CacheScope.drainShared at corpus boundaries (r17 review).
     val assigned = graft.CacheScope.sharedEager(
       trainAssign(spark, prepared, m, ksub, iters))
     val books = booksOf(assigned)

@@ -165,22 +165,15 @@ object FullScale {
       else ("q_llm_bm25" +: base).sorted
     }
 
-    // NOISE SENTINEL (r17, VERDICT r16 item 2 — the Bench sentinel,
-    // verbatim discipline): a dedicated cache-free pruned lineitem
-    // scan against the FIXED source corpus (never the synthesized
-    // dirs — the sentinel measures the HOST, so its input must not
-    // scale with k), min-of-2 per sample, −1 on failure (ADVICE r16).
-    def sentinelOnce(): Double = {
-      val t0 = System.nanoTime()
-      try {
-        spark.read.parquet(s"$src/lineitem.parquet")
-          .select(col("l_orderkey")).filter(col("l_orderkey") % 97 === 0)
-          .count()
-        (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => -1.0 }
-    }
-    def sentinelPass(): Double = math.min(sentinelOnce(), sentinelOnce())
-    sentinelOnce(); sentinelOnce() // untimed JIT/codegen warmup
+    // NOISE SENTINEL (r17, VERDICT r16 item 2): the SAME
+    // graft.NoiseSentinel Bench uses (one spelling — r17 review), run
+    // against the FIXED source corpus (never the synthesized dirs —
+    // the sentinel measures the HOST, so its input must not scale
+    // with k).
+    val sentinelPath = s"$src/lineitem.parquet"
+    def sentinelPass(): Double =
+      graft.NoiseSentinel.sample(spark, sentinelPath)
+    graft.NoiseSentinel.warmup(spark, sentinelPath)
     val sentinelSamples = scala.collection.mutable.ArrayBuffer[Double]()
     val SentinelEvery = 20
 
@@ -206,6 +199,13 @@ object FullScale {
         q -> r
       }.toMap
       sentinelSamples += sentinelPass()
+      // release THIS corpus's shared family caches (ngram pairs, PQ
+      // training) before the next sweep: shared entries are keyed by
+      // logical plan, so the x1 corpus's relations would otherwise
+      // stay pinned in MEMORY_AND_DISK through the entire xK sweep —
+      // memory pressure and eviction churn in exactly the measurement
+      // the sentinel is trying to keep noise-free (r17 review)
+      graft.CacheScope.drainShared(blocking = true)
       out
     }
 
@@ -221,22 +221,11 @@ object FullScale {
       val wr = if (t1 > 0) f"$tk / $t1 = ${tk / t1}%.2f" else "-"
       println(s"FULLSCALE SUMMARY $q rows $n1 -> $nk (ratio $rr) wall $wr")
     }
-    // sentinel verdict + artifact (the Bench two-tier bars)
+    // sentinel verdict + artifact — the shared canonical block
     def sec(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val sOk = sentinelSamples.forall(_ > 0)
-    val drift =
-      if (!sOk) -1.0 else sentinelSamples.max / sentinelSamples.min - 1.0
-    val tier =
-      if (!sOk) "failed"
-      else if (drift > 0.5) "contaminated"
-      else if (drift > 0.2) "marginal"
-      else "clean"
-    val sentinelJson = "{\"q\":\"sentinel_lineitem_scan\",\"samples\":[" +
-      sentinelSamples.map(sec).mkString(",") +
-      "],\"drift\":" + sec(drift) + ",\"clean_bar\":0.2,\"bar\":0.5" +
-      ",\"tier\":\"" + tier + "\",\"sentinel_ok\":" + sOk +
-      ",\"contaminated\":" + (!sOk || drift > 0.5) + "}"
+    val sentinelJson =
+      graft.NoiseSentinel.json(sentinelSamples.toSeq, sec)
     println(s"FULLSCALE SENTINEL $sentinelJson")
     def sweepJson(m: Map[String, (Long, Double)]): String =
       names.map { q =>

@@ -99,9 +99,11 @@ object RebuildProbe {
         import scala.jdk.CollectionConverters._
         val path = java.nio.file.Paths.get(p)
         if (!java.nio.file.Files.exists(path)) 0L
-        else java.nio.file.Files.walk(path).iterator().asScala
-          .filter(java.nio.file.Files.isRegularFile(_))
-          .map(java.nio.file.Files.size(_)).sum
+        else scala.util.Using.resource(java.nio.file.Files.walk(path)) { w =>
+          w.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size(_)).sum
+        }
       }
       val bytesBefore = bytesUnder(dir)
       t0 = System.nanoTime()
@@ -118,8 +120,9 @@ object RebuildProbe {
         f"bytes_single_gen=${bytesBefore / 1048576.0}%.1fMiB")
       import scala.jdk.CollectionConverters._
       val p = java.nio.file.Paths.get(dir)
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { w =>
+        w.iterator().asScala.toSeq
+      }.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
     }
     spark.stop()
   }
