@@ -158,6 +158,7 @@ object Bench {
     // steady_total, so contamination there must also be visible
     sentinelSamples += sentinelPass()
     val sentinelDrift = NoiseSentinel.drift(sentinelSamples.toSeq)
+    val sentinelRobust = NoiseSentinel.robustDrift(sentinelSamples.toSeq)
     val contaminated = NoiseSentinel.contaminated(sentinelSamples.toSeq)
     val sentinelTier = NoiseSentinel.tier(sentinelSamples.toSeq)
     val sentinelJson = NoiseSentinel.json(sentinelSamples.toSeq, sec)
@@ -225,7 +226,7 @@ object Bench {
       s""""queries":$qs,""" +
       s""""rest_n":${results.size - topSteady.size},"rest_sec":${sec(restSec)},""" +
       s""""fill_s":${sec(fillS)},"rewarm_n":${rewarm.size},""" +
-      s""""sentinel_drift":${sec(sentinelDrift)},"sentinel_tier":"$sentinelTier","contaminated":$contaminated,""" +
+      s""""sentinel_drift":${sec(sentinelDrift)},"sentinel_robust_drift":${sec(sentinelRobust)},"sentinel_tier":"$sentinelTier","contaminated":$contaminated,""" +
       s""""full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }

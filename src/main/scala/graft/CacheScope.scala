@@ -82,7 +82,15 @@ object CacheScope {
   }
 
   /** Unpersist the shared family caches too — NOT part of the normal
-    * per-query lifecycle; for tests/tools that need a cold session. */
+    * per-query lifecycle. REQUIRED at corpus boundaries (ADVICE r17):
+    * shared entries are keyed by logical plan, which embeds the input
+    * path, so a long-lived session that touches MULTIPLE corpora
+    * (FullScale's x1-then-xK sweeps; any serving harness rotating
+    * datasets) pins one MEMORY_AND_DISK family expansion PER CORPUS
+    * until this is called — the contract is: finish a corpus, call
+    * drainShared. Single-corpus sessions (Bench, Verify, a production
+    * serving loop over one dataset) never need it; their shared
+    * entries are the amortization working as intended. */
   def drainShared(blocking: Boolean = false): Unit = synchronized {
     sharedLive.foreach(ds => try ds.unpersist(blocking)
       catch { case _: Throwable => () })

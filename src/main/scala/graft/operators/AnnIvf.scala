@@ -88,10 +88,38 @@ object AnnIvf {
       s"assignCellsSampled: trainCap=$trainCap must hold at least k=$k seeds")
     val e = emb.select(col("vec_id"), col("embedding"),
       VecOps.norm(spark, col("embedding")).as("nrm"))
+    // The train sample is the trainCap smallest (h, vec_id) rows. A
+    // bare orderBy+limit would plan a FULL GLOBAL SORT of the corpus
+    // whenever trainCap exceeds Spark's topKSortFallbackThreshold
+    // (10k — the default trainCap of 65536 does), undercutting the
+    // "train cost bounded by trainCap regardless of corpus size"
+    // claim (ADVICE r17). Instead: one narrow count, then a
+    // deterministic hash-CUTOFF pre-filter that keeps ~4×trainCap
+    // candidate rows (xxhash64 is uniform over the Long range, so the
+    // cutoff at quantile 4·trainCap/n over-covers the true top set
+    // with overwhelming margin), and the exact orderBy+limit trim
+    // runs on that bounded candidate set. The filter is PREFIX-CLOSED
+    // in the (h, vec_id) order (it keeps every row with h ≤ cutoff),
+    // so whenever it retains ≥ trainCap rows the trimmed result is
+    // row-identical to the global sort — verified by count, with a
+    // loud-but-safe fallback to the full relation if the hash were
+    // ever skewed enough to under-fill (AnnIvfIndexSpec pins the
+    // selection equality against the plain orderBy+limit spelling).
+    val withH = e.withColumn("h", xxhash64(col("vec_id")))
+    val n = withH.count()
+    val candidates =
+      if (trainCap.toLong * 4 >= n) withH // sample ≈ corpus: no filter needed
+      else {
+        val width = BigInt(1) << 64
+        val cut = (BigInt(Long.MinValue) + width * (4L * trainCap) / n)
+          .min(BigInt(Long.MaxValue)).toLong
+        val pre = withH.filter(col("h") <= cut)
+        if (pre.count() >= trainCap) pre else withH
+      }
     // cached + eager: the loop scans the train relation from two
     // concurrent stages per round (assignment + centroid update)
     val train = graft.CacheScope.localEager(
-      e.withColumn("h", xxhash64(col("vec_id")))
+      candidates
         .orderBy(col("h"), col("vec_id")).limit(trainCap)
         .select(col("vec_id"), col("embedding"), col("nrm")))
     var cents = train

@@ -155,8 +155,18 @@ object AnnLsh {
     // wall in the knn-graph sibling, vs 0.5 s for the join+dots.
     // EAGER: the self-join's two scan stages run concurrently, and a
     // lazy fill lets both race to compute every partition (CacheScope
-    // .localEager note — 5× on the knn-graph sibling).
-    val b = graft.CacheScope.localEager(bucketize(spark, emb, tables, bits))
+    // .localEager note — 5× on the knn-graph sibling). SHARED, not
+    // query-local (r18, VERDICT r17 item 2 — the AnnPq.trainAssign
+    // precedent): q_llm_embed_neardup_ann and its _gate both derive
+    // THIS exact bucket relation, so the per-query drain made the
+    // gate re-pay the full signature kernel. Signatures are
+    // hash-derived deterministic — reuse cannot change results; the
+    // CacheManager dedupes by logical plan, so only identical
+    // (corpus, tables, bits) calls share. Memory is one n·tables-row
+    // MEMORY_AND_DISK relation PER CORPUS — multi-corpus harnesses
+    // call CacheScope.drainShared at corpus boundaries (the
+    // documented contract).
+    val b = graft.CacheScope.sharedEager(bucketize(spark, emb, tables, bits))
     b.as("a").join(b.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
@@ -183,7 +193,11 @@ object AnnLsh {
   def neardupPairsCompact(spark: SparkSession, emb: DataFrame, threshold: Double,
       tables: Int, bits: Int): DataFrame = {
     import graft.functions.LshSignatures
-    val c = graft.CacheScope.localEager(
+    // sharedEager for the same reason as [[neardupPairs]] (r18): the
+    // auto-dispatch queries and any gate twin re-derive this exact
+    // one-row-per-vector signature relation; deterministic, so reuse
+    // cannot change results — drainShared at corpus boundaries
+    val c = graft.CacheScope.sharedEager(
       emb.select(col("vec_id"), col("embedding"),
         VecOps.norm(spark, col("embedding")).as("nrm"),
         LshSignatures.of(spark, col("embedding"), tables, bits).as("sigs")))

@@ -264,15 +264,20 @@ object Llm {
     // 8.9 s pre-fix wall at sf0.1), and even cached, a LAZY fill lets
     // the join's two concurrent scan stages race to compute every
     // partition redundantly — measured 9.3–14.4 s drained vs 1.7–2.6 s
-    // with the fill materialized first (CacheScope.localEager note)
+    // with the fill materialized first (CacheScope.localEager note).
+    // SHARED across queries (r18, VERDICT r17 item 2 — the AnnPq
+    // precedent): q_llm_knn_graph_ann and its _gate derive this exact
+    // bucket relation, so the per-query drain made the gate refit the
+    // signature kernel — hash-derived deterministic, reuse cannot
+    // change results; drainShared releases it at corpus boundaries.
     val b = if (compact) {
-      val c = graft.CacheScope.localEager(
+      val c = graft.CacheScope.sharedEager(
         emb.select($"vec_id", $"embedding",
           VecOps.norm(s, $"embedding").as("nrm"),
           graft.functions.LshSignatures.of(s, $"embedding", tables, bits).as("sigs")))
       c.select($"vec_id", $"embedding", $"nrm",
         posexplode($"sigs").as(Seq("t", "bucket")))
-    } else graft.CacheScope.localEager(graft.operators.AnnLsh.bucketize(s, emb,
+    } else graft.CacheScope.sharedEager(graft.operators.AnnLsh.bucketize(s, emb,
       tables, bits))
     val cand = b.as("a").join(b.as("b"),
         $"a.t" === $"b.t" && $"a.bucket" === $"b.bucket" &&

@@ -162,7 +162,15 @@ object FullScale {
       // chunked/narrowed sweep without it has no in-run load anchor
       if (base.contains("q_llm_bm25") ||
           !graft.SparkEntry.queries.contains("q_llm_bm25")) base
-      else ("q_llm_bm25" +: base).sorted
+      else {
+        // say so (ADVICE r17): the ONLY/SKIP narrowing excluded the
+        // control and it is being forced back in — without this line
+        // the artifact's extra row is unexplained
+        println("FULLSCALE NOTE control q_llm_bm25 forced into the " +
+          "narrowed sweep (excluded by GRAFT_FULLSCALE_ONLY/SKIP; every " +
+          "sweep artifact carries the in-run load anchor)")
+        ("q_llm_bm25" +: base).sorted
+      }
     }
 
     // NOISE SENTINEL (r17, VERDICT r16 item 2): the SAME
@@ -216,9 +224,18 @@ object FullScale {
     }
     val r1 = sweep("x1", d1)
     val rk = sweep(s"x$k", dk)
+    // base-noise marking (r18, VERDICT r17 item 6): a ratio over a
+    // sub-second x1 base is dominated by per-query fixed cost and
+    // scheduler jitter (r17: q_join_inner_smj "14.3x" on a 0.34 s base
+    // whose x100 absolute wall was a fine 4.9 s) — for those rows the
+    // ABSOLUTE xK wall is the signal and the ratio is annotated, so
+    // they stop polluting the >12x tail reading.
+    val baseNoise = names.filter(q => { val t1 = r1(q)._2; t1 > 0 && t1 < 1.0 })
+      .toSet
     for (q <- names; (n1, t1) = r1(q); (nk, tk) = rk(q)) {
       val rr = if (n1 > 0) f"${nk.toDouble / n1}%.2f" else "-"
-      val wr = if (t1 > 0) f"$tk / $t1 = ${tk / t1}%.2f" else "-"
+      val note = if (baseNoise(q)) f" [base-noise: x1=$t1%.2fs < 1s, signal is abs xK wall $tk%.2fs]" else ""
+      val wr = if (t1 > 0) f"$tk / $t1 = ${tk / t1}%.2f$note" else "-"
       println(s"FULLSCALE SUMMARY $q rows $n1 -> $nk (ratio $rr) wall $wr")
     }
     // sentinel verdict + artifact — the shared canonical block
@@ -234,6 +251,8 @@ object FullScale {
       }.mkString("{", ",", "}")
     val artifact = "{\"k\":" + k + ",\"src\":\"" + src + "\"" +
       ",\"control\":\"q_llm_bm25\"" +
+      ",\"base_noise_ids\":" +
+        baseNoise.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]") +
       ",\"sentinel\":" + sentinelJson +
       ",\"x1\":" + sweepJson(r1) +
       ",\"x" + k + "\":" + sweepJson(rk) + "}"

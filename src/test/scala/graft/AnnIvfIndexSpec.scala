@@ -514,6 +514,31 @@ class AnnIvfIndexSpec extends AnyFunSuite {
     assert(sub.length === emb.count())
     assert(sub.map(_.getInt(1)).distinct.length > 1)
     CacheScope.drain(blocking = true)
+    // the r18 hash-cutoff pre-filter (ADVICE r17: the plain
+    // orderBy+limit planned a corpus-wide global sort) must be
+    // selection-IDENTICAL to the plain spelling: trainCap=100 < n/4
+    // engages the cutoff path, and the fit it produces has to equal a
+    // fit trained on the explicitly-sorted top-100 sample
+    val plainTrain = emb
+      .withColumn("h", xxhash64($"vec_id"))
+      .orderBy($"h", $"vec_id").limit(100)
+      .select($"vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val viaCutoff = AnnIvf.assignCellsSampled(spark, emb, Cells, 2,
+        trainCap = 100)
+      .select($"vec_id", $"cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val viaPlainFit = AnnIvf.assignCellsSampled(spark,
+        emb.join(plainTrain.toDF("vec_id"), Seq("vec_id"), "inner"),
+        Cells, 2, trainCap = 100)
+      .select($"vec_id", $"cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    // same 100 train rows => same quantizer => the 100 sampled rows'
+    // assignments agree between the cutoff path and the pre-sorted fit
+    val viaCutoffMap = viaCutoff.toMap
+    val viaPlainMap = viaPlainFit.toMap
+    assert(plainTrain.forall(id => viaPlainMap(id) === viaCutoffMap(id)),
+      "the cutoff pre-filter changed the train-sample selection")
+    CacheScope.drain(blocking = true)
   }
 
   test("rebuildIndex: retrain while serving — pinned reader isolated, drifted load_ratio restored, tombstones resolved, openIndex parity, prune GCs the old generation") {
