@@ -1108,6 +1108,101 @@ object AnnIvf {
       .orderBy(col("cell"))
   }
 
+  /** Dispatch bounds for [[maintainIndex]] — the numeric form of the
+    * triggers [[occupancyAudit]]'s doc names in prose.
+    *
+    *   - `maxLoadRatio`: max(load_ratio) above this means the frozen
+    *     quantizer no longer fits the data distribution (a hot cell
+    *     holds maxLoadRatio× the mean occupancy, so probe work stops
+    *     being bounded by nprobe/cells) → [[rebuildIndex]]. Default 4:
+    *     the r17 drift experiment measured a healthy fit at ~2.3 and
+    *     the manufactured drift at ~10.7 — 4 splits the regimes with
+    *     margin on both sides.
+    *   - `maxDeadFraction`: tombstoned share of the corpus above this
+    *     means the per-query anti-join side has outgrown "broadcast a
+    *     tiny delete set" → [[compactIndex]]. Default 0.2 — the point
+    *     the deleteFromIndex doc already names.
+    *   - `maxFilesPerCell`: [[DefaultMaxFilesPerCell]], the measured
+    *     fragmentation bound (per-file parquet overhead erodes the
+    *     one-file-per-cell probe-IO result past ~8 fragments).
+    *   - `rebuildCells`: cell count for a dispatched rebuild; None
+    *     keeps the current count (resizing to [[autoTopKConfig]]'s
+    *     ⌈√n⌉ after heavy ingest is the caller's explicit choice).
+    */
+  case class MaintenancePolicy(
+      maxLoadRatio: Double = 4.0,
+      maxDeadFraction: Double = 0.2,
+      maxFilesPerCell: Int = DefaultMaxFilesPerCell,
+      rebuildCells: Option[Int] = None,
+      iters: Int = 2,
+      trainCap: Int = DefaultRebuildTrainCap)
+
+  /** What [[maintainIndex]] did and why — the audit numbers that
+    * drove the dispatch ride along so the decision is reproducible
+    * from the report alone. */
+  case class MaintenanceReport(action: String, reason: String,
+      versionBefore: Long, versionAfter: Long,
+      maxLoadRatio: Double, deadFraction: Double, maxFilesPerCell: Long)
+
+  /** AUTOMATED MAINTENANCE DISPATCH (r18, VERDICT r17 item 4 — the
+    * r16 rebuild argument one level up: [[occupancyAudit]] names its
+    * own triggers, but a human had to read the audit and call the op).
+    * Reads the audit ONCE, applies `policy`, executes:
+    *
+    *   - max(load_ratio) > maxLoadRatio → [[rebuildIndex]] (retrain —
+    *     the only repair for quantizer drift; it also resolves
+    *     tombstones and rewrites one file per cell, so it subsumes
+    *     any compaction trigger that fired alongside);
+    *   - else dead fraction > maxDeadFraction OR any cell's file
+    *     count > maxFilesPerCell → [[compactIndex]];
+    *   - else NO-OP: commits nothing, the manifest version is
+    *     untouched (spec-pinned — an idle index must not accrete
+    *     manifests from a maintenance cron).
+    *
+    * One audit pass + at most one maintenance op per call — the shape
+    * a scheduler loop wants (call, read the report, sleep). Same
+    * concurrency contract as every maintenance op: one writer at a
+    * time, any number of readers; the dispatched op commits through
+    * the same additive-manifest path, so a crash mid-dispatch leaves
+    * the previous manifest live. */
+  def maintainIndex(spark: SparkSession, dir: String,
+      policy: MaintenancePolicy = MaintenancePolicy()): MaintenanceReport = {
+    val versionBefore = latestManifest(spark, dir).map(_.version).getOrElse(0L)
+    // bounded collect: k rows (the audit's own contract)
+    val audit = occupancyAudit(spark, dir).collect()
+    val live = audit.map(_.getLong(1)).sum
+    val dead = audit.map(_.getLong(2)).sum
+    val maxFiles = if (audit.isEmpty) 0L else audit.map(_.getLong(5)).max
+    val maxLr =
+      if (live == 0L) 0.0
+      else audit.filterNot(_.isNullAt(4)).map(_.getDouble(4)).max
+    val deadFrac = if (live + dead == 0L) 0.0
+      else dead.toDouble / (live + dead)
+    def report(action: String, reason: String): MaintenanceReport =
+      MaintenanceReport(action, reason, versionBefore,
+        latestManifest(spark, dir).map(_.version).getOrElse(versionBefore),
+        maxLr, deadFrac, maxFiles)
+    if (live == 0L && dead == 0L)
+      report("noop", "empty index: nothing to maintain")
+    else if (maxLr > policy.maxLoadRatio) {
+      val cells = policy.rebuildCells.getOrElse(audit.length)
+      rebuildIndex(spark, dir, cells, policy.iters, policy.trainCap)
+      report("rebuild",
+        f"max(load_ratio)=$maxLr%.2f > ${policy.maxLoadRatio}%.2f: " +
+        f"quantizer drift — retrained at $cells cells")
+    } else if (deadFrac > policy.maxDeadFraction ||
+        maxFiles > policy.maxFilesPerCell) {
+      compactIndex(spark, dir, policy.maxFilesPerCell)
+      report("compact",
+        f"dead_fraction=$deadFrac%.3f (bound ${policy.maxDeadFraction}%.3f), " +
+        f"max files/cell=$maxFiles (bound ${policy.maxFilesPerCell}): " +
+        "rewrote affected cells, tombstones cleared")
+    } else
+      report("noop",
+        f"max(load_ratio)=$maxLr%.2f, dead_fraction=$deadFrac%.3f, " +
+        f"max files/cell=$maxFiles — all within policy bounds")
+  }
+
   /** A pinned-snapshot SERVING HANDLE (r16, VERDICT r15 item 4): the
     * deployment form the r15 IndexServeDuel measured as duel-local
     * caching, now public API. Opening resolves the newest manifest

@@ -638,6 +638,65 @@ class AnnIvfIndexSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))) === viaOneShot)
   }
 
+  test("maintainIndex: no-op within bounds commits NOTHING; dead fraction dispatches compact; drift dispatches rebuild (subsuming the delete trigger)") {
+    // the r18 closure of VERDICT r17 item 4 — occupancyAudit's own
+    // triggers, executed instead of prose. Three regimes on
+    // manufactured corpora, one dir reused through its lifecycle.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfmaint").toString
+    val emb = Tables.embeddings(spark, d).select($"vec_id", $"embedding")
+    AnnIvf.writeIndex(spark, emb, dir, Cells)
+    val n = emb.count()
+    // regime 1 — healthy index: no-op, version untouched, no new
+    // manifest file (an idle maintenance cron must not accrete them)
+    val manifestsBefore = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$dir/manifests")).count()
+    val r1 = AnnIvf.maintainIndex(spark, dir)
+    assert(r1.action === "noop", r1.reason)
+    assert(r1.versionAfter === r1.versionBefore)
+    assert(java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$dir/manifests")).count() === manifestsBefore,
+      "a no-op maintenance run committed a manifest")
+    // regime 2 — delete 30% of the corpus: dead fraction crosses the
+    // 0.2 default bound, compact dispatches and clears the tombstones
+    val deadIds = (0L until n * 3 / 10).toDF("vec_id")
+    AnnIvf.deleteFromIndex(spark, deadIds, dir)
+    val r2 = AnnIvf.maintainIndex(spark, dir)
+    assert(r2.action === "compact", r2.reason)
+    assert(r2.deadFraction > 0.2)
+    assert(r2.versionAfter === r2.versionBefore + 1)
+    assert(AnnIvf.latestManifest(spark, dir).get.tombstoneFiles.isEmpty)
+    assert(AnnIvf.occupancyAudit(spark, dir)
+      .agg(sum($"n_dead")).head().getLong(0) === 0L)
+    // …and the next run is a no-op again (the dispatch converges)
+    assert(AnnIvf.maintainIndex(spark, dir).action === "noop")
+    // regime 3 — manufacture quantizer drift (the r17 rebuild
+    // fixture: a shifted-distribution batch piles into one cell) PLUS
+    // fresh deletes: BOTH triggers fire, rebuild wins and resolves
+    // the tombstones as part of the retrain
+    val dims = query.length
+    val e0 = array(query.toIndexedSeq.map(lit(_)): _*)
+    val clones = emb.select(
+      ($"vec_id" + 60000000L).as("vec_id"),
+      transform(sequence(lit(0), lit(dims - 1)), i =>
+        (element_at($"embedding", i + 1) +
+          lit(2.0) * element_at(e0, i + 1)).cast("float")).as("embedding"))
+    AnnIvf.appendToIndex(spark, clones, dir)
+    AnnIvf.deleteFromIndex(spark,
+      Seq(60000000L, 60000001L).toDF("vec_id"), dir)
+    val r3 = AnnIvf.maintainIndex(spark, dir)
+    assert(r3.action === "rebuild", r3.reason)
+    assert(r3.maxLoadRatio > 4.0,
+      s"the drift fixture should cross the default bound (got ${r3.maxLoadRatio})")
+    assert(r3.versionAfter === r3.versionBefore + 1)
+    assert(AnnIvf.latestManifest(spark, dir).get.tombstoneFiles.isEmpty,
+      "a dispatched rebuild must resolve tombstones")
+    // the retrain did its job: the post-rebuild audit is back inside
+    // the policy bounds and the next run is a no-op
+    val r4 = AnnIvf.maintainIndex(spark, dir)
+    assert(r4.action === "noop", r4.reason)
+    assert(r4.maxLoadRatio < 4.0)
+  }
+
   test("concurrent stress: an openIndex reader thread sees zero anomalies while append/delete/compact/rebuild commit under it") {
     // the r16 snapshot-isolation pin interleaved reader and
     // maintenance CALLS in one thread; this is the actual race

@@ -136,6 +136,68 @@ class AnnStreamServeSpec extends AnyFunSuite {
         s"query $qid missing its self-match at cos 1.0")
   }
 
+  test("pinned serve across a REBUILD commit (r18, VERDICT r17 item 5): the stream keeps the OLD generation's quantizer while a retrain swaps it underneath") {
+    // the stronger isolation claim than the compaction pin above: a
+    // rebuild commits a NEW centroid GENERATION (the quantizer itself
+    // changes under the reader), so a pinned stream must keep ranking
+    // probes with the centroids its pinned lists were assigned under —
+    // not the fresh generation's.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfservereb").toString
+    AnnIvf.writeIndex(spark,
+      Tables.embeddings(spark, d).select($"vec_id", $"embedding"), dir, Cells)
+    val reader = AnnIvf.openIndex(spark, dir)
+    val v0 = reader.version
+    val gen0 = reader.manifest.centroidFiles
+    assert(gen0.nonEmpty)
+    val (b1, b2) = queryRows.splitAt(3)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = reader.probeCandidates(
+        in.toDF.toDF("query_id", "qvec"), Nprobe, Theta)
+      .writeStream.format("memory").queryName("ann_serve_rebuild_pin")
+      .outputMode("append").start()
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    // a REBUILD commits a new manifest + a new quantizer generation
+    // between the micro-batches (different cell count so the new
+    // geometry provably differs from the pinned one)
+    AnnIvf.rebuildIndex(spark, dir, Cells + 5)
+    val latest = AnnIvf.latestManifest(spark, dir).get
+    assert(latest.version === v0 + 1)
+    assert(latest.centroidFiles.nonEmpty && latest.centroidFiles != gen0,
+      "the rebuild must have committed a NEW quantizer generation")
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.isEmpty)
+    val stream = spark.table("ann_serve_rebuild_pin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    q.stop()
+    // the stream never re-resolved: version constant, and the SAME
+    // pinned reader's batch evaluation agrees row for row — i.e. both
+    // micro-batches were served by the OLD generation's centroids and
+    // lists even though the newest manifest carries a different
+    // quantizer with a different cell count
+    assert(reader.version === v0)
+    val batch = reader.probeCandidates(
+        queryRows.toDF("query_id", "qvec"), Nprobe, Theta)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    assert(stream == batch,
+      "pinned-reader stream diverged from its own batch evaluation across a rebuild")
+    // self-matches land from both pre- and post-rebuild micro-batches
+    for (qid <- queryRows.map(_._1))
+      assert(stream.contains((qid, qid - 1000L, 1.0)),
+        s"query $qid missing its self-match at cos 1.0")
+    // a FRESH open resolves the new generation and serves it
+    val fresh = AnnIvf.openIndex(spark, dir)
+    assert(fresh.version === latest.version)
+    assert(fresh.manifest.centroidFiles === latest.centroidFiles)
+    val freshSelf = fresh.probeCandidates(
+        queryRows.take(1).toDF("query_id", "qvec"), Nprobe, Theta).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(freshSelf.contains((queryRows.head._1, queryRows.head._1 - 1000L, 1.0)))
+  }
+
   test("broadcast-fallback branch is batch-only: append streaming rejects it") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Array[Float])]
