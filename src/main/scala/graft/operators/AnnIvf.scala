@@ -301,9 +301,17 @@ object AnnIvf {
   /** One committed index snapshot: the exact list + tombstone +
     * centroid files (dir-relative paths) a reader of this version may
     * touch. `centroidFiles` empty means a legacy (pre-r17) manifest —
-    * the quantizer then lives at the unversioned `dir/centroids`. */
+    * the quantizer then lives at the unversioned `dir/centroids`.
+    * `pqFiles`/`pq` (r18): a COMPRESSED index additionally versions
+    * its PQ codebook generation ("Q" lines, a `pqbooks-v%08d` dir)
+    * and the code layout ("P m ksub" property line) — both resolved
+    * from the same snapshot as lists/tombstones/centroids, so a
+    * rebuild swapping the codebooks can never make a reader ADC-score
+    * codes against books they were not encoded under. Empty/None
+    * means a raw (uncompressed) index. */
   case class IndexManifest(version: Long, listFiles: Seq[String],
-      tombstoneFiles: Seq[String], centroidFiles: Seq[String] = Seq.empty)
+      tombstoneFiles: Seq[String], centroidFiles: Seq[String] = Seq.empty,
+      pqFiles: Seq[String] = Seq.empty, pq: Option[(Int, Int)] = None)
 
   private def hadoopFs(spark: SparkSession, dir: String)
       : org.apache.hadoop.fs.FileSystem =
@@ -344,10 +352,19 @@ object AnnIvf {
         new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
       } finally in.close()
       val lines = body.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+      val pqMeta = lines.collectFirst {
+        case l if l.startsWith("P ") =>
+          val parts = l.drop(2).trim.split("\\s+")
+          require(parts.length == 2,
+            s"index manifest P line malformed: $l")
+          (parts(0).toInt, parts(1).toInt)
+      }
       Some(IndexManifest(v,
         lines.collect { case l if l.startsWith("L ") => l.drop(2) },
         lines.collect { case l if l.startsWith("T ") => l.drop(2) },
-        lines.collect { case l if l.startsWith("C ") => l.drop(2) }))
+        lines.collect { case l if l.startsWith("C ") => l.drop(2) },
+        lines.collect { case l if l.startsWith("Q ") => l.drop(2) },
+        pqMeta))
     }
   }
 
@@ -355,13 +372,20 @@ object AnnIvf {
     * the ONE atomic step every maintenance op ends with. */
   private def commitManifest(spark: SparkSession, dir: String, version: Long,
       listFiles: Seq[String], tombstoneFiles: Seq[String],
-      centroidFiles: Seq[String]): IndexManifest = {
+      centroidFiles: Seq[String], pqFiles: Seq[String] = Seq.empty,
+      pq: Option[(Int, Int)] = None): IndexManifest = {
+    require(pqFiles.isEmpty == pq.isEmpty,
+      "commitManifest: PQ codebook files and the P layout line must " +
+      "travel together (codes are unreadable without both)")
     val fs = hadoopFs(spark, dir)
     val mp = new org.apache.hadoop.fs.Path(s"$dir/manifests")
     fs.mkdirs(mp)
     val body = (listFiles.sorted.map("L " + _) ++
       tombstoneFiles.sorted.map("T " + _) ++
-      centroidFiles.sorted.map("C " + _)).mkString("", "\n", "\n")
+      centroidFiles.sorted.map("C " + _) ++
+      pqFiles.sorted.map("Q " + _) ++
+      pq.map { case (m, ksub) => s"P $m $ksub" }.toSeq
+      ).mkString("", "\n", "\n")
     val tmp = new org.apache.hadoop.fs.Path(mp, f"m-$version%08d.tmp")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -371,7 +395,7 @@ object AnnIvf {
       s"commitManifest: rename $tmp -> $fin failed (version collision? " +
       "maintenance ops must be externally serialized)")
     IndexManifest(version, listFiles.sorted, tombstoneFiles.sorted,
-      centroidFiles.sorted)
+      centroidFiles.sorted, pqFiles.sorted, pq)
   }
 
   /** Dir-relative data files under `dir/sub` (recursive; skips hidden
@@ -460,6 +484,24 @@ object AnnIvf {
   private def ensureManifest(spark: SparkSession, dir: String): IndexManifest =
     latestManifest(spark, dir).getOrElse {
       val fs = hadoopFs(spark, dir)
+      // a manifest-less dir with PQ codebook generations is REFUSED
+      // (r18): the code layout (m, ksub) lives only in the lost
+      // manifest's P line — deriving it from the books (max sub/code)
+      // undercounts whenever a code lost all members, and a migration
+      // manifest WITHOUT the Q/P lines would silently re-type the
+      // index to raw, orphaning every row's codes. No honest recovery;
+      // restore the manifests or rebuild from the source corpus.
+      val pqGens =
+        if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) Seq.empty
+        else fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+          .map(_.getPath.getName).filter(_.startsWith("pqbooks-v"))
+      require(pqGens.isEmpty,
+        s"index at $dir has PQ codebook generations (${pqGens.mkString(", ")}) " +
+        "but no manifest log: the code layout (m, ksub) cannot be " +
+        "recovered without the manifest's P line, and migrating without " +
+        "it would silently re-type the compressed index to raw. Restore " +
+        "dir/manifests from backup or rebuild the index from the source " +
+        "corpus.")
       val stagedPath = new org.apache.hadoop.fs.Path(s"$dir/lists_compacting")
       if (fs.exists(stagedPath)) {
         fs.listStatus(stagedPath).foreach { st =>
@@ -493,13 +535,20 @@ object AnnIvf {
   /** The snapshot's list relation: EXACTLY the manifest's files, with
     * `cell` recovered from the directory layout (basePath) so static
     * partition pruning works file-list or not. An all-cells-dead
-    * snapshot is a valid empty relation, not an error. */
+    * snapshot is a valid empty relation, not an error (a PQ
+    * snapshot's empty relation carries the codes column too). */
   private def manifestLists(spark: SparkSession, dir: String,
       m: IndexManifest): DataFrame =
-    if (m.listFiles.isEmpty)
+    if (m.listFiles.isEmpty) {
+      val schema =
+        if (m.pq.isEmpty) ListsSchema
+        else org.apache.spark.sql.types.StructType(ListsSchema.fields :+
+          org.apache.spark.sql.types.StructField("codes",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType)))
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ListsSchema)
-    else spark.read.option("basePath", s"$dir/lists")
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else spark.read.option("basePath", s"$dir/lists")
       .parquet(m.listFiles.map(f => s"$dir/$f"): _*)
 
   private def manifestTombstones(spark: SparkSession, dir: String,
@@ -519,6 +568,18 @@ object AnnIvf {
     if (m.centroidFiles.nonEmpty)
       spark.read.parquet(m.centroidFiles.map(f => s"$dir/$f"): _*)
     else spark.read.parquet(s"$dir/centroids")
+
+  /** The snapshot's PQ codebooks — EXACTLY the manifest's Q files
+    * ((sub, code, centroid) rows), same single-snapshot discipline as
+    * [[manifestCentroids]]. Only meaningful when `m.pq` is defined. */
+  private def manifestPqBooks(spark: SparkSession, dir: String,
+      m: IndexManifest): DataFrame = {
+    require(m.pqFiles.nonEmpty,
+      s"index at $dir is not a PQ index (no codebook generation in " +
+      "manifest v" + m.version + ") — writeIndexPq builds one, or use " +
+      "the raw serving paths (topKFromIndex/openIndex)")
+    spark.read.parquet(m.pqFiles.map(f => s"$dir/$f"): _*)
+  }
 
   /** Persist a trained index: the inverted lists as CELL-PARTITIONED
     * parquet (one directory per cell — the literal on-disk form of
@@ -555,6 +616,80 @@ object AnnIvf {
     assigned.unpersist()
   }
 
+  /** Residual-PQ training + encode over a trained coarse assignment —
+    * the shared middle of [[writeIndexPq]] and the PQ branch of
+    * [[rebuildIndex]]. Exactly the AnnIvfPq in-memory pipeline
+    * (AnnIvfPq.topK trains this identically, which is what makes the
+    * persisted ≡ in-memory spec pin exact): residuals are computed
+    * against [[centroidsOf]] the FINAL assignment (decimal-exact, so
+    * the persisted centroid generation reproduces the same floats),
+    * per-subspace codebooks fit on the residual relation, codes
+    * packed 8/long with the TRUE vector norm riding along. Returns
+    * (books, codes, release) — the caller unpersists via `release`
+    * once the generation is committed. */
+  private def trainResidualPq(spark: SparkSession, assigned: DataFrame,
+      m: Int, ksub: Int, pqIters: Int)
+      : (DataFrame, DataFrame, () => Unit) = {
+    val cents = centroidsOf(assigned)
+    val resid = graft.CacheScope.localEager(
+      assigned.join(broadcast(cents), Seq("cell"))
+        .select(col("vec_id"), col("cell"), col("nrm"),
+          zip_with(col("embedding"), col("centroid"),
+            (x, c) => (x - c).cast("float")).as("embedding")))
+    val pqAssigned = graft.CacheScope.localEager(
+      AnnPq.trainAssign(spark, resid, m, ksub, pqIters))
+    val books = AnnPq.booksOf(pqAssigned)
+    val codes = AnnPq.encodeWith(pqAssigned, resid)
+    (books, codes, () => { resid.unpersist(); pqAssigned.unpersist() })
+  }
+
+  /** Persist a COMPRESSED serving index — IVF-PQ at rest (r18,
+    * VERDICT r17 item 3, closing Missing #1: the PQ/IVF-PQ scale
+    * paths existed only in-memory while the persisted index stored
+    * raw floats). Same layout and crash contract as [[writeIndex]],
+    * plus per-row packed RESIDUAL CODES in the cell lists and the
+    * codebook generation tracked in the manifest exactly like the
+    * r17 centroid generations:
+    *
+    *   dir/lists/cell=N/   (vec_id, embedding, nrm, codes) — the raw
+    *                       vector STAYS beside the codes for the
+    *                       exact rerank and the raw serving paths
+    *                       (topKFromIndex/openIndex work unchanged on
+    *                       a PQ index); the ADC scan reads only
+    *                       (vec_id, nrm, codes) via column pruning —
+    *                       the code columns are ~1/6 the embedding
+    *                       bytes at m=32 (measured: PqIndexProbe,
+    *                       BASELINE §r18)
+    *   dir/centroids-vN/   the coarse quantizer generation (r17)
+    *   dir/pqbooks-vN/     the PQ codebook generation (r18) —
+    *                       immutable, referenced by the manifest's Q
+    *                       lines; the code layout (m, ksub) rides in
+    *                       the P property line
+    *
+    * Training is the exact AnnIvfPq composition (coarse k-means, then
+    * per-subspace codebooks on the residuals), so at 100 TB both fits
+    * sample-train and apply corpus-wide — and the encode pass is the
+    * same one assignment-shaped broadcast join the raw write already
+    * pays. Every maintenance op composes generation-agnostically:
+    * append encodes under the FROZEN books, compact rewrites whatever
+    * columns the lists carry, rebuild retrains BOTH quantizers into
+    * fresh generations, prune GCs superseded book generations like
+    * centroid ones (all spec-pinned, AnnIvfPqIndexSpec). */
+  def writeIndexPq(spark: SparkSession, emb: DataFrame, dir: String,
+      cells: Int, m: Int = 32, ksub: Int = 16, iters: Int = 2,
+      pqIters: Int = 1): Unit = {
+    AnnPq.requireCodeLayout(m, ksub)
+    val assigned = graft.CacheScope.localEager(
+      assignCells(spark, emb, cells, iters))
+    val (books, codes, release) = trainResidualPq(spark, assigned, m, ksub,
+      pqIters)
+    commitGenerationWith(spark, dir,
+      assigned.join(codes.select(col("vec_id"), col("codes")), Seq("vec_id")),
+      Some((books, m, ksub)))
+    release()
+    assigned.unpersist()
+  }
+
   /** Shared tail of [[writeIndex]] and [[rebuildIndex]]: persist a
     * trained assignment as a NEW index generation, ADDITIVELY (r17,
     * ADVICE r16 medium — the previous writeIndex physically deleted
@@ -584,7 +719,19 @@ object AnnIvf {
     *     files stay on disk untouched until [[pruneIndex]], so a
     *     reader pinned to manifest N is undisturbed throughout. */
   private def commitGeneration(spark: SparkSession, dir: String,
-      assigned: DataFrame): IndexManifest = {
+      assigned: DataFrame): IndexManifest =
+    commitGenerationWith(spark, dir, assigned, None)
+
+  /** [[commitGeneration]] with an optional PQ payload (r18): when
+    * `pqBooks` is Some((books, m, ksub)), the list rows are expected
+    * to carry a `codes` column, the codebooks land in a fresh
+    * immutable `pqbooks-v%08d` GENERATION directory (exactly the r17
+    * centroid-generation discipline — a crashed attempt's dir is an
+    * unreferenced orphan a retry overwrites), and the manifest's
+    * Q + P lines bind codes, books and layout into ONE snapshot. */
+  private def commitGenerationWith(spark: SparkSession, dir: String,
+      assigned: DataFrame,
+      pqBooks: Option[(DataFrame, Int, Int)]): IndexManifest = {
     // version against whatever exists: committed manifests, or a
     // legacy/pre-manifest dir (migrated so the old files are
     // referenced by manifest 1 and prunable later, and any crashed
@@ -605,9 +752,17 @@ object AnnIvf {
     val centDir = f"centroids-v$version%08d"
     centroidsOf(assigned).write.mode("overwrite")
       .parquet(s"$dir/$centDir")
+    val pqFiles = pqBooks match {
+      case Some((books, _, _)) =>
+        val pqDir = f"pqbooks-v$version%08d"
+        books.write.mode("overwrite").parquet(s"$dir/$pqDir")
+        dataFilesUnder(spark, dir, pqDir)
+      case None => Seq.empty
+    }
     val added = dataFilesUnder(spark, dir, "lists").filterNot(before)
     commitManifest(spark, dir, version, added, Seq.empty,
-      dataFilesUnder(spark, dir, centDir))
+      dataFilesUnder(spark, dir, centDir), pqFiles,
+      pqBooks.map { case (_, m, ksub) => (m, ksub) })
   }
 
   /** Top-k cosine neighbors of an EXTERNAL query vector against a
@@ -664,6 +819,104 @@ object AnnIvf {
       .orderBy(col("cs").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** Top-k against a PERSISTED COMPRESSED index ([[writeIndexPq]]) —
+    * the serving face of the at-rest PQ form (r18): probe-rank the
+    * k-row centroid table, ADC-score ONLY the probed cells' CODES
+    * (the scan reads (vec_id, nrm, codes) — the embedding column is
+    * pruned, so probe IO is the ~1/6-bytes code columns), then
+    * exact-rerank the k·refine survivor band against the raw vectors
+    * (a second pruned scan filtered to the survivor ids — a bounded
+    * k·refine-row driver ship, the centroid-ship discipline).
+    * Scoring decomposes along the IVF-PQ identity exactly like the
+    * in-memory AnnIvfPq.topK: approx = (dot(q, c_home) + ADC(q,
+    * residual codes)) / (‖y‖·‖q‖), every term from the ONE resolved
+    * snapshot (lists, tombstones, centroids AND codebooks — a rebuild
+    * committing between reads can never mix generations).
+    * `excludeVecId` mirrors the in-memory form's self-exclusion so
+    * AnnIvfPqIndexSpec can pin persisted ≡ in-memory on (vec_id, cs)
+    * row for row. Accuracy contract unchanged: the rerank is exact,
+    * so every error is a survivor-band miss, bounded by `refine`. */
+  def topKFromIndexPq(spark: SparkSession, dir: String,
+      query: Array[Float], k: Int, nprobe: Int, refine: Int = 4,
+      excludeVecId: Option[Long] = None): DataFrame = {
+    val snap = snapshotOf(spark, dir)
+    val (live, qDf, approx) =
+      pqAdcBand(spark, dir, snap, query, k * refine, nprobe, excludeVecId)
+    // survivor band: a bounded k·refine-row ship, then a second pruned
+    // scan reads the RAW vectors for exactly those ids
+    val survivorIds = approx.collect().map(_.getLong(0)).toSeq
+    live.filter(col("vec_id").isin(survivorIds: _*))
+      .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
+      .crossJoin(broadcast(qDf))
+      .select(col("vec_id"), col("cell"),
+        (VecOps.dot(spark, col("embedding"), col("qv")) /
+          (col("nrm") * col("qnrm"))).as("cs"))
+      .orderBy(col("cs").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** The ADC stage of [[topKFromIndexPq]] against ONE resolved
+    * snapshot: (pruned live relation, the 1-row query relation, the
+    * approx band limited to `limit` rows). Returned as parts so the
+    * rerank reuses the same snapshot's relation — and so
+    * AnnIvfPqIndexSpec can inspect the band's EXECUTED plan (the
+    * codes scan must read (vec_id, nrm, codes, cell) only, with the
+    * probed cells statically pruned). */
+  private def pqAdcBand(spark: SparkSession, dir: String,
+      snap: IndexManifest, query: Array[Float], limit: Int, nprobe: Int,
+      excludeVecId: Option[Long]): (DataFrame, DataFrame, DataFrame) = {
+    require(snap.pq.isDefined,
+      s"index at $dir is not a PQ index (manifest v${snap.version} has " +
+      "no P line) — build with writeIndexPq, or serve raw via topKFromIndex")
+    val (m, ksub) = snap.pq.get
+    AnnPq.requireCodeLayout(m, ksub)
+    val books = manifestPqBooks(spark, dir, snap)
+    val qnrm = math.sqrt(query.map(v => v.toDouble * v).sum)
+    val qcol = array(query.map(v => lit(v)): _*).cast("array<float>")
+    val qDf = spark.range(1).select(qcol.as("qv"), lit(qnrm).as("qnrm"))
+    // probe ranking + the exact query·centroid term, one k-row pass —
+    // collected driver-side (bounded by cells) so the probed scan
+    // prunes partitions STATICALLY like topKFromIndex
+    val probedRows = withCnrm(spark, manifestCentroids(spark, dir, snap))
+      .crossJoin(broadcast(qDf))
+      .select(col("cell"),
+        VecOps.dot(spark, col("centroid"), col("qv")).as("qcdot"),
+        (VecOps.dot(spark, col("centroid"), col("qv")) /
+          (col("cnrm") * col("qnrm"))).as("qccs"))
+      .orderBy(col("qccs").desc, col("cell").asc)
+      .limit(nprobe)
+      .select(col("cell"), col("qcdot"))
+      .collect()
+    val probedCells = probedRows.map(_.getInt(0)).toSeq
+    val qcdotDf = {
+      import spark.implicits._
+      probedRows.map(r => (r.getInt(0), r.getDouble(1))).toSeq
+        .toDF("cell", "qcdot")
+    }
+    val live = manifestLists(spark, dir, snap)
+      .filter(col("cell").isin(probedCells: _*))
+      .filter(excludeVecId.map(col("vec_id") =!= _).getOrElse(lit(true)))
+      .join(manifestTombstones(spark, dir, snap), Seq("vec_id"), "left_anti")
+    // ADC scan: codes + norms only — never the embedding column
+    val approx = live
+      .select(col("vec_id"), col("cell"), col("nrm"), col("codes"))
+      .join(broadcast(qcdotDf), Seq("cell"))
+      .crossJoin(broadcast(AnnPq.adcFlat(spark, books, qDf, m, ksub)))
+      .select(col("vec_id"),
+        ((col("qcdot") + AnnPq.adcDot(spark, col("tflat"), col("codes"), ksub)) /
+          (col("nrm") * col("qnrm"))).as("approx_cs"))
+      .orderBy(col("approx_cs").desc, col("vec_id").asc)
+      .limit(limit)
+    (live, qDf, approx)
+  }
+
+  /** Spec-only window into the ADC band (fresh snapshot resolve). */
+  private[graft] def adcBandFromIndexPq(spark: SparkSession, dir: String,
+      query: Array[Float], limit: Int, nprobe: Int,
+      excludeVecId: Option[Long] = None): DataFrame =
+    pqAdcBand(spark, dir, snapshotOf(spark, dir), query, limit, nprobe,
+      excludeVecId)._3
 
   /** STREAM-SERVABLE probe: score a relation of query vectors
     * against a trained index with ZERO state — the online-serving
@@ -802,14 +1055,33 @@ object AnnIvf {
     val cents = manifestCentroids(spark, dir, prev)
     val e = newEmb.select(col("vec_id"), col("embedding"),
       VecOps.norm(spark, col("embedding")).as("nrm"))
-    assign(spark, e, cents)
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/lists")
+    val assigned = assign(spark, e, cents)
+    // a PQ index (r18) appends under BOTH frozen quantizers: cell by
+    // the frozen centroids (above), codes by the frozen codebooks —
+    // residual vs the assigned cell's centroid, encoded with the
+    // manifest's books. Serving for pre-existing rows stays
+    // byte-identical (nothing retrains), and the appended rows are
+    // ADC-servable immediately — the same frozen-quantizer contract,
+    // one level deeper.
+    val rows = prev.pq match {
+      case Some((m, ksub)) =>
+        val resid = assigned.join(broadcast(cents), Seq("cell"))
+          .select(col("vec_id"), col("cell"), col("nrm"),
+            zip_with(col("embedding"), col("centroid"),
+              (x, c) => (x - c).cast("float")).as("embedding"))
+        val codes = AnnPq.encodeWithBooks(spark, resid,
+          manifestPqBooks(spark, dir, prev), m, ksub)
+        assigned.join(codes.select(col("vec_id"), col("codes")), Seq("vec_id"))
+      case None => assigned
+    }
+    rows.write.mode("append").partitionBy("cell").parquet(s"$dir/lists")
     // the batch's files = the listing diff against the PRE-WRITE
     // listing (not against the manifest: orphans from a crashed prior
     // op are in the before-set too, so they stay uncommitted)
     val added = dataFilesUnder(spark, dir, "lists").filterNot(before)
     commitManifest(spark, dir, prev.version + 1,
-      prev.listFiles ++ added, prev.tombstoneFiles, prev.centroidFiles)
+      prev.listFiles ++ added, prev.tombstoneFiles, prev.centroidFiles,
+      prev.pqFiles, prev.pq)
   }
 
   /** Default retrain sample bound for [[rebuildIndex]] — the
@@ -853,14 +1125,35 @@ object AnnIvf {
     * openIndex parity after the rebuild. */
   def rebuildIndex(spark: SparkSession, dir: String, cells: Int,
       iters: Int = 2,
-      trainCap: Int = DefaultRebuildTrainCap): Unit = {
+      trainCap: Int = DefaultRebuildTrainCap, pqIters: Int = 1): Unit = {
     val prev = ensureManifest(spark, dir)
     val live = manifestLists(spark, dir, prev)
       .join(manifestTombstones(spark, dir, prev), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("embedding"))
     val assigned = graft.CacheScope.local(
       assignCellsSampled(spark, live, cells, iters, trainCap))
-    commitGeneration(spark, dir, assigned)
+    prev.pq match {
+      case Some((m, ksub)) =>
+        // a COMPRESSED index rebuilds compressed (r18): the retrain
+        // covers BOTH quantizers — fresh coarse centroids AND fresh
+        // residual codebooks (residual geometry changes with the
+        // centroids, so frozen books would mis-score every code) —
+        // committed together as one generation (new centroids-v* +
+        // pqbooks-v* + one-file-per-cell code lists, manifest N+1).
+        // The layout (m, ksub) is preserved from the manifest's P
+        // line; resizing it is writeIndexPq over the live rows, an
+        // explicit re-encode.
+        assigned.count() // eager: trainResidualPq folds it from 3 stages
+        val (books, codes, release) = trainResidualPq(spark, assigned, m,
+          ksub, pqIters)
+        commitGenerationWith(spark, dir,
+          assigned.join(codes.select(col("vec_id"), col("codes")),
+            Seq("vec_id")),
+          Some((books, m, ksub)))
+        release()
+      case None =>
+        commitGeneration(spark, dir, assigned)
+    }
     assigned.unpersist()
   }
 
@@ -886,7 +1179,8 @@ object AnnIvf {
       .parquet(s"$dir/tombstones")
     val added = dataFilesUnder(spark, dir, "tombstones").filterNot(before)
     commitManifest(spark, dir, prev.version + 1,
-      prev.listFiles, prev.tombstoneFiles ++ added, prev.centroidFiles)
+      prev.listFiles, prev.tombstoneFiles ++ added, prev.centroidFiles,
+      prev.pqFiles, prev.pq)
   }
 
   /** Default fragmentation bound for [[compactIndex]]: a cell whose
@@ -983,8 +1277,13 @@ object AnnIvf {
     }
     val affectedSet = affected.toSet
     val keep = prev.listFiles.filterNot(f => affectedSet(cellOf(f)))
+    // pq meta carried verbatim (r18): compaction stages whatever
+    // columns the lists hold, so a PQ index's codes move with their
+    // rows and the books/layout are untouched — generation-agnostic
+    // by construction (AnnIvfPqIndexSpec pins ADC serving identical
+    // across a compaction)
     commitManifest(spark, dir, prev.version + 1, keep ++ moved.toSeq,
-      Seq.empty, prev.centroidFiles)
+      Seq.empty, prev.centroidFiles, prev.pqFiles, prev.pq)
   }
 
   /** Garbage-collect everything the NEWEST manifest doesn't reference:
@@ -1000,19 +1299,23 @@ object AnnIvf {
     val fs = hadoopFs(spark, dir)
     val m = ensureManifest(spark, dir)
     val referenced =
-      (m.listFiles ++ m.tombstoneFiles ++ m.centroidFiles).toSet
+      (m.listFiles ++ m.tombstoneFiles ++ m.centroidFiles ++ m.pqFiles).toSet
     var removed = 0L
     // centroid GENERATION dirs (r17): every centroids* top-level dir
     // is swept like lists/tombstones — a superseded generation's files
     // are unreferenced once a rebuild commits past it. A LEGACY
     // manifest (no C lines) implicitly references everything under
     // the unversioned `centroids/` dir, so that dir is exempt then.
+    // pqbooks-v* generation dirs (r18) sweep under the same rule: a
+    // rebuild past a PQ generation leaves its codebook files
+    // unreferenced exactly like its centroid files
     val centroidSubs = {
       val root = new org.apache.hadoop.fs.Path(dir)
       if (!fs.exists(root)) Seq.empty
       else fs.listStatus(root).toSeq
         .filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith("centroids") &&
+          (st.getPath.getName.startsWith("centroids") ||
+            st.getPath.getName.startsWith("pqbooks")) &&
           !(m.centroidFiles.isEmpty && st.getPath.getName == "centroids"))
         .map(_.getPath.getName)
     }

@@ -175,6 +175,21 @@ object AnnPq {
     * reduction that is PQ's entire point at scale. The TRUE L2 norm
     * rides along exact (the standard PQ trick: quantization error
     * stays in the dot product only, never in the normalizer). */
+  /** Encode under FROZEN codebooks (r18, for AnnIvf.appendToIndex on
+    * a persisted PQ index): assign each subvector to its nearest
+    * existing codebook entry — no training, one broadcast join —
+    * then pack. `emb` must carry (vec_id, embedding, nrm); `m` must
+    * match the books' layout ([[requireCodeLayout]] guards the pack).
+    * The ingest-time twin of the frozen coarse quantizer: codes for
+    * pre-existing rows never move, the batch is ADC-servable
+    * immediately, and the books retrain on [[AnnIvf.rebuildIndex]]'s
+    * cadence, not per batch. */
+  def encodeWithBooks(spark: SparkSession, emb: DataFrame,
+      books: DataFrame, m: Int, ksub: Int): DataFrame = {
+    requireCodeLayout(m, ksub)
+    encodeWith(assignCodes(spark, subvectors(emb, m), books), emb)
+  }
+
   def encodeWith(assigned: DataFrame, emb: DataFrame): DataFrame =
     assigned
       .groupBy(col("vec_id"), expr("sub div 8").as("word"))
