@@ -460,11 +460,19 @@ object AnnPq {
   private def pairsFromEncoded(spark: SparkSession, prepared: DataFrame,
       enc: DataFrame, books: DataFrame, threshold: Double, tables: Int,
       bits: Int, m: Int, ksub: Int, margin: Double): DataFrame = {
-    val bk = prepared
+    // SHARED cache on the bucket-code relation (r18 optimization): the
+    // (t, bucket) self-join below otherwise evaluates the
+    // tables×bits-hyperplane signature kernel on BOTH scan sides — the
+    // exact refit-per-side shape AnnLsh.neardupPairs removed by caching
+    // its bucket relation. Shared, not query-local, so the gate twin's
+    // re-derivation resolves the filled cache (deterministic,
+    // hash-derived); rows are narrow (codes, no embedding payload),
+    // n·tables of them per corpus — drainShared at corpus boundaries.
+    val bk = graft.CacheScope.sharedEager(prepared
       .select(col("vec_id"),
         posexplode(LshSignatures.of(spark, col("embedding"), tables, bits))
           .as(Seq("t", "bucket")))
-      .join(enc, Seq("vec_id"))
+      .join(enc, Seq("vec_id")))
     val cand = bk.as("a").join(bk.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))

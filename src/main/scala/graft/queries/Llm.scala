@@ -200,7 +200,18 @@ object Llm {
 
   /** The exact threshold pair scan (shared by q_llm_embed_neardup and
     * the ANN gate): budget-guarded block-partitioned equi-join, cs
-    * rounded to the oracle's 6 decimals. Unordered — callers sort. */
+    * rounded to the oracle's 6 decimals. Unordered — callers sort.
+    *
+    * SHARED cache on the OUTPUT (r18 optimization, the
+    * AnnPq.trainAssign precedent): four declared queries derive this
+    * exact relation per session — q_llm_embed_neardup, the exact side
+    * of _ann_gate and _pq_gate, and _auto's in-envelope branch — and
+    * each previously re-paid the full n²/2-dot block scan.
+    * Deterministic (hash-free float fold, fixed blocks), so reuse
+    * cannot change results. Only the THRESHOLD SURVIVORS are cached
+    * (output-sized — a few hundred rows here, dedup-rate-bounded at
+    * any corpus), never the Σ-block pair multiset, so the cache stays
+    * scale-safe everywhere the budget guard admits the scan. */
   private def exactNeardupPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d).select($"vec_id", $"embedding",
@@ -208,10 +219,10 @@ object Llm {
     val n = graft.sources.ParquetMeta.rowCount(s, s"$d/embeddings.parquet")
     requireExactPairBudget(n)
     val G = adaptiveBlocks(n)
-    blockPairJoin(e, G)
+    graft.CacheScope.sharedEager(blockPairJoin(e, G)
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
         round(VecOps.dot(s, $"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm"), 6).as("cs"))
-      .filter($"cs" >= 0.35)
+      .filter($"cs" >= 0.35))
   }
 
   /** Exact kNN graph (r11, shared by q_llm_knn_graph and its gate):
@@ -220,8 +231,18 @@ object Llm {
     * mirrored (the zip-multiply fold is orientation-symmetric, so the
     * mirrored cs is bit-identical) — then one vec_id-keyed window rank
     * over the 6-dp-rounded cosine (ties → neighbor asc). Unordered —
-    * callers sort. */
-  private def exactKnnGraph(s: SparkSession, d: String): DataFrame = {
+    * callers sort.
+    *
+    * SHARED cache on the OUTPUT (r18 optimization): three declared
+    * queries derive this exact graph per session — q_llm_knn_graph,
+    * the exact side of its _ann_gate, and _auto's in-envelope branch —
+    * each previously re-paying the block pair scan + mirror + rank.
+    * Deterministic, so reuse cannot change results; only the ≤ 3n
+    * top-3 edges are cached, never the pair multiset. */
+  private def exactKnnGraph(s: SparkSession, d: String): DataFrame =
+    graft.CacheScope.sharedEager(exactKnnGraphPlan(s, d))
+
+  private def exactKnnGraphPlan(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, d).select($"vec_id", $"embedding",
@@ -244,7 +265,12 @@ object Llm {
     * pinned 40×5 sign-LSH buckets — rerank-before-dedup, then the same
     * window rank. Unordered — callers sort. */
   private def annKnnGraph(s: SparkSession, d: String): DataFrame =
-    annKnnGraphCfg(s, d, NeardupAnnTables, NeardupAnnBits, compact = false)
+    // output-sized shared cache (r18): the bucket relation underneath
+    // is shared, but q_llm_knn_graph_ann and its _gate still re-ran
+    // the candidate join + two-level rank — the ≤ 3n survivor edges
+    // are deterministic, so the gate pays a lookup, not a re-rank
+    graft.CacheScope.sharedEager(
+      annKnnGraphCfg(s, d, NeardupAnnTables, NeardupAnnBits, compact = false))
 
   /** The configurable form behind [[annKnnGraph]] (r12): the pinned
     * query keeps its sealed 40×5 / post-explode-cache plan
@@ -382,9 +408,15 @@ object Llm {
     * above, so precision is 1.0 by construction. Unordered. */
   private def annNeardupPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    graft.operators.AnnLsh.neardupPairs(s, Tables.embeddings(s, d), 0.35,
-        tables = NeardupAnnTables, bits = NeardupAnnBits)
-      .select($"vec_a", $"vec_b", round($"cs", 6).as("cs"))
+    // output-sized shared cache (r18): the bucket relation underneath
+    // is already shared (AnnLsh.neardupPairs), but q_llm_embed_neardup
+    // _ann and its _gate still re-ran the Σ bucket² candidate join —
+    // the survivor pairs are deterministic and dedup-rate-bounded, so
+    // the second consumer pays a lookup, not a re-join
+    graft.CacheScope.sharedEager(
+      graft.operators.AnnLsh.neardupPairs(s, Tables.embeddings(s, d), 0.35,
+          tables = NeardupAnnTables, bits = NeardupAnnBits)
+        .select($"vec_a", $"vec_b", round($"cs", 6).as("cs")))
   }
 
   /** The PQ handoff's pair relation (ANN path C — shared by
@@ -401,9 +433,15 @@ object Llm {
   private def pqNeardupPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val (tables, bits) = graft.operators.AnnLsh.autoConfig(embCount(s, d))
-    graft.operators.AnnPq.neardupPairs(s, Tables.embeddings(s, d), 0.35,
-        tables, bits, m = 32, ksub = 16, margin = 0.2, iters = 1)
-      .select($"vec_a", $"vec_b", round($"cs", 6).as("cs"))
+    // output-sized shared cache (r18): the PQ training/encode relations
+    // are already shared (AnnPq.trainAndCalibrate), but q_llm_embed_
+    // neardup_pq and its _gate still re-ran the SDC candidate join +
+    // survivor-band rerank — survivors are deterministic and
+    // dedup-rate-bounded, so the gate pays a lookup, not a re-join
+    graft.CacheScope.sharedEager(
+      graft.operators.AnnPq.neardupPairs(s, Tables.embeddings(s, d), 0.35,
+          tables, bits, m = 32, ksub = 16, margin = 0.2, iters = 1)
+        .select($"vec_a", $"vec_b", round($"cs", 6).as("cs")))
   }
 
   /** k-means pinned config (q_llm_kmeans / q_llm_semdedup): k=8 cells,
@@ -587,12 +625,15 @@ object Llm {
     val e = Tables.embeddings(s, d).select($"vec_id", $"label", $"embedding",
       VecOps.norm(s, $"embedding").as("nrm"))
     val q = e.filter($"vec_id" === 0L).select($"embedding".as("qv"), $"nrm".as("qn"))
-    e.filter($"vec_id" =!= 0L)
+    // 10-row shared cache (r18): q_llm_knn_cosine, the exact side of
+    // q_llm_knn_topk_ann_gate and q_llm_knn_topk_auto's in-envelope
+    // branch each re-ran the corpus scan; deterministic, output-sized
+    graft.CacheScope.sharedEager(e.filter($"vec_id" =!= 0L)
       .crossJoin(broadcast(q))
       .select($"vec_id", $"label",
         round(VecOps.dot(s, $"embedding", $"qv") / ($"nrm" * $"qn"), 6).as("cs"))
       .orderBy($"cs".desc, $"vec_id".asc)
-      .limit(10)
+      .limit(10))
   }
 
   /** IVF probe-limited top-10 of the fixed query vector — the scale
@@ -607,11 +648,22 @@ object Llm {
       cells: Int, nprobe: Int): DataFrame = {
     import s.implicits._
     val labels = Tables.embeddings(s, d).select($"vec_id", $"label")
-    graft.operators.AnnIvf.topK(s, Tables.embeddings(s, d), 0L, 10,
-        nprobe = nprobe, cells = cells)
-      .join(labels, "vec_id")
-      .select($"vec_id", $"label", round($"cs", 6).as("cs"))
-      .orderBy($"cs".desc, $"vec_id".asc)
+    // SHARED IVF assignment (r18): q_llm_knn_topk_ann and its _gate
+    // each re-trained the grow-cells quantizer per pass (the one-shot
+    // AnnIvf.topK shape trains query-locally). The assignment is
+    // deterministic (hash-seeded quantizer), so the gate resolves the
+    // filled cache instead of refitting; only identical
+    // (corpus, cells) trains share — the CacheManager keys on the
+    // logical plan. The probed top-10 on top is also cached (10 rows)
+    // so the second consumer pays a lookup, not a re-probe.
+    val assigned = graft.CacheScope.sharedEager(
+      graft.operators.AnnIvf.assignCells(s, Tables.embeddings(s, d), cells))
+    graft.CacheScope.sharedEager(
+      graft.operators.AnnIvf.topKWith(s, assigned,
+          graft.operators.AnnIvf.centroidsOf(assigned), 0L, 10, nprobe)
+        .join(labels, "vec_id")
+        .select($"vec_id", $"label", round($"cs", 6).as("cs"))
+        .orderBy($"cs".desc, $"vec_id".asc))
   }
 
   /** AUTO-DISPATCH top-k retrieval (r13): the third member of the
@@ -664,6 +716,35 @@ object Llm {
     * eager-fill fix removed everywhere else. */
   private def kmeansPrepared(s: SparkSession, d: String): DataFrame =
     graft.CacheScope.localEager(graft.operators.KMeans.prepared(Tables.embeddings(s, d)))
+
+  /** The pinned-config Lloyd fit (k=8, 2 rounds), both artifacts,
+    * SHARED across its seven declared consumers (r18 optimization —
+    * the AnnPq.trainAssign / AnnLsh bucket-relation precedent):
+    * q_llm_kmeans, q_llm_ivf_occupancy, q_llm_semdedup,
+    * q_llm_cluster_medoids, q_llm_coreset_sample, q_llm_cluster_purity
+    * and q_llm_ann_serve each previously re-ran the identical
+    * iterative fit — seven complete Lloyd loops per session for ONE
+    * deterministic relation (md5-ranked seeds, fixed rounds — reuse
+    * cannot change results; the CacheManager dedupes by logical plan,
+    * so only identical (corpus, k, rounds) fits share). The CENTROID
+    * relation is cached FIRST: it is a sub-plan of the assignment
+    * (asg = assign(e, cents)), so the assignment's fill resolves the
+    * cached centroid subtree instead of re-running rounds−1 of the
+    * loop. Memory: k rows + one (vec_id, cell, cs) row per vector —
+    * strictly smaller than the corpus — per corpus; multi-corpus
+    * harnesses release via CacheScope.drainShared (the documented
+    * contract). */
+  private def kmeansFitAllPinned(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val (cents, asg) = graft.operators.KMeans.fitAll(
+      kmeansPrepared(s, d), KmeansK, KmeansRounds)
+    (graft.CacheScope.sharedEager(cents), graft.CacheScope.sharedEager(asg))
+  }
+
+  /** The assignment side of [[kmeansFitAllPinned]] — the relation the
+    * six assignment-consuming queries previously re-derived via
+    * KMeans.fit. */
+  private def kmeansFitPinned(s: SparkSession, d: String): DataFrame =
+    kmeansFitAllPinned(s, d)._2
 
   /** SCALE-ADAPTIVE k (r12, VERDICT r11 item 1): the SemDeDup grow-k
     * rule as code instead of prose. Cells hold ~[[AutoCellRows]]
@@ -852,7 +933,19 @@ object Llm {
     * hot-array joins without changing any declared output. */
   val PairScoreFloor = 0.2
 
-  private[graft] def pairIntersections(s: SparkSession, d: String): DataFrame = {
+  private[graft] def pairIntersections(s: SparkSession, d: String): DataFrame =
+    // SHARED cache on the floor-pruned OUTPUT (r18 optimization): the
+    // shingle/df relations underneath were already shared, but the
+    // 643k-pair sub-cap aggregate + prune re-ran for every consumer
+    // family that thresholds a DIFFERENT score — q_llm_ngram_containment
+    // cannot read the jaccard-filtered ngramPairScores cache, so it
+    // re-paid the whole pipeline. The cached relation is already
+    // bounded by [[PairScoreFloor]] (near-dup mass, ~10³ rows per 5k
+    // docs), deterministic, and every downstream threshold ≥ 0.2 is
+    // reachability-contained in it by construction.
+    graft.CacheScope.shared(pairIntersectionsPlan(s, d))
+
+  private def pairIntersectionsPlan(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sh = graft.CacheScope.shared(shingled(s, d))
     // n_sh rides through the explode so the pair aggregate can emit
@@ -1501,7 +1594,9 @@ object Llm {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val e = kmeansPrepared(s, d)
-      val (cents, asg) = graft.operators.KMeans.fitAll(e, KmeansK, KmeansRounds)
+      // shared fit (r18): the same pinned Lloyd loop the rest of the
+      // k-means family consumes — one fill per session, not per query
+      val (cents, asg) = kmeansFitAllPinned(s, d)
       val cn = cents.withColumn("cnrm", VecOps.dnorm(s, $"centroid"))
       val qs = e.filter($"vec_id" < 6)
         .select(($"vec_id" + 1000L).as("query_id"),
@@ -1598,8 +1693,7 @@ object Llm {
     // regardless of corpus size; at 100 TB, train on a sample and
     // apply the final broadcast-assignment pass corpus-wide.
     "q_llm_kmeans" -> ((s, d) =>
-      graft.operators.KMeans.fit(kmeansPrepared(s, d), KmeansK, KmeansRounds)
-        .orderBy(col("vec_id"))),
+      kmeansFitPinned(s, d).orderBy(col("vec_id"))),
 
     // IVF CELL-OCCUPANCY AUDIT (r14, VERDICT r13 item 3): the retrain
     // trigger as an oracle-checked query — per cell of the trained
@@ -1616,8 +1710,7 @@ object Llm {
     // k rows.
     "q_llm_ivf_occupancy" -> ((s, d) => {
       import s.implicits._
-      val occ = graft.operators.KMeans
-        .fit(kmeansPrepared(s, d), KmeansK, KmeansRounds)
+      val occ = kmeansFitPinned(s, d)
         .groupBy($"cell").agg(count(lit(1)).as("n_vecs"))
       val tot = occ.agg(sum($"n_vecs").as("total"),
         count(lit(1)).as("n_cells"))
@@ -1651,8 +1744,7 @@ object Llm {
       // refusal names the scale forms, the same discipline as
       // requireExactPairBudget.
       requirePinnedSemdedupBudget(embCount(s, d))
-      semdedupFrom(s, d,
-        graft.operators.KMeans.fit(kmeansPrepared(s, d), KmeansK, KmeansRounds))
+      semdedupFrom(s, d, kmeansFitPinned(s, d))
         .orderBy(col("vec_id"))
     }),
 
@@ -1700,12 +1792,10 @@ object Llm {
           "(KMeans.fitAllSampled at autoK/autoKBalanced cells keeps the " +
           "within-cell sum-of-cosines pass sub-quadratic; the medoid " +
           "definition is per-cell, so it transfers to any k unchanged)")
-      val e = kmeansPrepared(s, d)
-      // eager: consumed by the pair self-join (both sides), the
-      // cell-size agg, and the final join — all concurrent scan stages
-      val asg = graft.CacheScope.localEager(
-        graft.operators.KMeans.fit(e, KmeansK, KmeansRounds)
-          .select($"vec_id", $"cell"))
+      // shared fit (r18) — already materialized, so its projection
+      // feeds the pair self-join / cell-size agg / final join
+      // concurrent stages from the cache without a localEager copy
+      val asg = kmeansFitPinned(s, d).select($"vec_id", $"cell")
       val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding",
         VecOps.norm(s, $"embedding").as("nrm"))
       val pe = asg.join(emb, "vec_id")
@@ -1740,8 +1830,7 @@ object Llm {
     "q_llm_coreset_sample" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val fit = graft.operators.KMeans.fit(kmeansPrepared(s, d),
-        KmeansK, KmeansRounds)
+      val fit = kmeansFitPinned(s, d)
       val w = Window.partitionBy($"cell").orderBy($"cs".desc, $"vec_id".asc)
       fit.withColumn("rk", row_number().over(w).cast("long"))
         .filter($"rk" <= 3)
@@ -1758,9 +1847,7 @@ object Llm {
     // window, no pair work, nothing grows past k·|labels| groups.
     "q_llm_cluster_purity" -> ((s, d) => {
       import s.implicits._
-      val asg = graft.operators.KMeans.fit(kmeansPrepared(s, d),
-          KmeansK, KmeansRounds)
-        .select($"vec_id", $"cell")
+      val asg = kmeansFitPinned(s, d).select($"vec_id", $"cell")
       val cl = asg.join(
           Tables.embeddings(s, d).select($"vec_id", $"label"), "vec_id")
         .groupBy($"cell", $"label").agg(count(lit(1)).as("nl"))

@@ -107,7 +107,16 @@ object Projections {
     * over the pair graph). `budget` is the per-cell occupancy bound
     * (tests inject a tiny one to pin the fail-loud path). */
   private def convoyPairs(s: SparkSession, d: String): DataFrame =
-    convoyPairsBudgeted(s, d, HotCellBudget)
+    // output-sized shared cache (r18 optimization, the Llm family
+    // precedent): q_geo_convoy and q_geo_groups both derive this exact
+    // pair relation per session — the second consumer previously
+    // re-ran the occupancy join + thin + 9-cell neighborhood join.
+    // Deterministic (grid equi-join, no sampling), and only the
+    // ≥ 3-bucket survivor PAIRS are cached (report-sized), never the
+    // per-(bucket, cell) candidate volume — scale-safe wherever the
+    // hot-cell budget admits the query. Multi-corpus harnesses release
+    // via CacheScope.drainShared (the documented contract).
+    graft.CacheScope.sharedEager(convoyPairsBudgeted(s, d, HotCellBudget))
 
   private[graft] def convoyPairsBudgeted(s: SparkSession, d: String,
       budget: Long): DataFrame = {
@@ -161,10 +170,15 @@ object Projections {
     // budget for; at 100 TB the cache degrades to disk-backed
     // materialization, still cheaper than re-running the occupancy
     // join per side.
+    // SHARED (r18): q_geo_convoy and q_geo_groups both construct this
+    // relation; a query-local mark made the second consumer re-pay the
+    // occupancy join + thin pipeline at CONSTRUCTION time (the eager
+    // fill runs before the shared output cache can short-circuit).
+    // Deterministic; released at corpus boundaries via drainShared.
     // EAGER fill: both sides of the pair join scan this union in
     // concurrent stages; a lazy fill would re-run the occupancy
     // join+thin pipeline per side (CacheScope.localEager note)
-    val a = graft.CacheScope.localEager(cold.unionByName(hot))
+    val a = graft.CacheScope.sharedEager(cold.unionByName(hot))
     val b = a.select($"user_id".as("ub"), $"bk",
         $"lat".as("lat_b"), $"lon".as("lon_b"))
       .withColumn("ci", explode(array((-1 to 1).map(dI =>

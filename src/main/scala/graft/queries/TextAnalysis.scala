@@ -40,6 +40,18 @@ object TextAnalysis {
     gatedVocabHint(vocabRel,
       graft.sources.ParquetMeta.totalBytes(s, s"$d/documents.parquet"))
 
+  /** The corpus word-frequency vocabulary (w, wc) the BPE family
+    * trains on — SHARED (r18 optimization): q_llm_bpe_pairs,
+    * q_llm_bpe_apply and q_llm_bpe_iter each previously re-collapsed
+    * the corpus to its vocabulary per query. Deterministic aggregate,
+    * vocabulary-sized (the reason BPE training is feasible at 100 TB),
+    * released at corpus boundaries via CacheScope.drainShared. */
+  private def bpeVocab(s: SparkSession, d: String): DataFrame =
+    graft.CacheScope.sharedEager(
+      Tables.documents(s, d)
+        .select(explode(toks(lower(col("text")))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("wc")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Term frequencies across the corpus, top-20 terms.
@@ -295,9 +307,7 @@ object TextAnalysis {
     // the char-pair explode runs over distinct words only. (r3)
     "q_llm_bpe_pairs" -> ((s, d) => {
       import s.implicits._
-      val words = Tables.documents(s, d)
-        .select(explode(toks(lower($"text"))).as("w"))
-        .groupBy($"w").agg(count(lit(1)).as("wc"))
+      val words = bpeVocab(s, d)
       val pairs = words.select($"wc", explode(
         when(length($"w") >= 2, transform(sequence(lit(1), length($"w") - 1),
           i => concat($"w".substr(i, lit(1)), $"w".substr(i + 1, lit(1)))))
@@ -320,9 +330,7 @@ object TextAnalysis {
     // crossing the driver boundary.
     "q_llm_bpe_apply" -> ((s, d) => {
       import s.implicits._
-      val words = Tables.documents(s, d)
-        .select(explode(toks(lower($"text"))).as("w"))
-        .groupBy($"w").agg(count(lit(1)).as("wc"))
+      val words = bpeVocab(s, d)
       val pairs = words.select($"wc", explode(
         when(length($"w") >= 2, transform(sequence(lit(1), length($"w") - 1),
           i => concat($"w".substr(i, lit(1)), $"w".substr(i + 1, lit(1)))))
@@ -365,10 +373,7 @@ object TextAnalysis {
       import s.implicits._
       val pairT = ArrayType(StructType(Seq(
         StructField("pair_s", StringType), StructField("pair_e", StringType))))
-      val words0 = graft.CacheScope.local(
-        Tables.documents(s, d)
-          .select(explode(toks(lower($"text"))).as("w"))
-          .groupBy($"w").agg(count(lit(1)).as("wc")))
+      val words0 = bpeVocab(s, d)
       // sentinel char chr(k) -> the merged token's expanded spelling
       def tokAt(w: Column, i: Column, exps: Seq[(Int, Column)]): Column = {
         val ch = w.substr(i, lit(1))
