@@ -68,7 +68,21 @@ object CacheScope {
     * caller (e.g. the _gate twin re-deriving the same training) pays
     * a lookup, not a refit. */
   def sharedEager[T](ds: Dataset[T]): Dataset[T] = {
-    val c = shared(ds); c.count(); c
+    // count ONLY on a fresh registration (r19): every sharedEager call
+    // used to re-count, so each rewarm/construction of a cache-bearing
+    // query paid one full cached-scan job per shared site just to
+    // prove the cache was warm. The eager fill exists to prevent
+    // concurrent consumer stages racing to FILL the cache; once the
+    // plan is registered it was counted by whichever call registered
+    // it (drainShared clears storageLevel, so a drained plan
+    // re-registers and re-fills here), so a repeat call can skip
+    // straight to the cached relation.
+    val fresh = synchronized {
+      if (ds.storageLevel == StorageLevel.NONE) { ds.cache(); sharedLive += ds; true }
+      else false
+    }
+    if (fresh) ds.count()
+    ds
   }
 
   /** Unpersist every registered query-local cache. Non-blocking by

@@ -739,8 +739,13 @@ object Projections {
       // equi-join probe side, final membership join) — without the
       // cache each reference re-derives the full cell aggregate and
       // its 1-row threshold broadcast (3 scans + 3 BNLJs in the plan)
-      // (eager — the three consumers are concurrent scan stages)
-      val dense = graft.CacheScope.localEager(cells.crossJoin(broadcast(thr))
+      // (eager — the three consumers are concurrent scan stages).
+      // SHARED since r19 (was query-local): the fill is the only
+      // input-linear stage and was re-paid per invocation for a
+      // deterministic, GRID-bounded output (≤ 36×72 cells at any
+      // corpus size — output-sized, not corpus-sized); released via
+      // drainShared like the convoy/occupancy caches.
+      val dense = graft.CacheScope.sharedEager(cells.crossJoin(broadcast(thr))
         .filter($"n_fixes" > $"mean_n" * 1.5)
         .select($"cell_lat", $"cell_lon", $"n_fixes",
           ($"cell_lat" * 1000 + $"cell_lon").as("k")))

@@ -8,11 +8,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the LITERAL oracle string through spark.sql — the two dialects
   * overlap on this surface, so the twin is the same text, which also
   * pins Spark's subquery decorrelation rules (SURVEY §4.2 row 7).
+  * One r19 exception, q18ish, runs an equivalent engine-side rewrite
+  * ([[q18SparkSql]]) against the unchanged oracle text — the rewrite
+  * rationale and the equivalence argument live on that val, and the
+  * driver's hash compare re-proves the equivalence every round.
   */
 object SqlSurface {
 
+  /** Temp-view registration, memoized per (session, data dir) — r19
+    * optimization (guide §1.2 "per-task work"): every SQL query
+    * previously re-ran `spark.read.parquet` on all 10 tables at
+    * CONSTRUCTION time (10 footer/schema reads + fresh file indexes,
+    * ~0.45 s per query on the bench host — ~12 s across the 26 SQL
+    * ids per pass) only to overwrite identical temp views. The view
+    * definitions are a pure function of (session, dir), so one
+    * registration per session serves every query; a session that
+    * switches data dirs re-registers (the map tracks the CURRENT dir,
+    * not a seen-set, so switching back also re-registers). WeakHashMap
+    * so dead sessions don't pin. No data is cached — the views are
+    * lazy scans and every query still computes from parquet. */
+  private val registeredDir =
+    new java.util.WeakHashMap[SparkSession, String]()
   private def registerAll(s: SparkSession, d: String): Unit =
-    Tables.names.foreach(n => Tables.t(s, d, n).createOrReplaceTempView(n))
+    registeredDir.synchronized {
+      if (registeredDir.get(s) != d) {
+        Tables.names.foreach(n => Tables.t(s, d, n).createOrReplaceTempView(n))
+        registeredDir.put(s, d)
+      }
+    }
 
   /** TPC-H Q5-shaped revenue by nation (decimal-exact, region filter). */
   val revenueByNationSql: String =
@@ -100,6 +123,28 @@ object SqlSurface {
     "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice " +
     "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
 
+  /** ENGINE-side spelling of [[q18Sql]] (r19 optimization, VERDICT r18
+    * next-item 5 / guide §2.4): the literal text scans lineitem THREE
+    * times (the HAVING subquery aggregate, duplicated under both the
+    * orders and lineitem semi-join probes, plus the outer join probe)
+    * and re-aggregates per order after the join. Aggregate-then-join
+    * instead: ONE lineitem scan into the per-order quantity sum, HAVING
+    * applied there, orders/customer joined after. Equivalent because
+    * o_orderkey is unique in orders (and c_custkey in customer), so the
+    * original five-column GROUP BY is per-order and its SUM over the
+    * joined rows is exactly the per-order lineitem sum — same decimal
+    * sum, same DOUBLE cast. The DuckDB oracle still runs [[q18Sql]];
+    * the driver's hash compare pins the equivalence every round. */
+  val q18SparkSql: String =
+    "SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS odate, o_totalprice, " +
+    "CAST(total_qty_dec AS DOUBLE) AS total_qty " +
+    "FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(38,6))) AS total_qty_dec " +
+    "FROM lineitem GROUP BY l_orderkey " +
+    "HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 250.0) oq " +
+    "JOIN orders ON o_orderkey = l_orderkey " +
+    "JOIN customer ON c_custkey = o_custkey " +
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
+
   /** TPC-H Q12-shaped shipping-priority classification (r8): the
     * conditional-counting aggregate after a fact join — COUNT(CASE)
     * classifies each joined row by the ORDERS side's priority while
@@ -178,6 +223,15 @@ object SqlSurface {
     "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') " +
     "AND n_name IN ('NATION_3', 'NATION_7', 'NATION_11', 'NATION_19') " +
     "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 50"
+
+  // r19 note: an aggregate-first rewrite of q21 (per-order distinct
+  // supplier counts replacing the semi+anti re-scans — the q18SparkSql
+  // treatment) was built and MEASURED SLOWER at bench scale: warm
+  // 1.2–1.4 s (count-distinct expand) / 0.9–1.1 s (two-level agg) vs
+  // 0.66–0.87 s for the literal decorrelated spelling, because at
+  // sf0.1 both correlated subqueries plan as trivially cheap lineitem
+  // broadcasts while the aggregate path pays two real shuffles. The
+  // literal text stays; OPTIMIZATION_r19.md carries the numbers.
 
   /** TPC-H Q22-shaped dormant-rich-customer rollup (r9): an
     * UNCORRELATED scalar subquery (global mean balance — broadcast as
@@ -455,7 +509,7 @@ object SqlSurface {
       registerAll(s, d); s.sql(windowRankSql)
     }),
     "q_sql_tpch_q18ish" -> ((s, d) => {
-      registerAll(s, d); s.sql(q18Sql)
+      registerAll(s, d); s.sql(q18SparkSql)
     }),
     "q_sql_tpch_q12ish" -> ((s, d) => {
       registerAll(s, d); s.sql(q12Sql)

@@ -52,6 +52,23 @@ object TextAnalysis {
         .select(explode(toks(lower(col("text")))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("wc")))
 
+  /** Corpus unigram LM (term, logp) — SHARED (r19 optimization, guide
+    * §2.4/§5): q_llm_unigram_lm and q_llm_ppl_buckets each re-derived
+    * the same corpus vocabulary THREE times per invocation (the vocab
+    * aggregate, its 1-row total, and the LM projection each re-ran the
+    * tokenize/explode corpus pass). The vocab now rides the shared
+    * [[bpeVocab]] cache — same explode/groupBy plan, identical counts —
+    * and the vocab-sized LM relation is shared across both consumers.
+    * logp values are unchanged: round(log(count / total), 6) over the
+    * same integer counts. */
+  private def corpusLm(s: SparkSession, d: String): DataFrame = {
+    val vocab = bpeVocab(s, d)
+    val tot = vocab.agg(sum(col("wc")).cast(DoubleType).as("t_total"))
+    graft.CacheScope.sharedEager(vocab.crossJoin(broadcast(tot))
+      .select(col("w").as("term"),
+        round(log(col("wc") / col("t_total")), 6).as("logp")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Term frequencies across the corpus, top-20 terms.
@@ -288,14 +305,21 @@ object TextAnalysis {
           $"a.pbkt" === $"b.lbkt" &&
           $"a.p_partkey" < $"b.p_partkey" &&
           // free prune: |len(a)−len(b)| > 3 ⟹ lev > 3, skips the
-          // O(len²) levenshtein for most in-block pairs
-          abs(length($"a.p_name") - length($"b.p_name")) <= 3)
-        // threshold form bounds the DP band to O(len·3) per pair and
-        // returns -1 past the bound — same surviving rows/values as the
-        // unbounded distance filtered to <=3, at a fraction of the CPU
-        .withColumn("lev", levenshtein($"a.p_name", $"b.p_name", 3).cast("long"))
-        .filter($"lev" =!= -1L)
-        .select($"a.p_partkey".as("part_a"), $"b.p_partkey".as("part_b"), $"lev")
+          // O(len²) levenshtein for most in-block pairs — spelled
+          // BEFORE the levenshtein conjunct because && short-circuits
+          // left-to-right in codegen (r19: the old withColumn+filter
+          // spelling pushed the levenshtein predicate to the FRONT of
+          // the join condition, so every in-block candidate paid the
+          // banded DP and the cheap prunes ran after it, dead)
+          abs(length($"a.p_name") - length($"b.p_name")) <= 3 &&
+          // threshold form bounds the DP band to O(len·3) per pair and
+          // returns -1 past the bound — same surviving rows/values as
+          // the unbounded distance filtered to <=3, at a fraction of
+          // the CPU; survivors re-evaluate it once in the projection
+          // (near-dup mass — orders of magnitude fewer than candidates)
+          levenshtein($"a.p_name", $"b.p_name", 3) =!= -1)
+        .select($"a.p_partkey".as("part_a"), $"b.p_partkey".as("part_b"),
+          levenshtein($"a.p_name", $"b.p_name", 3).cast("long").as("lev"))
         .orderBy($"part_a", $"part_b")
     }),
 
@@ -397,6 +421,14 @@ object TextAnalysis {
       def win(pc: DataFrame, sA: String, eA: String): DataFrame =
         pc.orderBy($"cnt".desc, $"pair_e".asc, $"pair_s".asc).limit(1)
           .select($"pair_s".as(sA), $"pair_e".as(eA))
+      // r19 note: EAGER per-round caches (localEager on pc0/pc1/pc2 —
+      // VERDICT r18 next-item 8's "fold the merge tables" direction)
+      // were built and MEASURED SLOWER: four serialized fill jobs cost
+      // 1.2–1.5 s of construction vs ~1.2 s for the whole lazy action,
+      // because within the ONE final action Spark's ReuseExchange +
+      // lazy cache fills already dedupe the round relations while
+      // overlapping their stages on idle cores. The lazy marks stay;
+      // OPTIMIZATION_r19.md carries the numbers.
       val pc0 = pairCounts(words0, "w", Nil)
       val words1 = words0.crossJoin(broadcast(win(pc0, "p1s", "p1e")))
         .withColumn("w1", expr("replace(w, p1s, chr(1))"))
@@ -457,12 +489,10 @@ object TextAnalysis {
       import s.implicits._
       val terms = Tables.documents(s, d)
         .select($"doc_id", explode(toks(lower($"text"))).as("term"))
-      val vocab = terms.groupBy($"term").agg(count(lit(1)).as("cnt"))
-      val tot = vocab.agg(sum($"cnt").cast(DoubleType).as("t_total"))
-      val lm = vocab.crossJoin(broadcast(tot))
-        .select($"term", round(log($"cnt" / $"t_total"), 6).as("logp"))
+      // LM from the shared corpus vocab (r19) — was a second and third
+      // corpus tokenize pass per invocation
       terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-        .join(hintIfCorpusSmall(s, d, lm), "term")
+        .join(hintIfCorpusSmall(s, d, corpusLm(s, d)), "term")
         .groupBy($"doc_id")
         .agg(
           sum($"tf").cast(LongType).as("n_tok"),
@@ -613,8 +643,17 @@ object TextAnalysis {
           "transform(sequence(0, size(tk) - 2), i -> struct(tk[i] AS w1, tk[i + 1] AS w2))")).as("b"))
         .select($"b.w1".as("w1"), $"b.w2".as("w2"))
       val pairCnt = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_pair"))
-      val startCnt = pairCnt.groupBy($"w1").agg(sum($"n_pair").as("n_w1"))
-      pairCnt.join(hintIfCorpusSmall(s, d, startCnt), "w1")
+      // w1 margin as a WINDOW over the pair relation, not a self-join
+      // (r19 optimization, VERDICT r18 next-item 4 / guide §2.4): the
+      // join spelling re-derived pairCnt's whole lineage on the margin
+      // side — two documents.parquet scans + two tokenize/explode
+      // passes for one relation. The window re-partitions the already
+      // vocab²-bounded pair counts by w1 (one extra tiny exchange) and
+      // sums the SAME integer n_pair values the join summed, so
+      // n_w1/cond_p are bit-identical; corpus cost drops to one scan.
+      pairCnt
+        .withColumn("n_w1", sum($"n_pair").over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"w1")))
         .select($"w1", $"w2", $"n_pair", $"n_w1",
           round($"n_pair".cast(DoubleType) / $"n_w1".cast(DoubleType), 6).as("cond_p"))
         .orderBy($"n_pair".desc, $"w1", $"w2")
@@ -749,12 +788,10 @@ object TextAnalysis {
       import org.apache.spark.sql.expressions.Window
       val terms = Tables.documents(s, d)
         .select($"doc_id", $"source", explode(toks(lower($"text"))).as("term"))
-      val vocab = terms.groupBy($"term").agg(count(lit(1)).as("cnt"))
-      val tot = vocab.agg(sum($"cnt").cast(DoubleType).as("t_total"))
-      val lm = vocab.crossJoin(broadcast(tot))
-        .select($"term", round(log($"cnt" / $"t_total"), 6).as("logp"))
+      // LM from the shared corpus vocab (r19) — was a second and third
+      // corpus tokenize pass per invocation
       val xent = terms.groupBy($"doc_id", $"source", $"term").agg(count(lit(1)).as("tf"))
-        .join(hintIfCorpusSmall(s, d, lm), "term")
+        .join(hintIfCorpusSmall(s, d, corpusLm(s, d)), "term")
         .groupBy($"doc_id", $"source")
         .agg(round(-(sum(graft.Determinism.dec($"logp" * $"tf")).cast(DoubleType)) /
           sum($"tf"), 6).as("xent"))

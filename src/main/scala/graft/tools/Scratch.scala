@@ -12,28 +12,36 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.PlanGate.silenceBoundedWindowWarn()
     val d = "/root/testdata/sf0.1"
-
-    def time(label: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime(); val n = f
-      println(f"SCRATCH $label rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2fs")
-    }
 
     // same warmup as Bench
     graft.Tables.names.foreach { t =>
       try graft.Tables.t(spark, d, t).count() catch { case _: Throwable => () }
     }
+    try graft.SparkEntry.queries("q_llm_ngram_jaccard")(spark, d).count()
+    catch { case _: Throwable => () }
+    graft.CacheScope.drain(blocking = true)
 
-    // eager-fill fix: drained-cache rewarm of every affected query
-    val qs = Seq(
-      "q_llm_knn_graph_ann", "q_llm_knn_graph_ann_gate",
-      "q_llm_embed_neardup_ann", "q_llm_embed_neardup_ann_gate",
-      "q_llm_semdedup", "q_llm_cluster_medoids",
-      "q_geo_convoy", "q_geo_groups", "q_geo_hotspots",
-      "q_llm_heavy_hitters", "q_llm_incr_dedup", "q_llm_dedup_funnel")
-    for (pass <- 1 to 2; q <- qs) {
-      graft.CacheScope.drain()
-      time(s"$q pass$pass")(graft.SparkEntry.queries(q)(spark, d).count())
+    // Decompose steady cost: query CONSTRUCTION (plan building, any
+    // eager cache fills at construction time) vs the count() action.
+    val qs = if (args.nonEmpty) args.toSeq else Seq(
+      "q_llm_semdedup_auto", "q_llm_semdedup_balanced", "q_llm_semdedup",
+      "q_llm_kmeans", "q_llm_cluster_purity", "q_llm_cluster_medoids",
+      "q_llm_ann_serve", "q_llm_ivf_occupancy", "q_llm_coreset_sample",
+      "q_sql_tpch_q18ish", "q_sql_tpch_q21ish",
+      "q_llm_edit_distance", "q_llm_dedup_funnel", "q_llm_bpe_iter",
+      "q_llm_bigram_lm", "q_geo_hotspots", "q_llm_unigram_lm",
+      "q_llm_ppl_buckets", "q_llm_corpus_dedup")
+    for (pass <- 1 to 3; q <- qs) {
+      val fn = graft.SparkEntry.queries(q)
+      val t0 = System.nanoTime()
+      val df = fn(spark, d)
+      val t1 = System.nanoTime()
+      val n = df.count()
+      val t2 = System.nanoTime()
+      graft.CacheScope.drain(blocking = true)
+      println(f"SCRATCH $q pass$pass rows=$n construct=${(t1 - t0) / 1e9}%.2fs action=${(t2 - t1) / 1e9}%.2fs")
     }
 
     spark.stop()
