@@ -89,14 +89,31 @@ object Bench {
     // changes, which reshuffles which query pays shared-cache warmup —
     // stable ordering keeps per-query numbers comparable across rounds.
     val ordered = SparkEntry.queries.keys.toSeq.sorted
+    // Shared-cache self-reporting (r19, VERDICT r18 item "steady for
+    // cached ids measures lookups"): a query is flagged `cached` when
+    // its construction touches a CacheScope.shared* site, or when its
+    // plan reads an InMemoryRelation without having registered any
+    // cache itself (a plan-equality freerider on another id's shared
+    // fill). Flag only — timing methodology unchanged; the flagged ids
+    // additionally get a true shared-cold re-run below.
+    val sharedCached = scala.collection.mutable.ArrayBuffer[String]()
     val results = ordered.zipWithIndex.map { case (name, i) =>
       val fn = SparkEntry.queries(name)
+      val shared0 = CacheScope.sharedEvents
+      val local0 = CacheScope.localEvents
+      var df: org.apache.spark.sql.DataFrame = null
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { df = fn(spark, sfDir); df.count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // query-local caches; outside the timed region — BLOCKING so the
       // async block removal can't compete with the next timed query
       CacheScope.drain(blocking = true)
+      val sharedTouched = CacheScope.sharedEvents > shared0
+      val localTouched = CacheScope.localEvents > local0
+      val inmem = if (df == null) 0
+        else try graft.plans.PlanGate.facts(df).inMemoryScans
+        catch { case _: Throwable => 0 }
+      if (sharedTouched || (inmem > 0 && !localTouched)) sharedCached += name
       if ((i + 1) % SentinelEvery == 0) sentinelSamples += sentinelPass()
       name -> dt
     }
@@ -157,6 +174,23 @@ object Bench {
     // one sample after the rewarm phase too: the rewarm medians feed
     // steady_total, so contamination there must also be visible
     sentinelSamples += sentinelPass()
+    // SHARED-COLD column (r19, VERDICT r18 next-item 3): for every
+    // cache-bearing id, drain the shared family caches and time ONE
+    // fully cold run — fill included — so the artifact carries each
+    // id's true single-query cost next to the steady lookup number.
+    // Runs AFTER everything that feeds value/steady_total and is
+    // excluded from both (clearly outside the headline); ids are
+    // re-drained individually so no id inherits a sibling's fill.
+    val sharedCold = sharedCached.toSeq.sorted.map { name =>
+      CacheScope.drainShared(blocking = true)
+      CacheScope.drain(blocking = true)
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      CacheScope.drain(blocking = true)
+      name -> dt
+    }
+    val sharedColdS = sharedCold.map(_._2).sum
     val sentinelDrift = NoiseSentinel.drift(sentinelSamples.toSeq)
     val sentinelRobust = NoiseSentinel.robustDrift(sentinelSamples.toSeq)
     val contaminated = NoiseSentinel.contaminated(sentinelSamples.toSeq)
@@ -180,14 +214,26 @@ object Bench {
       k -> math.min(v, rewarmByName.getOrElse(k, v)) }
     val steadyTotal = steady.map(_._2).sum
     val warmupJson = warmupQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // cpus is the raw env string ("local[*]" is legal) — quote it in
+    // the JSON unless it is a plain number
+    val cpusJson = if (cpus.nonEmpty && cpus.forall(_.isDigit)) cpus
+      else "\"" + cpus + "\""
+    val cachedJson = sharedCached.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sharedColdJson = sharedCold
+      .map { case (k, v) => "\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
     val fullJson = "{\"metric\":\"total\",\"value\":" + sec(total) +
       ",\"unit\":\"sec\",\"sf\":\"" + sfDir + "\"" +
+      ",\"cpus\":" + cpusJson +
       ",\"steady_total\":" + sec(steadyTotal) +
       ",\"fill_s\":" + sec(fillS) +
       ",\"sentinel\":" + sentinelJson +
       ",\"rewarm\":" + rewarmJson +
       ",\"rewarm_spread\":" + spreadJson +
       ",\"warmup\":" + warmupJson +
+      ",\"cached_ids\":" + cachedJson +
+      ",\"shared_cold\":" + sharedColdJson +
+      ",\"shared_cold_s\":" + sec(sharedColdS) +
       ",\"queries\":" + results.map { case (k, v) => "\"" + k + "\":" + sec(v) }
         .mkString("{", ",", "}") +
       ",\"steady\":" + steady.map { case (k, v) => "\"" + k + "\":" + sec(v) }
@@ -203,10 +249,19 @@ object Bench {
     // default corpus) or under an explicit GRAFT_BENCH_OUT; any other
     // SF with no explicit output defaults to /tmp, named by SF, so a
     // smoke run cannot overwrite a committed artifact by accident.
+    // r19 (VERDICT r18 next-item 2): the full artifact is named by SF
+    // AND core count — the r18 driver's 8-core scaling pass overwrote
+    // the 32-core BENCH_FULL.json (same default name), losing the full
+    // per-query map and forcing scaling ratios onto top-12
+    // intersections. The canonical 32-core sf0.1 run keeps the
+    // historical name; any other core count at sf0.1 versions
+    // separately, so both full steady maps survive for a per-query
+    // scaling comparison.
     val sfName = Paths.get(sfDir).getFileName.toString
     val outName = sys.env.getOrElse("GRAFT_BENCH_OUT",
-      if (sfName == "sf0.1") "BENCH_FULL.json"
-      else s"/tmp/BENCH_FULL_$sfName.json")
+      if (sfName == "sf0.1" && cpus == "32") "BENCH_FULL.json"
+      else if (sfName == "sf0.1") s"BENCH_FULL_c$cpus.json"
+      else s"/tmp/BENCH_FULL_${sfName}_c$cpus.json")
     val fullPath = Paths.get(outName).toAbsolutePath
     Files.writeString(fullPath, fullJson + "\n")
     // The stdout line must survive the driver's tail capture (VERDICT
@@ -226,6 +281,8 @@ object Bench {
       s""""queries":$qs,""" +
       s""""rest_n":${results.size - topSteady.size},"rest_sec":${sec(restSec)},""" +
       s""""fill_s":${sec(fillS)},"rewarm_n":${rewarm.size},""" +
+      s""""cached_n":${sharedCached.size},"shared_cold_s":${sec(sharedColdS)},""" +
+      s""""cpus":$cpusJson,""" +
       s""""sentinel_drift":${sec(sentinelDrift)},"sentinel_robust_drift":${sec(sentinelRobust)},"sentinel_tier":"$sentinelTier","contaminated":$contaminated,""" +
       s""""full":"$fullPath","sf":"$sfDir"}""")
     spark.stop()

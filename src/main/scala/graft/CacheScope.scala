@@ -31,8 +31,18 @@ import org.apache.spark.storage.StorageLevel
 object CacheScope {
   private val live = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
   private val sharedLive = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+  // Monotonic call counters (r19, VERDICT r18 next-item 3): Bench
+  // diffs these around each timed query to self-report which ids
+  // construct (or re-read) a shared family cache vs a query-local one
+  // — the steady map annotation that distinguishes lookup cost from
+  // query cost in the artifact.
+  private var sharedEventCount = 0L
+  private var localEventCount = 0L
+  def sharedEvents: Long = synchronized(sharedEventCount)
+  def localEvents: Long = synchronized(localEventCount)
 
   def local[T](ds: Dataset[T]): Dataset[T] = synchronized {
+    localEventCount += 1
     if (ds.storageLevel == StorageLevel.NONE) ds.cache()
     live += ds; ds
   }
@@ -42,6 +52,7 @@ object CacheScope {
     * the point. [[drainShared]] exists for tests that need a truly
     * cold state. */
   def shared[T](ds: Dataset[T]): Dataset[T] = synchronized {
+    sharedEventCount += 1
     if (ds.storageLevel == StorageLevel.NONE) { ds.cache(); sharedLive += ds }
     ds
   }
@@ -78,6 +89,7 @@ object CacheScope {
     // re-registers and re-fills here), so a repeat call can skip
     // straight to the cached relation.
     val fresh = synchronized {
+      sharedEventCount += 1
       if (ds.storageLevel == StorageLevel.NONE) { ds.cache(); sharedLive += ds; true }
       else false
     }
