@@ -73,9 +73,15 @@ object Projections {
 
   private def containmentPairs(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Geofence
-    Geofence.containment(fixPositions(s, d),
-        Geofence.polyCells(fencePolys(s, d), FenceCellW), FenceCellW)
-      .select(col("event_id"), col("poly_id"))
+    // SHARED since r19 (was rebuilt per query): q_geo_in_polygon,
+    // q_geo_fence_events and q_geo_fence_dwell each re-ran the
+    // cell-join + ray-cast containment pass over every fix for one
+    // deterministic relation bounded by the contained-fix count
+    // (output-sized); released via drainShared.
+    graft.CacheScope.sharedEager(
+      Geofence.containment(fixPositions(s, d),
+          Geofence.polyCells(fencePolys(s, d), FenceCellW), FenceCellW)
+        .select(col("event_id"), col("poly_id")))
   }
 
   /** Per-(bucket, cell) occupancy budget for the co-location family

@@ -1,6 +1,8 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, IntegerType}
 
 /** Dev scratchpad for isolating perf of query stages. */
 object Scratch {
@@ -13,35 +15,42 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.PlanGate.silenceBoundedWindowWarn()
+    import spark.implicits._
     val d = "/root/testdata/sf0.1"
 
-    // same warmup as Bench
     graft.Tables.names.foreach { t =>
       try graft.Tables.t(spark, d, t).count() catch { case _: Throwable => () }
     }
-    try graft.SparkEntry.queries("q_llm_ngram_jaccard")(spark, d).count()
-    catch { case _: Throwable => () }
-    graft.CacheScope.drain(blocking = true)
 
-    // Decompose steady cost: query CONSTRUCTION (plan building, any
-    // eager cache fills at construction time) vs the count() action.
-    val qs = if (args.nonEmpty) args.toSeq else Seq(
-      "q_llm_semdedup_auto", "q_llm_semdedup_balanced", "q_llm_semdedup",
-      "q_llm_kmeans", "q_llm_cluster_purity", "q_llm_cluster_medoids",
-      "q_llm_ann_serve", "q_llm_ivf_occupancy", "q_llm_coreset_sample",
-      "q_sql_tpch_q18ish", "q_sql_tpch_q21ish",
-      "q_llm_edit_distance", "q_llm_dedup_funnel", "q_llm_bpe_iter",
-      "q_llm_bigram_lm", "q_geo_hotspots", "q_llm_unigram_lm",
-      "q_llm_ppl_buckets", "q_llm_corpus_dedup")
-    for (pass <- 1 to 3; q <- qs) {
-      val fn = graft.SparkEntry.queries(q)
-      val t0 = System.nanoTime()
-      val df = fn(spark, d)
-      val t1 = System.nanoTime()
-      val n = df.count()
+    val W = 8
+    def toks(c: org.apache.spark.sql.Column) = split(c, " ")
+    val spans = graft.Tables.documents(spark, d)
+      .select($"doc_id", toks($"text").as("tk"))
+      .select($"doc_id", $"tk", explode(
+        when(size($"tk") >= W, sequence(lit(1), size($"tk") - (W - 1)))
+          .otherwise(array().cast(ArrayType(IntegerType)))).as("st"))
+      .select($"doc_id", md5(concat_ws(" ", slice($"tk", $"st", lit(W)))).as("span_hash"))
+
+    def orig() = spans
+      .groupBy($"span_hash")
+      .agg(countDistinct($"doc_id").as("n_docs"), count(lit(1)).as("n_spans"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .filter($"n_docs" >= 2)
+
+    def twoLevel() = spans
+      .groupBy($"span_hash", $"doc_id").agg(count(lit(1)).as("c"))
+      .groupBy($"span_hash")
+      .agg(count(lit(1)).as("n_docs"), sum($"c").as("n_spans"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .filter($"n_docs" >= 2)
+
+    for (pass <- 1 to 3) {
+      var t0 = System.nanoTime()
+      val n1 = orig().count()
+      var t1 = System.nanoTime()
+      val n2 = twoLevel().count()
       val t2 = System.nanoTime()
-      graft.CacheScope.drain(blocking = true)
-      println(f"SCRATCH $q pass$pass rows=$n construct=${(t1 - t0) / 1e9}%.2fs action=${(t2 - t1) / 1e9}%.2fs")
+      println(f"SCRATCH span pass$pass orig=$n1 ${(t1 - t0) / 1e9}%.2fs twolevel=$n2 ${(t2 - t1) / 1e9}%.2fs")
     }
 
     spark.stop()
