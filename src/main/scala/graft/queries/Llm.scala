@@ -2076,6 +2076,13 @@ object Llm {
       val pairs = ngramPairScores(s, d).select($"doc_a", $"doc_b")
       val labels = graft.operators.DedupClusters.resolve(s, pairs)
       val docs = Tables.documents(s, d)
+      // r19 note: a row_number-over-canonical spelling of the loser set
+      // (one window shuffle, no anti join) was built, oracle-proven and
+      // REVERTED — PlanSpec pins this shape deliberately: the
+      // max(struct) keeper is an order-independent PARTIAL aggregate
+      // (combines map-side at any cluster size) where a rank window
+      // sorts each cluster partition; the ~0.2 s local win inverted the
+      // scale story. OPTIMIZATION_r19.md carries the measurement.
       val keepers = labels
         .join(docs.select($"doc_id", $"n_chars"), "doc_id")
         .groupBy($"canonical")

@@ -325,8 +325,10 @@ object TextAnalysis {
           // threshold form bounds the DP band to O(len·3) per pair and
           // returns -1 past the bound — same surviving rows/values as
           // the unbounded distance filtered to <=3, at a fraction of
-          // the CPU; survivors re-evaluate it once in the projection
-          // (near-dup mass — orders of magnitude fewer than candidates)
+          // the CPU; survivors re-evaluate it once in the projection.
+          // Measured at sf0.1: the old order ran the DP on all ~2.66M
+          // hash-matched rows (before the partkey residual); this order
+          // runs it on 1.29M + 84k survivor re-evals
           levenshtein($"a.p_name", $"b.p_name", 3) =!= -1)
         .select($"a.p_partkey".as("part_a"), $"b.p_partkey".as("part_b"),
           levenshtein($"a.p_name", $"b.p_name", 3).cast("long").as("lev"))
@@ -752,8 +754,15 @@ object TextAnalysis {
     // boilerplate shingle costs one partial, not its pair volume.
     "q_llm_ngram_novelty" -> ((s, d) => {
       import s.implicits._
-      val sh = Tables.documents(s, d)
-        .select($"doc_id", explode(graft.queries.Llm.shingles3Pub(s, $"text")).as("sh"))
+      // ride the SHARED shingle relation (r19): `sh` is consumed twice
+      // (first-owner aggregate + the join probe), so the per-row
+      // shingle kernel ran over the corpus twice per invocation while
+      // the ngram-dedup family already kept the identical distinct-set
+      // relation cached (triShingles ≡ shingles3Pub, ShingleSpec; the
+      // size>0 filter only drops docs whose empty arrays explode to
+      // nothing anyway)
+      val sh = graft.CacheScope.shared(graft.queries.Llm.shingledPub(s, d))
+        .select($"doc_id", explode($"shingles").as("sh"))
       val first = sh.groupBy($"sh").agg(min($"doc_id").as("first_doc"))
       sh.join(first, "sh")
         .groupBy($"doc_id")

@@ -108,6 +108,10 @@ class PlanSpec extends AnyFunSuite {
     TestSpark.withSQLConf(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      // containment is a SHARED relation since r19 — drop any fill an
+      // earlier suite left (possibly built with broadcast ON) so the
+      // no-broadcast cell join materializes inside THIS plan
+      CacheScope.drainShared(blocking = true)
       val df = SparkEntry.queries("q_geo_in_polygon")(spark, sf)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
